@@ -1,0 +1,240 @@
+"""Configuration dataclasses for the hdrvae framework.
+
+These mirror the public API contracts of the reference node pack
+(`/root/reference/hdr_vae_decode.py:41-55`, `linear_exr_export.py:91-112`,
+`hdr_upscale_with_model.py:59-66`) while replacing the reference's ad-hoc
+device/timeout/OOM machinery with static, trace-time configuration
+(SURVEY.md section 5: "Fallback tiers become explicit config").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Model architecture
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Flux.1 AutoencoderKL decoder topology.
+
+    The reference never defines the decoder but hardcodes its structure
+    (SURVEY.md section 2.6; `hdr_vae_decode.py:505,509-517,775-803,814`):
+    conv_in -> mid(block_1, attn_1, block_2) -> 4 up stages -> GroupNorm(128)
+    -> SiLU -> conv_out(128->3).  Here it is owned explicitly.
+    """
+
+    z_channels: int = 16           # Flux.1 latent channels
+    ch: int = 128                  # base width
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2        # decoder uses num_res_blocks + 1 per level
+    out_channels: int = 3
+    attn_mid: bool = True          # mid-block spatial self-attention
+    num_groups: int = 32           # GroupNorm groups
+    dropout: float = 0.0
+
+    # Latent pre-scaling applied before the decoder (diffusers semantics:
+    # z / scale_factor + shift_factor).  Flux.1 constants.
+    scale_factor: float = 0.3611
+    shift_factor: float = 0.1159
+
+    # Output mapping from decoder range [-1, 1] to image range [0, 1]
+    # (the host framework's process_output; this is what makes the
+    # reference's analysis classify the transform as "SIGMOID"-like).
+    output_scale: float = 0.5
+    output_shift: float = 0.5
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.ch_mult)
+
+    @property
+    def block_in(self) -> int:
+        """Channel width at the mid block (and the start of up stages)."""
+        return self.ch * self.ch_mult[-1]
+
+    @property
+    def pre_conv_out_channels(self) -> int:
+        """Width of the pre-conv_out feature map (128 for Flux.1)."""
+        return self.ch * self.ch_mult[0]
+
+    @property
+    def spatial_scale(self) -> int:
+        """Latent -> pixel spatial upsampling factor (8 for Flux.1)."""
+        return 2 ** (self.num_levels - 1)
+
+    def with_small(self) -> "DecoderConfig":
+        """A tiny config for tests (fast on 1 CPU core)."""
+        return dataclasses.replace(
+            self, z_channels=4, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+            num_groups=4,
+        )
+
+
+FLUX_DECODER = DecoderConfig()
+
+
+# ---------------------------------------------------------------------------
+# HDR decode pipeline
+# ---------------------------------------------------------------------------
+
+HDR_MODES = ("conservative", "exposure", "adaptive_recovery",
+             "mathematical_recovery")
+
+# Aliases kept for old-graph compatibility (SURVEY.md section 6 caveat:
+# README/example workflows reference "moderate"/"aggressive" modes from an
+# older node version).
+HDR_MODE_ALIASES = {
+    "moderate": "conservative",
+    "aggressive": "mathematical_recovery",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class HDRDecodeConfig:
+    """Parameters of the HDR decode pipeline.
+
+    Mirrors `HDRVAEDecode.INPUT_TYPES` (`hdr_vae_decode.py:41-55`): modes and
+    the single `conservative_ev_multiplier` float.  Adds explicit knobs that
+    the reference hides in constants.
+    """
+
+    hdr_mode: str = "mathematical_recovery"
+    conservative_ev_multiplier: float = 1.0
+
+    # Acceptance threshold for the intelligent decode result
+    # (`hdr_vae_decode.py:106`: hdr_pixels > 0 or max > 1.1).
+    accept_max_threshold: float = 1.1
+
+    # HDR-data gate on the pre-conv_out map (`hdr_vae_decode.py:1076-1078`).
+    hdr_tol: float = 1e-3
+
+    # Inverse-activation epsilons (`hdr_vae_decode.py:931,938`).
+    sigmoid_eps: float = 1e-7
+    tanh_eps: float = 1e-6
+
+    # log2 clamp floor for EV maps (`hdr_vae_decode.py:996,1145,1151`).
+    ev_floor: float = 0.001
+
+    # Exposure mode max stops (`hdr_vae_decode.py:982` default).
+    max_stops: float = 20.0
+
+    def canonical_mode(self) -> str:
+        mode = HDR_MODE_ALIASES.get(self.hdr_mode, self.hdr_mode)
+        if mode not in HDR_MODES:
+            raise ValueError(
+                f"unknown hdr_mode {self.hdr_mode!r}; expected one of "
+                f"{HDR_MODES} (or aliases {tuple(HDR_MODE_ALIASES)})")
+        return mode
+
+
+# ---------------------------------------------------------------------------
+# Precision policy
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Precision:
+    """Numerics policy.
+
+    The reference contract is float32 end-to-end (`README.md:39,263`).  On
+    TPU we keep parameters and accumulation in float32 and optionally run
+    matmuls/convs in bfloat16 for throughput; `parity` pins everything to
+    float32 with HIGHEST matmul precision for <=1e-3 reproducibility
+    (SURVEY.md section 7 "Hard parts").
+    """
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST.
+    mode: str = "parity"
+
+    @classmethod
+    def fast(cls) -> "Precision":
+        return cls(compute_dtype=jnp.bfloat16, mode="fast")
+
+    @classmethod
+    def parity(cls) -> "Precision":
+        return cls(mode="parity")
+
+
+# ---------------------------------------------------------------------------
+# Tiling / sharding
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TilingConfig:
+    """Static overlap-tile plan (replaces the OOM-retry loop at
+    `hdr_upscale_with_model.py:120-145` with trace-time selection)."""
+
+    tile: int = 512        # tile edge in *output pixel* space
+    overlap: int = 64      # overlap in output pixel space
+    min_tile: int = 128    # reference floor (`hdr_upscale_with_model.py:140`)
+    # HBM budget used by the planner to pick a tile size (bytes).  None means
+    # "use the configured tile size as-is".
+    hbm_budget_bytes: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for sharded decode (SURVEY.md section 5:
+    batch + tile-grid sharding over ICI on a v5e-4)."""
+
+    axis_name: str = "tiles"
+    num_devices: Optional[int] = None  # None = all available
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+EXR_COMPRESSIONS = ("none", "rle", "zip", "piz", "pxr24")
+EXPORT_FORMATS = ("exr", "hdr")
+BIT_DEPTHS = ("16bit", "32bit")
+
+
+@dataclasses.dataclass(frozen=True)
+class ExportConfig:
+    """Mirrors `LinearEXRExport.INPUT_TYPES` (`linear_exr_export.py:91-112`)."""
+
+    filename_prefix: str = "comfyUI"
+    versioning: bool = False
+    frame_sequence: bool = False
+    start_frame: int = 1001
+    frame_pad: int = 4
+    output_path: str = "/HDR"
+    format: str = "exr"
+    bit_depth: str = "16bit"
+    compression: str = "zip"
+    save_workflow: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Upscale
+# ---------------------------------------------------------------------------
+
+UPSCALE_METHODS = ("nearest-exact", "bilinear", "area", "bicubic", "bislerp")
+
+
+@dataclasses.dataclass(frozen=True)
+class UpscaleConfig:
+    """Mirrors `HDRUpscaleWithModel.INPUT_TYPES`
+    (`hdr_upscale_with_model.py:59-66`)."""
+
+    small_blur: bool = False
+    local_fix: bool = False
+    upscale_method: str = "bislerp"
+    # Two-pass color-stability clamp range (`hdr_upscale_with_model.py:183-184`).
+    color_stable_min: float = -1.0
+    color_stable_max: float = 1.0
+    # Luma stabilization ceiling (`hdr_upscale_with_model.py:202`).
+    luma_max: float = 8.0
+    # local_fix dark-area threshold (`hdr_upscale_with_model.py:245`).
+    local_fix_threshold: float = 0.1
+    tiling: TilingConfig = dataclasses.field(default_factory=TilingConfig)

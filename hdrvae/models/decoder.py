@@ -1,0 +1,198 @@
+"""Flux.1 AutoencoderKL decoder — functional JAX, NHWC, TPU-first.
+
+The reference package never owns this network: it instruments ComfyUI's
+decoder with forward hooks (`hdr_vae_decode.py:850-859`) and re-executes it
+layer-by-layer in three "bypass" variants (`:443,:832,:1205`, ~530 LoC) just
+to obtain the pre-`conv_out` feature map.  Because this framework owns the
+decoder, a single jitted forward returns ``(rgb, pre_conv_out)`` and all of
+the hook/bypass machinery collapses to the ``apply_conv_out`` flag
+(SURVEY.md section 7, idiomatic inversion #1).
+
+Topology (SURVEY.md section 2.6): conv_in -> mid(block_1, attn_1, block_2) ->
+up stages traversed high-resolution-multiplier first, each with
+``num_res_blocks + 1`` ResNet blocks and a nearest-2x upsample (except the
+last) -> GroupNorm + SiLU -> conv_out.  The mid attention always RUNS here —
+the reference skips it to dodge hangs (`hdr_vae_decode.py:514`), which this
+build must not do (SURVEY.md section 5, long-context row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.config import DecoderConfig, Precision
+from hdrvae.models.layers import (conv2d, group_norm_silu, init_conv2d,
+                                  init_group_norm, nearest_upsample_2x)
+from hdrvae.kernels.attention import spatial_attention
+
+Params = Dict[str, Any]
+
+
+class DecodeOutput(NamedTuple):
+    """One-forward outputs; replaces the reference's hook + double decode."""
+
+    rgb: Optional[jnp.ndarray]       # [B, H, W, 3] in [0, 1]-ish, or None
+    pre_conv_out: jnp.ndarray        # [B, H, W, 128] post norm_out + SiLU
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def resnet_block(x: jnp.ndarray, p: Params, *, num_groups: int,
+                 precision: Precision) -> jnp.ndarray:
+    h = group_norm_silu(x, p["norm1"], num_groups=num_groups)
+    h = conv2d(h, p["conv1"], precision=precision)
+    h = group_norm_silu(h, p["norm2"], num_groups=num_groups)
+    h = conv2d(h, p["conv2"], precision=precision)
+    if "nin_shortcut" in p:
+        x = conv2d(x, p["nin_shortcut"], precision=precision)
+    return x + h
+
+
+def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
+               precision: Precision) -> jnp.ndarray:
+    """Single-head spatial self-attention with residual (mid-block attn).
+
+    Uses plain GroupNorm (no SiLU) before the qkv projections, per the
+    canonical AutoencoderKL AttnBlock.
+    """
+    from hdrvae.models.layers import group_norm
+    h = group_norm(x, p["norm"], num_groups=num_groups)
+    q = conv2d(h, p["q"], precision=precision)
+    k = conv2d(h, p["k"], precision=precision)
+    v = conv2d(h, p["v"], precision=precision)
+    h = spatial_attention(q, k, v, precision=precision)
+    h = conv2d(h, p["proj_out"], precision=precision)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# Decoder forward
+# ---------------------------------------------------------------------------
+
+
+def decoder_apply(params: Params, z: jnp.ndarray,
+                  cfg: DecoderConfig = DecoderConfig(), *,
+                  precision: Precision = Precision(),
+                  apply_conv_out: bool = True,
+                  preprocess_latent: bool = True,
+                  postprocess_output: bool = True) -> DecodeOutput:
+    """Decode a latent ``z`` [B, h, w, z_channels] (NHWC).
+
+    Returns both the standard image and the pre-conv_out feature map from ONE
+    forward.  ``apply_conv_out=False`` is the declarative form of the
+    reference's whole bypass subsystem ("decode without the final layer",
+    `hdr_vae_decode.py:814-815,1320-1321`).
+    """
+    if preprocess_latent:
+        # diffusers/ComfyUI latent scaling for Flux.1.
+        z = z / cfg.scale_factor + cfg.shift_factor
+
+    x = conv2d(z, params["conv_in"], precision=precision)
+
+    mid = params["mid"]
+    x = resnet_block(x, mid["block_1"], num_groups=cfg.num_groups,
+                     precision=precision)
+    if cfg.attn_mid:
+        x = attn_block(x, mid["attn_1"], num_groups=cfg.num_groups,
+                       precision=precision)
+    x = resnet_block(x, mid["block_2"], num_groups=cfg.num_groups,
+                     precision=precision)
+
+    # Up path: highest multiplier first (matches AutoencoderKL's
+    # reversed(range(num_resolutions)) traversal).
+    for level in reversed(range(cfg.num_levels)):
+        up = params["up"][level]
+        for j in range(cfg.num_res_blocks + 1):
+            x = resnet_block(x, up["block"][j], num_groups=cfg.num_groups,
+                             precision=precision)
+        if level != 0:
+            x = nearest_upsample_2x(x)
+            x = conv2d(x, up["upsample"], precision=precision)
+
+    x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups)
+    pre_conv_out = x.astype(jnp.float32)
+
+    rgb = None
+    if apply_conv_out:
+        rgb = conv2d(pre_conv_out, params["conv_out"], precision=precision)
+        if postprocess_output:
+            # Host-framework output mapping [-1,1] -> [0,1] (unclamped).
+            rgb = rgb * cfg.output_scale + cfg.output_shift
+        rgb = rgb.astype(jnp.float32)
+
+    return DecodeOutput(rgb=rgb, pre_conv_out=pre_conv_out)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _init_resnet(key: jax.Array, cin: int, cout: int) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "norm1": init_group_norm(cin),
+        "conv1": init_conv2d(k1, 3, 3, cin, cout),
+        "norm2": init_group_norm(cout),
+        "conv2": init_conv2d(k2, 3, 3, cout, cout),
+    }
+    if cin != cout:
+        p["nin_shortcut"] = init_conv2d(k3, 1, 1, cin, cout)
+    return p
+
+
+def _init_attn(key: jax.Array, c: int) -> Params:
+    kq, kk, kv, kp = jax.random.split(key, 4)
+    return {
+        "norm": init_group_norm(c),
+        "q": init_conv2d(kq, 1, 1, c, c),
+        "k": init_conv2d(kk, 1, 1, c, c),
+        "v": init_conv2d(kv, 1, 1, c, c),
+        "proj_out": init_conv2d(kp, 1, 1, c, c),
+    }
+
+
+def init_decoder(key: jax.Array,
+                 cfg: DecoderConfig = DecoderConfig()) -> Params:
+    """Randomly initialize a decoder pytree (test fixtures / cold start)."""
+    keys = iter(jax.random.split(key, 256))
+    block_in = cfg.block_in
+    params: Params = {
+        "conv_in": init_conv2d(next(keys), 3, 3, cfg.z_channels, block_in),
+        "mid": {
+            "block_1": _init_resnet(next(keys), block_in, block_in),
+            "block_2": _init_resnet(next(keys), block_in, block_in),
+        },
+    }
+    if cfg.attn_mid:
+        params["mid"]["attn_1"] = _init_attn(next(keys), block_in)
+
+    ups = {}
+    cin = block_in
+    for level in reversed(range(cfg.num_levels)):
+        cout = cfg.ch * cfg.ch_mult[level]
+        blocks = []
+        for _ in range(cfg.num_res_blocks + 1):
+            blocks.append(_init_resnet(next(keys), cin, cout))
+            cin = cout
+        up: Params = {"block": blocks}
+        if level != 0:
+            up["upsample"] = init_conv2d(next(keys), 3, 3, cout, cout)
+        ups[level] = up
+    params["up"] = ups
+
+    c_final = cfg.pre_conv_out_channels
+    params["norm_out"] = init_group_norm(c_final)
+    params["conv_out"] = init_conv2d(next(keys), 3, 3, c_final,
+                                     cfg.out_channels)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

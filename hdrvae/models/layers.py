@@ -1,0 +1,99 @@
+"""Primitive NN layers as pure functions over param pytrees (NHWC).
+
+TPU-first conventions:
+  - NHWC activations (channels on the 128-wide lane dimension),
+  - HWIO conv kernels,
+  - float32 accumulation with optional bfloat16 compute via Precision,
+  - no Python-level control flow on traced values.
+
+Param pytrees are plain nested dicts so they serialize to/from safetensors
+and shard trivially with jax.sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdrvae.core.config import Precision
+
+Params = Dict[str, jnp.ndarray]
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv_precision(precision: Precision):
+    if precision.mode == "parity":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1, padding: str = "SAME",
+           precision: Precision = Precision()) -> jnp.ndarray:
+    """2D convolution; p = {'kernel': HWIO, 'bias': [O]}."""
+    kernel = p["kernel"]
+    dtype = precision.compute_dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(stride, stride), padding=padding,
+        dimension_numbers=_DIMS,
+        precision=_conv_precision(precision),
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["bias"].astype(jnp.float32)
+
+
+def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
+               eps: float = 1e-6) -> jnp.ndarray:
+    """GroupNorm over NHWC; p = {'scale': [C], 'bias': [C]}.
+
+    Statistics are computed in float32 over (H, W, C/G) — the whole-image
+    normalization whose global nature is the main tiled-decode fidelity risk
+    (SURVEY.md section 7, "Hard parts").
+    """
+    b, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(b, h, w, c)
+    return xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+
+
+def group_norm_silu(x: jnp.ndarray, p: Params, *, num_groups: int,
+                    eps: float = 1e-6) -> jnp.ndarray:
+    """Fused GroupNorm + SiLU epilogue (XLA fuses the elementwise tail)."""
+    y = group_norm(x, p, num_groups=num_groups, eps=eps)
+    return y * jax.nn.sigmoid(y)
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample, NHWC."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match torch defaults so randomly-initialized fixtures have
+# comparable dynamics to real checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def init_conv2d(key: jax.Array, kh: int, kw: int, cin: int, cout: int,
+                dtype=jnp.float32) -> Params:
+    """torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in))."""
+    wkey, bkey = jax.random.split(key)
+    fan_in = cin * kh * kw
+    bound = float(np.sqrt(1.0 / fan_in))
+    kernel = jax.random.uniform(wkey, (kh, kw, cin, cout), dtype, -bound, bound)
+    bias = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": bias}
+
+
+def init_group_norm(c: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}

@@ -1,0 +1,186 @@
+"""Checkpoint loading: torch/safetensors state dicts -> JAX param pytrees.
+
+Replaces the reference's reliance on ComfyUI's VAE loader and spandrel
+(`hdr_upscale_with_model.py:72-76`; SURVEY.md section 2.7).  Weights are
+converted once: conv kernels OIHW -> HWIO, linear weights [O, I] -> [I, O],
+everything to float32 numpy, then device_put as a pytree.
+
+Two key schemas are supported for the decoder:
+  - "ldm" (ComfyUI / Black Forest Labs Flux.1 ae.safetensors):
+    ``decoder.conv_in.weight``, ``decoder.mid.block_1.norm1.weight``,
+    ``decoder.up.{level}.block.{j}...``, ``decoder.up.{level}.upsample.conv``
+  - flat dicts without the leading ``decoder.`` prefix.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdrvae.core.config import DecoderConfig
+
+Params = Dict[str, Any]
+
+
+def _to_np(t) -> np.ndarray:
+    """Accept torch tensors, numpy arrays, or jax arrays."""
+    if hasattr(t, "detach"):  # torch
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def conv_kernel_to_hwio(w: np.ndarray) -> np.ndarray:
+    """OIHW (torch Conv2d) -> HWIO (jax NHWC conv)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(path, framework="numpy") as f:
+        for key in f.keys():
+            out[key] = np.asarray(f.get_tensor(key))
+    return out
+
+
+def _strip_prefix(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    """Normalize to keys relative to the decoder root."""
+    out = {}
+    for k, v in sd.items():
+        for prefix in ("first_stage_model.decoder.", "vae.decoder.",
+                       "decoder."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        out[k] = v
+    return out
+
+
+def _conv(sd: Mapping[str, Any], name: str) -> Params:
+    return {
+        "kernel": conv_kernel_to_hwio(_to_np(sd[f"{name}.weight"])),
+        "bias": _to_np(sd[f"{name}.bias"]),
+    }
+
+
+def _norm(sd: Mapping[str, Any], name: str) -> Params:
+    return {
+        "scale": _to_np(sd[f"{name}.weight"]),
+        "bias": _to_np(sd[f"{name}.bias"]),
+    }
+
+
+def _attn_proj(sd: Mapping[str, Any], name: str) -> Params:
+    """Attention q/k/v/proj_out may be stored as 1x1 convs (ldm) or linear."""
+    w = _to_np(sd[f"{name}.weight"])
+    if w.ndim == 4:  # 1x1 conv OIHW
+        kernel = conv_kernel_to_hwio(w)
+    else:  # linear [O, I] -> HWIO 1x1
+        kernel = np.transpose(w, (1, 0))[None, None]
+    return {"kernel": kernel, "bias": _to_np(sd[f"{name}.bias"])}
+
+
+def _resnet(sd: Mapping[str, Any], name: str) -> Params:
+    p = {
+        "norm1": _norm(sd, f"{name}.norm1"),
+        "conv1": _conv(sd, f"{name}.conv1"),
+        "norm2": _norm(sd, f"{name}.norm2"),
+        "conv2": _conv(sd, f"{name}.conv2"),
+    }
+    if f"{name}.nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, f"{name}.nin_shortcut")
+    return p
+
+
+def decoder_params_from_state_dict(
+        state_dict: Mapping[str, Any],
+        cfg: DecoderConfig = DecoderConfig()) -> Params:
+    """Build the decoder param pytree from an ldm-layout state dict."""
+    sd = _strip_prefix(state_dict)
+
+    params: Params = {
+        "conv_in": _conv(sd, "conv_in"),
+        "mid": {
+            "block_1": _resnet(sd, "mid.block_1"),
+            "block_2": _resnet(sd, "mid.block_2"),
+        },
+        "norm_out": _norm(sd, "norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+    }
+    if cfg.attn_mid:
+        params["mid"]["attn_1"] = {
+            "norm": _norm(sd, "mid.attn_1.norm"),
+            "q": _attn_proj(sd, "mid.attn_1.q"),
+            "k": _attn_proj(sd, "mid.attn_1.k"),
+            "v": _attn_proj(sd, "mid.attn_1.v"),
+            "proj_out": _attn_proj(sd, "mid.attn_1.proj_out"),
+        }
+
+    ups: Params = {}
+    for level in range(cfg.num_levels):
+        blocks = []
+        for j in range(cfg.num_res_blocks + 1):
+            blocks.append(_resnet(sd, f"up.{level}.block.{j}"))
+        up: Params = {"block": blocks}
+        if level != 0:
+            up["upsample"] = _conv(sd, f"up.{level}.upsample.conv")
+        ups[level] = up
+    params["up"] = ups
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_decoder(path: str,
+                 cfg: DecoderConfig = DecoderConfig()) -> Params:
+    """Load a Flux.1 VAE decoder from a safetensors checkpoint file."""
+    return decoder_params_from_state_dict(load_safetensors(path), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: our pytree -> ldm-layout numpy state dict (for tests and
+# for exporting fixtures that torch can consume)
+# ---------------------------------------------------------------------------
+
+
+def decoder_params_to_state_dict(params: Params,
+                                 cfg: DecoderConfig = DecoderConfig()
+                                 ) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(name: str, p: Params):
+        sd[f"{name}.weight"] = np.transpose(np.asarray(p["kernel"]),
+                                            (3, 2, 0, 1))
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_norm(name: str, p: Params):
+        sd[f"{name}.weight"] = np.asarray(p["scale"])
+        sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def put_resnet(name: str, p: Params):
+        put_norm(f"{name}.norm1", p["norm1"])
+        put_conv(f"{name}.conv1", p["conv1"])
+        put_norm(f"{name}.norm2", p["norm2"])
+        put_conv(f"{name}.conv2", p["conv2"])
+        if "nin_shortcut" in p:
+            put_conv(f"{name}.nin_shortcut", p["nin_shortcut"])
+
+    put_conv("conv_in", params["conv_in"])
+    put_resnet("mid.block_1", params["mid"]["block_1"])
+    put_resnet("mid.block_2", params["mid"]["block_2"])
+    if cfg.attn_mid:
+        attn = params["mid"]["attn_1"]
+        put_norm("mid.attn_1.norm", attn["norm"])
+        for nm in ("q", "k", "v", "proj_out"):
+            put_conv(f"mid.attn_1.{nm}", attn[nm])
+    for level in range(cfg.num_levels):
+        up = params["up"][level]
+        for j, blk in enumerate(up["block"]):
+            put_resnet(f"up.{level}.block.{j}", blk)
+        if level != 0:
+            put_conv(f"up.{level}.upsample.conv", up["upsample"])
+    put_norm("norm_out", params["norm_out"])
+    put_conv("conv_out", params["conv_out"])
+    return sd

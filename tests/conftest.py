@@ -1,0 +1,39 @@
+"""Test environment: force CPU backend with 8 virtual devices.
+
+This is the standard JAX substitute for multi-chip testing without a real
+cluster (SURVEY.md section 4e).  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from hdrvae.core.config import DecoderConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_cfg() -> DecoderConfig:
+    """Tiny Flux-shaped decoder: z=4ch, ch=16, 2 levels, attn on."""
+    return DecoderConfig().with_small()
+
+
+@pytest.fixture(scope="session")
+def small_params(small_cfg):
+    from hdrvae.models.decoder import init_decoder
+    return init_decoder(jax.random.PRNGKey(0), small_cfg)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,94 @@
+"""Decoder parity + contract tests (SURVEY.md section 4b: small
+randomly-initialized Flux-shaped decoder fixture)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from hdrvae.core.config import DecoderConfig, Precision
+from hdrvae.models.decoder import decoder_apply, init_decoder, param_count
+from hdrvae.models.params import (decoder_params_from_state_dict,
+                                  decoder_params_to_state_dict)
+from tests.torch_oracle import torch_decoder_from_jax
+
+
+def _latent(rng, cfg, b=1, h=8, w=8):
+    return rng.standard_normal((b, h, w, cfg.z_channels)).astype(np.float32)
+
+
+class TestDecoderParity:
+    def test_matches_torch_oracle(self, small_cfg, small_params, rng):
+        """JAX decoder == independent torch implementation to <=1e-5
+        (SURVEY.md section 7, build order M0)."""
+        z = _latent(rng, small_cfg)
+        oracle = torch_decoder_from_jax(small_params, small_cfg)
+        rgb_t, pre_t = oracle(torch.from_numpy(z).permute(0, 3, 1, 2))
+
+        out = decoder_apply(small_params, jnp.asarray(z), small_cfg,
+                            precision=Precision.parity())
+        rgb_j = np.asarray(out.rgb)
+        pre_j = np.asarray(out.pre_conv_out)
+
+        np.testing.assert_allclose(
+            rgb_j, rgb_t.permute(0, 2, 3, 1).numpy(), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(
+            pre_j, pre_t.permute(0, 2, 3, 1).numpy(), atol=1e-5, rtol=1e-5)
+
+    def test_state_dict_round_trip(self, small_cfg, small_params, rng):
+        """pytree -> ldm state dict -> pytree is exact (loader inverse)."""
+        sd = decoder_params_to_state_dict(small_params, small_cfg)
+        # Exercise the prefix-stripping path that real checkpoints take.
+        sd = {f"decoder.{k}": v for k, v in sd.items()}
+        restored = decoder_params_from_state_dict(sd, small_cfg)
+        z = jnp.asarray(_latent(rng, small_cfg))
+        a = decoder_apply(small_params, z, small_cfg)
+        b = decoder_apply(restored, z, small_cfg)
+        np.testing.assert_array_equal(np.asarray(a.rgb), np.asarray(b.rgb))
+
+
+class TestDecoderContract:
+    def test_single_forward_returns_both(self, small_cfg, small_params, rng):
+        """One forward -> (rgb, pre_conv_out); replaces the reference's
+        hook + double-decode (`hdr_vae_decode.py:850-859,1022`)."""
+        z = jnp.asarray(_latent(rng, small_cfg, h=4, w=4))
+        out = decoder_apply(small_params, z, small_cfg)
+        scale = small_cfg.spatial_scale
+        assert out.rgb.shape == (1, 4 * scale, 4 * scale, 3)
+        assert out.pre_conv_out.shape == (
+            1, 4 * scale, 4 * scale, small_cfg.pre_conv_out_channels)
+
+    def test_bypass_is_a_flag(self, small_cfg, small_params, rng):
+        """apply_conv_out=False == the reference's 530-LoC bypass subsystem
+        (`hdr_vae_decode.py:443,832,1205`)."""
+        z = jnp.asarray(_latent(rng, small_cfg, h=4, w=4))
+        full = decoder_apply(small_params, z, small_cfg)
+        bypass = decoder_apply(small_params, z, small_cfg,
+                               apply_conv_out=False)
+        assert bypass.rgb is None
+        np.testing.assert_array_equal(np.asarray(full.pre_conv_out),
+                                      np.asarray(bypass.pre_conv_out))
+
+    def test_jit_compiles(self, small_cfg, small_params, rng):
+        z = jnp.asarray(_latent(rng, small_cfg, h=4, w=4))
+        fn = jax.jit(lambda p, x: decoder_apply(p, x, small_cfg))
+        out = fn(small_params, z)
+        assert np.isfinite(np.asarray(out.rgb)).all()
+
+    def test_full_flux_shape_param_count(self):
+        """Full Flux.1 decoder has the canonical ~49.5M params."""
+        cfg = DecoderConfig()
+        params = init_decoder(jax.random.PRNGKey(0), cfg)
+        n = param_count(params)
+        assert 49_000_000 < n < 50_000_000, n
+
+    def test_latent_preprocess(self, small_cfg, small_params, rng):
+        """Flux scale/shift is applied before conv_in (diffusers semantics)."""
+        z = jnp.asarray(_latent(rng, small_cfg, h=4, w=4))
+        pre_applied = z / small_cfg.scale_factor + small_cfg.shift_factor
+        a = decoder_apply(small_params, z, small_cfg)
+        b = decoder_apply(small_params, pre_applied, small_cfg,
+                          preprocess_latent=False)
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   atol=1e-6)
