@@ -1,0 +1,141 @@
+"""The HDR decode pipeline — the reference's whole node as ONE fused graph.
+
+The reference pipeline (`hdr_vae_decode.py:62-195`, SURVEY.md section 3.1)
+decodes the latent 2-3 times (analysis pass with a hook, intelligent decode,
+bypass fallback), syncs stats to host after every stage, and falls back
+through threads with timeouts.  Owning the decoder inverts all of that:
+
+  one decoder forward -> (rgb, pre_conv_out)
+  -> in-graph analysis (stats + sigmoid/tanh classification)
+  -> MAX-pool collapse + sRGB->linear + mode math  (fused epilogue)
+  -> in-graph acceptance select (intelligent result vs raw-features tier)
+  -> EV multiplier
+
+Everything jits into a single XLA program; the only host sync is the final
+(image, stats) fetch.  The reference's fallback *tiers* survive as an
+explicit, declarative select: when the intelligent result has no HDR content
+the raw pre-conv_out features (== what all three reference bypasses compute)
+are used instead (SURVEY.md section 5, failure-detection row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.color import srgb_to_linear
+from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
+from hdrvae.core.stats import hdr_stats, stats_to_host
+from hdrvae.decode.analysis import ConvOutAnalysis, analyze_conv_out
+from hdrvae.decode.formatting import collapse_channels_maxpool
+from hdrvae.decode.modes import apply_mode, build_recovery_maps
+from hdrvae.models.decoder import decoder_apply
+
+Params = Dict[str, Any]
+
+
+class HDRDecodeResult(NamedTuple):
+    image: jnp.ndarray                    # [B, H, W, 3] float32 linear HDR
+    standard: jnp.ndarray                 # [B, H, W, 3] the plain decode
+    stats: Dict[str, Any]                 # nested in-graph stats
+    used_fallback: jnp.ndarray            # 0-d bool: raw-features tier used
+
+
+def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
+                 cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                ConvOutAnalysis]:
+    """Analysis + mode math + acceptance select on decoder outputs.
+
+    Separated from the decoder forward so the tiled/sharded executors can
+    reuse it on stitched outputs.
+    """
+    mode = cfg.canonical_mode()
+    analysis = analyze_conv_out(rgb, pre_conv_out)
+
+    pre_collapsed = collapse_channels_maxpool(pre_conv_out)
+    ldr_linear = srgb_to_linear(rgb)
+    maps = build_recovery_maps(rgb, pre_collapsed, analysis.pre_stats,
+                               analysis.norm_kind, cfg)
+    intelligent = apply_mode(mode, ldr_linear, pre_collapsed, maps,
+                             analysis.pre_stats, cfg)
+
+    # Acceptance (`hdr_vae_decode.py:100-112`): keep the intelligent result
+    # iff it produced HDR pixels or exceeds the 1.1 threshold; otherwise use
+    # the raw pre-conv_out features (the bypass-tier output, already computed
+    # in this same forward).
+    has_hdr_pixels = jnp.any(intelligent > 1.0)
+    accept = jnp.logical_or(has_hdr_pixels,
+                            jnp.max(intelligent) > cfg.accept_max_threshold)
+    fallback = pre_collapsed  # == formatted bypass output
+    image = jnp.where(accept, intelligent, fallback)
+
+    # EV multiplier applies to whichever tier won (`hdr_vae_decode.py:180-182`).
+    image = image * cfg.conservative_ev_multiplier
+
+    return image.astype(jnp.float32), jnp.logical_not(accept), analysis
+
+
+def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
+                    decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
+                    precision: Precision):
+    out = decoder_apply(params, latent, decoder_cfg, precision=precision)
+    image, used_fallback, analysis = hdr_epilogue(out.rgb, out.pre_conv_out,
+                                                  cfg)
+    stats = {
+        "input": hdr_stats(latent),
+        "pre": analysis.pre_stats,
+        "post": analysis.post_stats,
+        "norm_kind": analysis.norm_kind,
+        "output": hdr_stats(image),
+    }
+    return image, out.rgb, stats, used_fallback
+
+
+@functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
+                                             "precision"))
+def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision):
+    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision)
+
+
+def hdr_decode(params: Params, latent: jnp.ndarray,
+               decoder_cfg: DecoderConfig = DecoderConfig(),
+               cfg: HDRDecodeConfig = HDRDecodeConfig(),
+               precision: Precision = Precision()) -> HDRDecodeResult:
+    """Decode a latent to a linear HDR image.
+
+    Args:
+      params: decoder pytree (``init_decoder`` / ``load_decoder``).
+      latent: [B, h, w, z_channels] NHWC (or [B, z, h, w] NCHW, detected and
+        transposed for API compatibility with torch-layout callers).
+      decoder_cfg / cfg / precision: static configs (hashable dataclasses).
+
+    Returns an :class:`HDRDecodeResult`; ``stats`` remain device arrays.
+    """
+    zc = decoder_cfg.z_channels
+    if latent.ndim != 4:
+        raise ValueError(f"latent must be 4D, got shape {latent.shape}")
+    if latent.shape[-1] != zc:
+        if latent.shape[1] == zc:
+            latent = jnp.transpose(latent, (0, 2, 3, 1))  # NCHW -> NHWC
+        else:
+            raise ValueError(
+                f"latent shape {latent.shape} has no {zc}-channel axis "
+                f"(expected NHWC or NCHW with z_channels={zc})")
+
+    image, standard, stats, used_fallback = _hdr_decode_compiled(
+        params, latent, decoder_cfg, cfg, precision)
+    return HDRDecodeResult(image=image, standard=standard, stats=stats,
+                           used_fallback=used_fallback)
+
+
+def decode_summary(result: HDRDecodeResult) -> Dict[str, Any]:
+    """One host sync: the reference's log vocabulary as a structured record
+    (SURVEY.md section 5, metrics row)."""
+    summary = stats_to_host(result.stats)
+    summary["used_fallback"] = bool(result.used_fallback)
+    from hdrvae.decode.analysis import NORM_NAMES
+    summary["normalization"] = NORM_NAMES[int(summary.pop("norm_kind"))]
+    return summary

@@ -1,0 +1,93 @@
+"""EXR write/read dispatcher: native C++ codec with pure-Python fallback.
+
+Mirrors the reference's writer-cascade intent (`linear_exr_export.py:145-227`:
+pyexr -> imageio -> cv2) but with implementations this framework owns: the
+native codec (`native/exr_codec.cpp`) and the numpy codec (`exr_py.py`)
+produce byte-identical files.
+
+Compression "piz" is accepted for API parity with the reference's option set
+(`linear_exr_export.py:105`) but is written as "zip" (PIZ wavelet+Huffman
+encoding is not implemented); a warning is logged once.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+
+import numpy as np
+
+from hdrvae.io import exr_py
+from hdrvae.io.native_build import load_native
+
+logger = logging.getLogger(__name__)
+
+_PIZ_WARNED = False
+
+
+def _resolve_compression(compression: str) -> str:
+    global _PIZ_WARNED
+    compression = compression.lower()
+    if compression == "piz":
+        if not _PIZ_WARNED:
+            logger.warning("PIZ compression not implemented; writing ZIP "
+                           "instead (same lossless contract)")
+            _PIZ_WARNED = True
+        return "zip"
+    if compression not in exr_py.COMPRESSION_IDS:
+        raise ValueError(f"unknown EXR compression {compression!r}")
+    return compression
+
+
+def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
+              compression: str = "zip", use_native: bool = True) -> None:
+    """Write a float image (H, W, C) to a scanline EXR.
+
+    pixel_type: "half" | "float" (the reference's 16bit/32bit,
+    `linear_exr_export.py:155`); compression: none/rle/zip/zips/piz/pxr24.
+    """
+    compression = _resolve_compression(compression)
+    image = np.ascontiguousarray(np.asarray(image, np.float32))
+    if image.ndim == 2:
+        image = image[..., None]
+    if image.ndim != 3:
+        raise ValueError(f"image must be HxWxC, got {image.shape}")
+
+    lib = load_native() if use_native else None
+    if lib is not None:
+        h, w, c = image.shape
+        ptype = 1 if pixel_type == "half" else 2
+        comp_id = exr_py.COMPRESSION_IDS[compression]
+        rc = lib.exr_write(
+            path.encode(), image.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)),
+            h, w, c, ptype, comp_id)
+        if rc == 0:
+            return
+        logger.warning("native EXR write returned %d; falling back to "
+                       "pure-Python writer", rc)
+    exr_py.write_exr(path, image, pixel_type=pixel_type,
+                     compression=compression)
+
+
+def read_exr(path: str, *, use_native: bool = True) -> np.ndarray:
+    """Read a scanline EXR as float32 (H, W, C), RGB-ordered."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    lib = load_native() if use_native else None
+    if lib is not None:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        rc = lib.exr_read_header(path.encode(), ctypes.byref(w),
+                                 ctypes.byref(h), ctypes.byref(c))
+        if rc == 0:
+            out = np.empty((h.value, w.value, c.value), np.float32)
+            rc = lib.exr_read(path.encode(), out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)))
+            if rc == 0:
+                return out
+        logger.warning("native EXR read returned %d; falling back to "
+                       "pure-Python reader", rc)
+    return exr_py.read_exr(path)

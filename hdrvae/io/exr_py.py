@@ -1,0 +1,430 @@
+"""Pure-Python OpenEXR scanline codec (numpy + zlib).
+
+A self-contained implementation of the OpenEXR 2.0 scanline format covering
+what the reference's export node produces via pyexr/OpenEXR C++
+(`linear_exr_export.py:145-227`): RGB images, HALF/FLOAT pixels, and the
+NONE / RLE / ZIPS / ZIP / PXR24 compression schemes.  PIZ (wavelet+Huffman)
+is not implemented; the writer substitutes ZIP (see `hdrvae.io.exr`).
+
+This module is both the portable fallback for the native C++ codec
+(`hdrvae/io/native/exr_codec.cpp`) and the cross-check oracle in tests:
+files written by either implementation must be byte-identical.
+
+Format notes (OpenEXR spec):
+  - little-endian throughout; magic 0x01312f76, version 2.
+  - header = attribute list, each ``name\\0 type\\0 size data``, ending \\0.
+  - channels sorted by name (B, G, R); scanline chunks of 1 line (NONE, RLE,
+    ZIPS) or 16 lines (ZIP, PXR24); absolute chunk-offset table.
+  - ZIP/ZIPS/RLE pre-filter: byte "reorder" into two planes + delta
+    predictor; chunks that do not shrink are stored raw.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+MAGIC = 0x01312F76
+VERSION = 2
+
+# OpenEXR compression ids.
+COMPRESSION_IDS = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
+                   "pxr24": 5}
+_ID_TO_NAME = {v: k for k, v in COMPRESSION_IDS.items()}
+LINES_PER_CHUNK = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32, 5: 16}
+
+PIXEL_UINT, PIXEL_HALF, PIXEL_FLOAT = 0, 1, 2
+_PIX_SIZE = {PIXEL_HALF: 2, PIXEL_FLOAT: 4, PIXEL_UINT: 4}
+_PIX_DTYPE = {PIXEL_HALF: np.dtype("<f2"), PIXEL_FLOAT: np.dtype("<f4"),
+              PIXEL_UINT: np.dtype("<u4")}
+
+
+# ---------------------------------------------------------------------------
+# Pre-filter: byte reorder + delta predictor (shared by RLE/ZIP/ZIPS)
+# ---------------------------------------------------------------------------
+
+
+def _filter_encode(raw: bytes) -> bytes:
+    """OpenEXR ZIP/RLE pre-filter: byte reorder into two interleaved halves,
+    THEN the delta predictor over the reordered buffer (ImfZip order)."""
+    data = np.frombuffer(raw, np.uint8)
+    reordered = np.concatenate([data[0::2], data[1::2]])
+    delta = np.empty_like(reordered)
+    delta[0] = reordered[0]
+    delta[1:] = (reordered[1:].astype(np.int16)
+                 - reordered[:-1].astype(np.int16) + (128 + 256)) & 0xFF
+    return delta.astype(np.uint8).tobytes()
+
+
+def _filter_decode(filtered: bytes) -> bytes:
+    """Inverse: undo predictor (running sum), then merge the two halves."""
+    delta = np.frombuffer(filtered, np.uint8)
+    acc = (np.cumsum(
+        np.concatenate([delta[:1].astype(np.int64),
+                        delta[1:].astype(np.int64) - 128 - 256]))) & 0xFF
+    merged = acc.astype(np.uint8)
+    n = len(merged)
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = merged[:half]
+    out[1::2] = merged[half:]
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# RLE (OpenEXR flavor: signed-count runs over the filtered bytes)
+# ---------------------------------------------------------------------------
+
+_MIN_RUN, _MAX_RUN = 3, 127
+
+
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    d = data
+    n = len(d)
+    i = 0
+    while i < n:
+        # measure run
+        run = 1
+        while i + run < n and d[i + run] == d[i] and run < _MAX_RUN:
+            run += 1
+        if run >= _MIN_RUN:
+            out.append(run - 1)
+            out.append(d[i])
+            i += run
+        else:
+            # literal stretch: until the next >=3 run or MAX_RUN bytes
+            start = i
+            i += 1
+            while (i < n and i - start < _MAX_RUN
+                   and not (i + 2 < n and d[i] == d[i + 1] == d[i + 2])):
+                i += 1
+            count = i - start
+            out.append((256 - count) & 0xFF)  # negative as signed byte
+            out.extend(d[start:i])
+    return bytes(out)
+
+
+def _rle_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        count = struct.unpack_from("b", data, i)[0]
+        i += 1
+        if count < 0:
+            out.extend(data[i:i - count])
+            i += -count
+        else:
+            out.extend(data[i:i + 1] * (count + 1))
+            i += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PXR24 (lossy 24-bit float, per-byte-plane delta + zlib)
+# ---------------------------------------------------------------------------
+
+
+def float_to_float24(f: np.ndarray) -> np.ndarray:
+    """float32 array -> uint32 array of 24-bit float bit patterns."""
+    bits = f.astype("<f4").view(np.uint32)
+    s = bits & 0x80000000
+    e = bits & 0x7F800000
+    m = bits & 0x007FFFFF
+    body = e | m
+    # finite: round significand to 15 bits (half-up); overflow to inf clamps
+    rounded = (body + 0x80) >> 8
+    overflow = (rounded << 8) & 0x7F800000 == 0x7F800000
+    rounded = np.where(overflow, body >> 8, rounded)
+    # inf/nan: keep exponent, collapse mantissa to 15 bits (nan keeps a bit)
+    m15 = m >> 8
+    special = (e >> 8) | m15 | np.where((m != 0) & (m15 == 0), 1, 0)
+    out24 = np.where(e == 0x7F800000, special, rounded)
+    return (s >> 8) | out24
+
+
+def float24_to_float(i24: np.ndarray) -> np.ndarray:
+    return (i24.astype("<u4") << np.uint32(8)).view("<f4").astype(
+        np.float32, copy=False)
+
+
+def _pxr24_pack_rows(rows: List[Tuple[np.ndarray, int]]) -> bytes:
+    """rows: list of (row_values, pixel_type); returns plane-packed deltas."""
+    parts = []
+    for values, ptype in rows:
+        if ptype == PIXEL_FLOAT:
+            p24 = float_to_float24(values.astype(np.float32))
+            diff = np.empty_like(p24)
+            diff[0] = p24[0]
+            diff[1:] = (p24[1:] - p24[:-1]) & 0xFFFFFF
+            parts.append(((diff >> 16) & 0xFF).astype(np.uint8).tobytes())
+            parts.append(((diff >> 8) & 0xFF).astype(np.uint8).tobytes())
+            parts.append((diff & 0xFF).astype(np.uint8).tobytes())
+        elif ptype == PIXEL_HALF:
+            h = values.astype("<f2").view(np.uint16).astype(np.uint32)
+            diff = np.empty_like(h)
+            diff[0] = h[0]
+            diff[1:] = (h[1:] - h[:-1]) & 0xFFFF
+            parts.append(((diff >> 8) & 0xFF).astype(np.uint8).tobytes())
+            parts.append((diff & 0xFF).astype(np.uint8).tobytes())
+        else:
+            raise ValueError("pxr24 supports half/float only")
+    return b"".join(parts)
+
+
+def _pxr24_unpack_rows(data: bytes, w: int,
+                       row_types: List[int]) -> List[np.ndarray]:
+    out = []
+    pos = 0
+    buf = np.frombuffer(data, np.uint8)
+    for ptype in row_types:
+        if ptype == PIXEL_FLOAT:
+            hi = buf[pos:pos + w].astype(np.uint32)
+            mid = buf[pos + w:pos + 2 * w].astype(np.uint32)
+            lo = buf[pos + 2 * w:pos + 3 * w].astype(np.uint32)
+            pos += 3 * w
+            diff = (hi << 16) | (mid << 8) | lo
+            p24 = np.cumsum(diff.astype(np.uint64)).astype(np.uint32) \
+                & 0xFFFFFF
+            out.append(float24_to_float(p24))
+        else:  # HALF
+            hi = buf[pos:pos + w].astype(np.uint32)
+            lo = buf[pos + w:pos + 2 * w].astype(np.uint32)
+            pos += 2 * w
+            diff = (hi << 8) | lo
+            h = (np.cumsum(diff.astype(np.uint64)).astype(np.uint32)
+                 & 0xFFFF).astype(np.uint16)
+            out.append(h.view("<f2").astype(np.float32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Header serialization
+# ---------------------------------------------------------------------------
+
+
+def _attr(name: str, typ: str, payload: bytes) -> bytes:
+    return (name.encode() + b"\0" + typ.encode() + b"\0"
+            + struct.pack("<i", len(payload)) + payload)
+
+
+def _channel_list(names: List[str], pixel_type: int) -> bytes:
+    out = b""
+    for name in sorted(names):
+        out += name.encode() + b"\0"
+        out += struct.pack("<i", pixel_type)
+        out += struct.pack("<BBBB", 0, 0, 0, 0)  # pLinear + reserved
+        out += struct.pack("<ii", 1, 1)          # x/y sampling
+    return out + b"\0"
+
+
+def _build_header(w: int, h: int, pixel_type: int, compression_id: int,
+                  channel_names: List[str]) -> bytes:
+    hdr = b""
+    hdr += _attr("channels", "chlist", _channel_list(channel_names,
+                                                     pixel_type))
+    hdr += _attr("compression", "compression",
+                 struct.pack("<B", compression_id))
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr += _attr("dataWindow", "box2i", box)
+    hdr += _attr("displayWindow", "box2i", box)
+    hdr += _attr("lineOrder", "lineOrder", struct.pack("<B", 0))
+    hdr += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    hdr += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+    hdr += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    return hdr + b"\0"
+
+
+# ---------------------------------------------------------------------------
+# Writer
+# ---------------------------------------------------------------------------
+
+
+def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
+              compression: str = "zip") -> None:
+    """Write an RGB (H, W, 3) or single-channel (H, W) float image.
+
+    pixel_type: "half" | "float"; compression: none/rle/zips/zip/pxr24
+    ("piz" must be substituted by the caller — see `hdrvae.io.exr`).
+    """
+    image = np.asarray(image, np.float32)
+    if image.ndim == 2:
+        image = image[..., None]
+    h, w, c = image.shape
+    if c == 3:
+        names = ["R", "G", "B"]
+    elif c == 1:
+        names = ["Y"]
+    else:
+        names = [f"channel{i}" for i in range(c)]
+    ptype = PIXEL_HALF if pixel_type == "half" else PIXEL_FLOAT
+    comp_id = COMPRESSION_IDS[compression]
+    if comp_id == COMPRESSION_IDS["piz"]:
+        raise NotImplementedError("PIZ writing unsupported; substitute zip")
+    lines = LINES_PER_CHUNK[comp_id]
+    dtype = _PIX_DTYPE[ptype]
+
+    # channel planes in alphabetical order, as rows of bytes
+    order = sorted(range(c), key=lambda i: names[i])
+    planes = [np.ascontiguousarray(image[..., i]).astype(dtype)
+              for i in order]
+
+    chunks: List[bytes] = []
+    for y0 in range(0, h, lines):
+        y1 = min(y0 + lines, h)
+        raw_rows: List[bytes] = []
+        for y in range(y0, y1):
+            for plane in planes:
+                raw_rows.append(plane[y].tobytes())
+        raw = b"".join(raw_rows)
+        if comp_id == 0:
+            data = raw
+        elif comp_id == 1:  # RLE
+            data = _rle_encode(_filter_encode(raw))
+        elif comp_id in (2, 3):  # ZIPS / ZIP
+            data = zlib.compress(_filter_encode(raw))
+        elif comp_id == 5:  # PXR24
+            rows = []
+            for y in range(y0, y1):
+                for i in order:
+                    rows.append((np.asarray(image[y, :, i], np.float32),
+                                 ptype))
+            data = zlib.compress(_pxr24_pack_rows(rows))
+        else:
+            raise NotImplementedError(compression)
+        if len(data) >= len(raw):
+            data = raw
+        chunks.append(struct.pack("<ii", y0, len(data)) + data)
+
+    header = (struct.pack("<I", MAGIC) + struct.pack("<i", VERSION)
+              + _build_header(w, h, ptype, comp_id, names))
+    offset_table_size = 8 * len(chunks)
+    pos = len(header) + offset_table_size
+    offsets = []
+    for chunk in chunks:
+        offsets.append(pos)
+        pos += len(chunk)
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
+        for chunk in chunks:
+            f.write(chunk)
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+
+def _read_cstr(buf: bytes, pos: int) -> Tuple[str, int]:
+    end = buf.index(b"\0", pos)
+    return buf[pos:end].decode("latin-1"), end + 1
+
+
+def read_exr_header(buf: bytes) -> Tuple[Dict, int]:
+    magic, version = struct.unpack_from("<Ii", buf, 0)
+    if magic != MAGIC:
+        raise ValueError("not an EXR file")
+    if version & 0x200:
+        raise NotImplementedError("tiled EXR not supported")
+    pos = 8
+    attrs: Dict = {}
+    while True:
+        if buf[pos] == 0:
+            pos += 1
+            break
+        name, pos = _read_cstr(buf, pos)
+        typ, pos = _read_cstr(buf, pos)
+        (size,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        payload = buf[pos:pos + size]
+        pos += size
+        attrs[name] = (typ, payload)
+
+    # decode what we need
+    ch_payload = attrs["channels"][1]
+    channels = []
+    cpos = 0
+    while ch_payload[cpos] != 0:
+        cname, cpos = _read_cstr(ch_payload, cpos)
+        (ptype,) = struct.unpack_from("<i", ch_payload, cpos)
+        cpos += 4 + 4 + 8  # type + pLinear/reserved + sampling
+        channels.append((cname, ptype))
+    comp_id = attrs["compression"][1][0]
+    x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+    header = {
+        "channels": channels,
+        "compression": _ID_TO_NAME.get(comp_id, str(comp_id)),
+        "compression_id": comp_id,
+        "width": x1 - x0 + 1,
+        "height": y1 - y0 + 1,
+        "y_min": y0,
+        "attrs": attrs,
+    }
+    return header, pos
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read a scanline EXR into float32 (H, W, C); RGB files return RGB
+    order regardless of the alphabetical storage order."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    header, pos = read_exr_header(buf)
+    w, h = header["width"], header["height"]
+    comp_id = header["compression_id"]
+    if comp_id == COMPRESSION_IDS["piz"]:
+        raise NotImplementedError("PIZ reading unsupported")
+    lines = LINES_PER_CHUNK[comp_id]
+    channels = header["channels"]
+    c = len(channels)
+    n_chunks = -(-h // lines)
+    offsets = struct.unpack_from(f"<{n_chunks}Q", buf, pos)
+
+    planes = {name: np.empty((h, w), np.float32) for name, _ in channels}
+    row_bytes = sum(w * _PIX_SIZE[pt] for _, pt in channels)
+
+    for ci, off in enumerate(offsets):
+        y, size = struct.unpack_from("<ii", buf, off)
+        y -= header["y_min"]
+        data = buf[off + 8:off + 8 + size]
+        y1 = min(y + lines, h)
+        nrows = y1 - y
+        raw_size = nrows * row_bytes
+        if comp_id == 0 or len(data) >= raw_size:
+            # Writers store raw whenever compression does not shrink.
+            raw = data
+        elif comp_id == 1:
+            raw = _filter_decode(_rle_decode(data, raw_size))
+        elif comp_id in (2, 3):
+            raw = _filter_decode(zlib.decompress(data))
+        elif comp_id == 5:
+            row_types = [pt for _ in range(nrows) for _, pt in channels]
+            rows = _pxr24_unpack_rows(zlib.decompress(data), w, row_types)
+            ri = 0
+            for yy in range(y, y1):
+                for name, _ in channels:
+                    planes[name][yy] = rows[ri]
+                    ri += 1
+            continue
+        else:
+            raise NotImplementedError(header["compression"])
+        rpos = 0
+        for yy in range(y, y1):
+            for name, pt in channels:
+                nbytes = w * _PIX_SIZE[pt]
+                row = np.frombuffer(raw[rpos:rpos + nbytes], _PIX_DTYPE[pt])
+                planes[name][yy] = row.astype(np.float32)
+                rpos += nbytes
+
+    names = [name for name, _ in channels]
+    if set(names) >= {"R", "G", "B"}:
+        stack = [planes["R"], planes["G"], planes["B"]]
+        if "A" in names:
+            stack.append(planes["A"])
+        return np.stack(stack, -1)
+    return np.stack([planes[n] for n in names], -1)

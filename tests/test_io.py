@@ -1,0 +1,255 @@
+"""EXR/HDR round-trip and export-pipeline tests (SURVEY.md section 4c)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hdrvae.core.config import ExportConfig
+from hdrvae.io import exr, exr_py, hdr
+from hdrvae.io.export import (export_linear, export_node_return,
+                              get_highest_numbered_file, resolve_output_dir)
+from hdrvae.io.native_build import load_native
+
+
+@pytest.fixture(scope="module")
+def hdr_image(rng=None):
+    r = np.random.default_rng(42)
+    img = (r.standard_normal((21, 37, 3)) * 4).astype(np.float32)
+    img[0, 0] = [50.0, -3.5, 0.0]  # HDR + negative extremes
+    return img
+
+
+ALL_COMPRESSIONS = ["none", "rle", "zips", "zip", "pxr24"]
+
+
+class TestEXRCodec:
+    @pytest.mark.parametrize("compression", ALL_COMPRESSIONS)
+    @pytest.mark.parametrize("pixel_type", ["half", "float"])
+    def test_round_trip(self, tmp_path, hdr_image, compression, pixel_type):
+        path = str(tmp_path / "t.exr")
+        exr.write_exr(path, hdr_image, pixel_type=pixel_type,
+                      compression=compression)
+        back = exr.read_exr(path)
+        assert back.shape == hdr_image.shape
+        if pixel_type == "float" and compression != "pxr24":
+            np.testing.assert_array_equal(back, hdr_image)
+        elif pixel_type == "half":
+            np.testing.assert_array_equal(
+                back, hdr_image.astype(np.float16).astype(np.float32))
+        else:  # pxr24 float: 15-bit mantissa, lossy by design
+            np.testing.assert_allclose(back, hdr_image, rtol=2e-4,
+                                       atol=1e-4)
+
+    @pytest.mark.parametrize("compression", ALL_COMPRESSIONS)
+    def test_native_and_python_are_byte_identical(self, tmp_path, hdr_image,
+                                                  compression):
+        """Two independent implementations (C++ and numpy) of the format
+        must produce identical files — the strongest available format check
+        (no external EXR library exists in this environment)."""
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
+        pn = str(tmp_path / "native.exr")
+        pp = str(tmp_path / "python.exr")
+        exr.write_exr(pn, hdr_image, compression=compression,
+                      use_native=True)
+        exr_py.write_exr(pp, hdr_image, pixel_type="half",
+                         compression=compression)
+        assert open(pn, "rb").read() == open(pp, "rb").read()
+
+    def test_cross_implementation_reads(self, tmp_path, hdr_image):
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
+        path = str(tmp_path / "x.exr")
+        exr_py.write_exr(path, hdr_image, pixel_type="float",
+                         compression="zip")
+        native_read = exr.read_exr(path, use_native=True)
+        py_read = exr_py.read_exr(path)
+        np.testing.assert_array_equal(native_read, py_read)
+        np.testing.assert_array_equal(native_read, hdr_image)
+
+    def test_hdr_and_negatives_survive(self, tmp_path, hdr_image):
+        """The core contract (`linear_exr_export.py:403-418`): >1.0 and <0
+        survive the file."""
+        path = str(tmp_path / "t.exr")
+        exr.write_exr(path, hdr_image, pixel_type="float")
+        back = exr.read_exr(path)
+        assert back.max() > 1.0
+        assert back.min() < 0.0
+
+    def test_piz_substitution(self, tmp_path, hdr_image):
+        """piz accepted for API parity, written as zip."""
+        path = str(tmp_path / "t.exr")
+        exr.write_exr(path, hdr_image, compression="piz")
+        hdr_out, _ = exr_py.read_exr_header(open(path, "rb").read())
+        assert hdr_out["compression"] == "zip"
+
+    def test_header_fields(self, tmp_path, hdr_image):
+        path = str(tmp_path / "t.exr")
+        exr.write_exr(path, hdr_image, pixel_type="half", compression="zip")
+        header, _ = exr_py.read_exr_header(open(path, "rb").read())
+        assert header["width"] == 37 and header["height"] == 21
+        assert [c[0] for c in header["channels"]] == ["B", "G", "R"]
+        assert all(c[1] == exr_py.PIXEL_HALF for c in header["channels"])
+
+    def test_single_channel(self, tmp_path):
+        img = np.random.default_rng(0).standard_normal(
+            (9, 11)).astype(np.float32)
+        path = str(tmp_path / "y.exr")
+        exr.write_exr(path, img, pixel_type="float", compression="zip")
+        back = exr.read_exr(path)
+        np.testing.assert_array_equal(back[..., 0], img)
+
+    def test_odd_sizes_and_chunk_boundaries(self, tmp_path):
+        """Heights around the 16-line ZIP chunk boundary."""
+        r = np.random.default_rng(1)
+        for h in (1, 15, 16, 17, 32, 33):
+            img = r.standard_normal((h, 5, 3)).astype(np.float32)
+            path = str(tmp_path / f"h{h}.exr")
+            exr.write_exr(path, img, pixel_type="float", compression="zip")
+            np.testing.assert_array_equal(exr.read_exr(path), img)
+
+    def test_non_exr_rejected(self, tmp_path):
+        path = str(tmp_path / "bogus.exr")
+        open(path, "wb").write(b"not an exr file at all")
+        with pytest.raises(Exception):
+            exr_py.read_exr(path)
+
+
+class TestHDRCodec:
+    def test_round_trip_within_rgbe_precision(self, tmp_path):
+        r = np.random.default_rng(3)
+        img = np.abs(r.standard_normal((19, 33, 3))).astype(np.float32) * 5
+        path = str(tmp_path / "t.hdr")
+        hdr.write_hdr(path, img)
+        back = hdr.read_hdr(path)
+        # RGBE: 8-bit mantissa with shared exponent 2^e where
+        # 2^e in (maxc, 2*maxc] -> quantization step is at most 2*maxc/256.
+        bound = 2.0 * img.max(-1, keepdims=True) / 256.0 + 1e-6
+        assert (np.abs(back - img) <= bound).all()
+
+    def test_negative_clamped_to_zero(self, tmp_path):
+        """RGBE is unsigned; negatives clamp (same as the cv2 path the
+        reference uses)."""
+        img = np.full((8, 8, 3), -1.0, np.float32)
+        path = str(tmp_path / "neg.hdr")
+        hdr.write_hdr(path, img)
+        assert (hdr.read_hdr(path) == 0).all()
+
+    def test_flat_narrow_image(self, tmp_path):
+        img = np.abs(np.random.default_rng(0).standard_normal(
+            (4, 4, 3))).astype(np.float32)
+        path = str(tmp_path / "n.hdr")
+        hdr.write_hdr(path, img)
+        back = hdr.read_hdr(path)
+        bound = 2.0 * img.max(-1, keepdims=True) / 256.0 + 1e-6
+        assert (np.abs(back - img) <= bound).all()
+
+
+class TestVersioning:
+    def test_scan(self, tmp_path):
+        d = str(tmp_path)
+        for name in ("x_v001.exr", "x_v012_frame_0001.exr", "x_v3.exr",
+                     "other_v099.exr", "x_nonversioned.exr"):
+            open(os.path.join(d, name), "w").close()
+        assert get_highest_numbered_file(d, "x") == 12
+        assert get_highest_numbered_file(d, "other") == 99
+        assert get_highest_numbered_file(d, "missing") == 0
+
+
+class TestResolveOutputDir:
+    def test_three_way_rule(self, tmp_path):
+        base = str(tmp_path / "out")
+        assert resolve_output_dir("", base) == base
+        assert resolve_output_dir("  ", base) == base
+        assert resolve_output_dir("/HDR", base) == os.path.join(base, "HDR")
+        assert resolve_output_dir("relative/custom", base) == "relative/custom"
+
+
+class TestExportPipeline:
+    def test_single_export_with_verify(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="test", output_path="",
+                           format="exr", bit_depth="32bit",
+                           compression="zip")
+        res = export_linear(hdr_image, cfg,
+                            default_output_dir=str(tmp_path))
+        assert res.error is None
+        assert res.verified
+        assert res.verify_stats["hdr_preserved"]
+        assert res.verify_stats["negatives_preserved"]
+        assert export_node_return(res) == (res.last,)
+        back = exr.read_exr(res.last)
+        np.testing.assert_array_equal(back, hdr_image)
+
+    def test_versioned_sequential_saves(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="seq", output_path="",
+                           versioning=True, format="exr")
+        r1 = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        r2 = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        assert os.path.basename(r1.last) == "seq_v001.exr"
+        assert os.path.basename(r2.last) == "seq_v002.exr"
+
+    def test_batch_frame_sequence(self, tmp_path, hdr_image):
+        batch = np.stack([hdr_image, hdr_image * 2, hdr_image * 3])
+        cfg = ExportConfig(filename_prefix="anim", output_path="",
+                           start_frame=1001, frame_pad=4, format="exr")
+        res = export_linear(batch, cfg, default_output_dir=str(tmp_path))
+        names = [os.path.basename(p) for p in res.filepaths]
+        assert names == ["anim_frame_1001.exr", "anim_frame_1002.exr",
+                         "anim_frame_1003.exr"]
+
+    def test_frame_sequence_flag_single(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="f", output_path="",
+                           frame_sequence=True, start_frame=5, frame_pad=6)
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        assert os.path.basename(res.last) == "f_frame_000005.exr"
+
+    def test_prefix_subdirectories(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="shots/sh010/beauty",
+                           output_path="")
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        assert res.error is None
+        assert res.last.endswith(os.path.join("shots", "sh010",
+                                              "beauty.exr"))
+
+    def test_output_path_subdir_rule(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="x", output_path="/HDR")
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        assert os.path.dirname(res.last) == str(tmp_path / "HDR")
+
+    def test_sidecar_workflow(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="wf", output_path="",
+                           save_workflow=True)
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path),
+                            prompt={"node": 1},
+                            extra_pnginfo={"workflow": {"nodes": []}})
+        sidecar = os.path.splitext(res.last)[0] + ".json"
+        data = json.load(open(sidecar))
+        assert data["prompt"] == {"node": 1}
+        assert data["extra_pnginfo"]["workflow"] == {"nodes": []}
+
+    def test_hdr_format_export(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="rad", output_path="",
+                           format="hdr")
+        res = export_linear(np.abs(hdr_image), cfg,
+                            default_output_dir=str(tmp_path))
+        assert res.error is None
+        assert res.last.endswith(".hdr")
+        assert res.verify_stats["hdr_preserved"]
+
+    def test_error_contract(self, tmp_path, hdr_image):
+        """Failures return ('ERROR: ...',) — never raise
+        (`linear_exr_export.py:366-369`)."""
+        cfg = ExportConfig(filename_prefix="e", output_path="",
+                           format="exr", compression="bogus")
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        assert res.error is not None
+        ret = export_node_return(res)
+        assert ret[0].startswith("ERROR:")
+
+    def test_16bit_default_is_half(self, tmp_path, hdr_image):
+        cfg = ExportConfig(filename_prefix="h16", output_path="")
+        res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
+        header, _ = exr_py.read_exr_header(open(res.last, "rb").read())
+        assert all(c[1] == exr_py.PIXEL_HALF for c in header["channels"])
