@@ -1,0 +1,205 @@
+"""Node-protocol layer: the three public nodes with INPUT_TYPES contracts
+identical to the reference package, so existing graph JSON (e.g.
+`workflow_examples/HDR_VAE_DECODE.json`) remains satisfiable.
+
+Contracts mirrored from:
+  - HDRVAEDecode        `hdr_vae_decode.py:40-60`
+  - LinearEXRExport     `linear_exr_export.py:90-118`
+  - HDRUpscaleWithModel `hdr_upscale_with_model.py:58-69`
+
+Tensors cross this boundary as numpy/jax NHWC float arrays (torch tensors
+are accepted and converted); returns are numpy so any host framework can
+consume them.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from hdrvae.api import folders
+from hdrvae.api.vae import VAE
+from hdrvae.core.config import (EXR_COMPRESSIONS, HDR_MODE_ALIASES,
+                                HDR_MODES, UPSCALE_METHODS, ExportConfig,
+                                HDRDecodeConfig, UpscaleConfig)
+from hdrvae.core.stats import stats_to_host
+from hdrvae.decode.pipeline import decode_summary, hdr_decode
+from hdrvae.io.export import export_linear, export_node_return
+from hdrvae.models.rrdbnet import load_upscale_model
+from hdrvae.upscale.pipeline import hdr_upscale
+
+logger = logging.getLogger(__name__)
+
+
+def _to_numpy(x) -> np.ndarray:
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+class HDRVAEDecode:
+    """HDR VAE decode node (`hdr_vae_decode.py:23-60`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "samples": ("LATENT",),
+                "vae": ("VAE",),
+            },
+            "optional": {
+                "hdr_mode": (list(HDR_MODES),
+                             {"default": "mathematical_recovery",
+                              "tooltip":
+                              "conservative: Gentle conservative_ev_multiplier "
+                              "expansion, safest for general use \n "
+                              "exposure: Natural exposure-based HDR for "
+                              "compositing workflows \n "
+                              "mathematical_recovery: Full mathematical "
+                              "recovery, maximum range"}),
+                "conservative_ev_multiplier": (
+                    "FLOAT", {"default": 1.0, "min": 0.1, "max": 10.0,
+                              "step": 0.1,
+                              "tooltip": "Expansion multiplier for the "
+                                         "conservative mode."}),
+            },
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    RETURN_NAMES = ("image",)
+    FUNCTION = "simple_hdr_decode"
+    CATEGORY = "latent"
+
+    def simple_hdr_decode(self, samples: Dict[str, Any], vae: VAE,
+                          hdr_mode: str = "mathematical_recovery",
+                          conservative_ev_multiplier: float = 1.0
+                          ) -> Tuple[np.ndarray]:
+        import jax.numpy as jnp
+        latent = jnp.asarray(_to_numpy(samples["samples"]), jnp.float32)
+        cfg = HDRDecodeConfig(
+            hdr_mode=hdr_mode,
+            conservative_ev_multiplier=conservative_ev_multiplier)
+        result = hdr_decode(vae.params, latent, vae.config, cfg,
+                            vae.precision)
+        summary = decode_summary(result)
+        logger.info("HDRVAEDecode: %s", summary)
+        return (np.asarray(result.image),)
+
+
+class LinearEXRExport:
+    """Linear EXR/HDR export node (`linear_exr_export.py:81-118`)."""
+
+    VERSION_TRACKER: Dict[str, int] = {}  # kept for API parity (unused
+    # upstream too, `linear_exr_export.py:88`)
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "hdr_image": ("IMAGE", {"tooltip": "HDR image tensor with "
+                                        "values potentially above 1.0"}),
+                "filename_prefix": ("STRING", {
+                    "default": "comfyUI",
+                    "tooltip": "Base filename (without extension)"}),
+            },
+            "optional": {
+                "versioning": ("BOOLEAN", {"default": False, "tooltip":
+                               "Incremental versioning save. adding v001, "
+                               "v002... to it's file name"}),
+                "frame_sequence": ("BOOLEAN", {"default": False, "tooltip":
+                                   "Save animation into multiple frames "
+                                   "1001, 1002..."}),
+                "start_frame": ("INT", {"default": 1001, "min": 0,
+                                        "max": 99999999}),
+                "frame_pad": ("INT", {"default": 4, "min": 1, "max": 8}),
+                "output_path": ("STRING", {"default": "/HDR", "tooltip":
+                                "Output path: Empty=default output, "
+                                "/subfolder=output/subfolder, or full "
+                                "custom path"}),
+                "format": (["exr", "hdr"], {"default": "exr",
+                                            "tooltip": "file format"}),
+                "bit_depth": (["16bit", "32bit"], {
+                    "default": "16bit",
+                    "tooltip": "EXR precision: 32bit = maximum quality, "
+                               "16bit = smaller files"}),
+                "compression": (list(EXR_COMPRESSIONS), {
+                    "default": "zip", "tooltip": "EXR compression type"}),
+                "save_workflow": ("BOOLEAN", {
+                    "default": False,
+                    "tooltip": "Saves the workflow JSON to a sidecar file "
+                               "next to the HDR image"}),
+            },
+            "hidden": {
+                "prompt": "PROMPT",
+                "extra_pnginfo": "EXTRA_PNGINFO",
+            },
+        }
+
+    RETURN_TYPES = ("STRING",)
+    RETURN_NAMES = ("filepath",)
+    FUNCTION = "export_linear_exr"
+    CATEGORY = "image"
+    OUTPUT_NODE = True
+
+    def export_linear_exr(self, hdr_image, filename_prefix: str = "HDR_VAE",
+                          output_path: str = "", start_frame: int = 1,
+                          frame_pad: int = 4, versioning: bool = True,
+                          frame_sequence: bool = False, format: str = "hdr",
+                          bit_depth: str = "16bit", compression: str = "zip",
+                          save_workflow: bool = False,
+                          prompt: Optional[dict] = None,
+                          extra_pnginfo: Optional[dict] = None
+                          ) -> Tuple[str]:
+        cfg = ExportConfig(filename_prefix=filename_prefix,
+                           versioning=versioning,
+                           frame_sequence=frame_sequence,
+                           start_frame=start_frame, frame_pad=frame_pad,
+                           output_path=output_path, format=format,
+                           bit_depth=bit_depth, compression=compression,
+                           save_workflow=save_workflow)
+        result = export_linear(
+            _to_numpy(hdr_image), cfg,
+            default_output_dir=folders.get_output_directory(),
+            prompt=prompt, extra_pnginfo=extra_pnginfo)
+        return export_node_return(result)
+
+
+class HDRUpscaleWithModel:
+    """HDR upscale node (`hdr_upscale_with_model.py:50-69`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {
+            "image": ("IMAGE",),
+            "model_name": (folders.get_filename_list("upscale_models"),),
+            "small_blur": ("BOOLEAN", {
+                "default": False,
+                "tooltip": "Apply small blur to avoid hot-pixels."}),
+            "local_fix": ("BOOLEAN", {
+                "default": False,
+                "tooltip": "Apply local masking to suppress extreme "
+                           "hotspots in dark areas."}),
+            "upscale_method": (list(UPSCALE_METHODS), {
+                "default": "bislerp",
+                "tooltip": "method used by the local_fix"}),
+        }}
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "upscale"
+    CATEGORY = "HDR/Upscale"
+
+    def upscale(self, image, model_name: str, small_blur: bool,
+                local_fix: bool, upscale_method: str) -> Tuple[np.ndarray]:
+        import jax.numpy as jnp
+        path = folders.get_full_path("upscale_models", model_name)
+        params, model_cfg, arch = load_upscale_model(path)
+        img = jnp.asarray(_to_numpy(image), jnp.float32)
+        if img.ndim == 3:
+            img = img[None]
+        cfg = UpscaleConfig(small_blur=small_blur, local_fix=local_fix,
+                            upscale_method=upscale_method)
+        result = hdr_upscale(params, img, model_cfg, cfg,
+                             architecture=arch)
+        return (np.asarray(result.image),)

@@ -1,0 +1,48 @@
+"""VAE handle — the framework's replacement for the host-framework VAE
+object the reference instruments (`hdr_vae_decode.py:62-67` takes a ComfyUI
+``vae``; SURVEY.md L0 row).
+
+A handle owns the decoder params + config and exposes ``decode`` /
+``decode_with_features``; node-layer code and user code share it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.config import DecoderConfig, Precision
+from hdrvae.models.decoder import DecodeOutput, decoder_apply, init_decoder
+from hdrvae.models.params import load_decoder
+
+
+@dataclasses.dataclass
+class VAE:
+    """Decoder weights + topology, loadable from Flux.1 ae.safetensors."""
+
+    params: Dict[str, Any]
+    config: DecoderConfig = DecoderConfig()
+    precision: Precision = Precision()
+
+    @classmethod
+    def load(cls, path: str, config: DecoderConfig = DecoderConfig(),
+             precision: Precision = Precision()) -> "VAE":
+        return cls(params=load_decoder(path, config), config=config,
+                   precision=precision)
+
+    @classmethod
+    def random_init(cls, seed: int = 0,
+                    config: DecoderConfig = DecoderConfig(),
+                    precision: Precision = Precision()) -> "VAE":
+        """Random weights — fixtures and cold-start testing."""
+        return cls(params=init_decoder(jax.random.PRNGKey(seed), config),
+                   config=config, precision=precision)
+
+    def decode(self, latent: jnp.ndarray, *,
+               apply_conv_out: bool = True) -> DecodeOutput:
+        return decoder_apply(self.params, latent, self.config,
+                             precision=self.precision,
+                             apply_conv_out=apply_conv_out)

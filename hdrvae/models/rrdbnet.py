@@ -1,0 +1,254 @@
+"""ESRGAN-family RRDBNet super-resolution model — functional JAX, NHWC.
+
+Replaces the reference's spandrel model loading
+(`hdr_upscale_with_model.py:6,72-76`; SURVEY.md section 2.7 "ESRGAN-zoo
+loader") with an owned implementation: the RRDBNet topology (ESRGAN /
+RealESRGAN) plus a state-dict loader that auto-detects both public key
+schemas ("old arch" ``model.N...`` and "new arch" ``conv_first/body...``),
+the network width/depth, and the upscale factor — the role spandrel's
+architecture registry plays for the reference.
+
+Topology: conv_first -> nb x RRDB (each 3 dense blocks of 5 convs,
+LeakyReLU(0.2), residual scale 0.2) -> trunk conv (+ residual) ->
+log2(scale) x [nearest 2x + conv + lrelu] -> conv_hr + lrelu -> conv_last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdrvae.core.config import Precision
+from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
+from hdrvae.models.params import conv_kernel_to_hwio, load_safetensors
+
+Params = Dict[str, Any]
+
+_LRELU_SLOPE = 0.2
+_RESIDUAL_SCALE = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class RRDBNetConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    nf: int = 64          # feature width
+    nb: int = 23          # number of RRDB blocks
+    gc: int = 32          # dense growth channels
+    scale: int = 4        # total upscale factor (power of 2)
+
+    @property
+    def num_upsamples(self) -> int:
+        return max(0, int(np.log2(self.scale)))
+
+    def with_small(self) -> "RRDBNetConfig":
+        return dataclasses.replace(self, nf=8, nb=2, gc=4, scale=2)
+
+
+def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, _LRELU_SLOPE * x)
+
+
+def _dense_block(x: jnp.ndarray, p: Params,
+                 precision: Precision) -> jnp.ndarray:
+    """ResidualDenseBlock_5C: 5 convs with dense concatenation."""
+    feats = [x]
+    for i in range(1, 5):
+        y = _lrelu(conv2d(jnp.concatenate(feats, axis=-1), p[f"conv{i}"],
+                          precision=precision))
+        feats.append(y)
+    y = conv2d(jnp.concatenate(feats, axis=-1), p["conv5"],
+               precision=precision)
+    return x + _RESIDUAL_SCALE * y
+
+
+def _rrdb(x: jnp.ndarray, p: Params, precision: Precision) -> jnp.ndarray:
+    h = _dense_block(x, p["rdb1"], precision)
+    h = _dense_block(h, p["rdb2"], precision)
+    h = _dense_block(h, p["rdb3"], precision)
+    return x + _RESIDUAL_SCALE * h
+
+
+def rrdbnet_apply(params: Params, x: jnp.ndarray,
+                  cfg: RRDBNetConfig = RRDBNetConfig(), *,
+                  precision: Precision = Precision()) -> jnp.ndarray:
+    """Upscale NHWC [B, H, W, C] -> [B, scale*H, scale*W, C]."""
+    fea = conv2d(x, params["conv_first"], precision=precision)
+    trunk = fea
+    for block in params["body"]:
+        trunk = _rrdb(trunk, block, precision)
+    fea = fea + conv2d(trunk, params["conv_body"], precision=precision)
+    for i in range(cfg.num_upsamples):
+        fea = nearest_upsample_2x(fea)
+        fea = _lrelu(conv2d(fea, params[f"conv_up{i + 1}"],
+                            precision=precision))
+    fea = _lrelu(conv2d(fea, params["conv_hr"], precision=precision))
+    return conv2d(fea, params["conv_last"], precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (fixtures)
+# ---------------------------------------------------------------------------
+
+
+def init_rrdbnet(key: jax.Array,
+                 cfg: RRDBNetConfig = RRDBNetConfig()) -> Params:
+    keys = iter(jax.random.split(key, 1024))
+    nf, gc = cfg.nf, cfg.gc
+
+    def dense() -> Params:
+        p = {}
+        for i in range(1, 5):
+            p[f"conv{i}"] = init_conv2d(next(keys), 3, 3,
+                                        nf + (i - 1) * gc, gc)
+        p["conv5"] = init_conv2d(next(keys), 3, 3, nf + 4 * gc, nf)
+        return p
+
+    params: Params = {
+        "conv_first": init_conv2d(next(keys), 3, 3, cfg.in_channels, nf),
+        "body": [{"rdb1": dense(), "rdb2": dense(), "rdb3": dense()}
+                 for _ in range(cfg.nb)],
+        "conv_body": init_conv2d(next(keys), 3, 3, nf, nf),
+        "conv_hr": init_conv2d(next(keys), 3, 3, nf, nf),
+        "conv_last": init_conv2d(next(keys), 3, 3, nf, cfg.out_channels),
+    }
+    for i in range(cfg.num_upsamples):
+        params[f"conv_up{i + 1}"] = init_conv2d(next(keys), 3, 3, nf, nf)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading with schema + hyperparameter detection
+# ---------------------------------------------------------------------------
+
+# old-arch ESRGAN serialization: model.0 = conv_first; model.1.sub.N = RRDB
+# blocks; model.1.sub.<nb> = trunk conv; then alternating upsample convs at
+# model.3, model.6, ...; model.<k> = conv_hr; model.<k+2> = conv_last.
+_OLD_RDB_RE = re.compile(
+    r"^model\.1\.sub\.(\d+)\.RDB(\d)\.conv(\d)\.0\.(weight|bias)$")
+_NEW_RDB_RE = re.compile(
+    r"^body\.(\d+)\.rdb(\d)\.conv(\d)\.(weight|bias)$")
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def detect_architecture(sd: Mapping[str, Any]) -> str:
+    if "model.0.weight" in sd:
+        return "esrgan-old"
+    if "conv_first.weight" in sd:
+        return "esrgan-new"
+    raise ValueError(
+        "unrecognized upscale checkpoint schema; expected old-arch ESRGAN "
+        "(model.0.weight ...) or new-arch RRDBNet (conv_first.weight ...)")
+
+
+def _conv_from(sd, wkey: str, bkey: str) -> Params:
+    return {"kernel": conv_kernel_to_hwio(_to_np(sd[wkey])),
+            "bias": _to_np(sd[bkey])}
+
+
+def rrdbnet_from_state_dict(sd: Mapping[str, Any]
+                            ) -> tuple[Params, RRDBNetConfig]:
+    """Build (params, config) from either public ESRGAN key schema."""
+    arch = detect_architecture(sd)
+
+    if arch == "esrgan-new":
+        nb = max(int(m.group(1))
+                 for k in sd if (m := _NEW_RDB_RE.match(k))) + 1
+        w_first = _to_np(sd["conv_first.weight"])
+        nf = w_first.shape[0]
+        in_ch = w_first.shape[1]
+        gc = _to_np(sd["body.0.rdb1.conv1.weight"]).shape[0]
+        out_ch = _to_np(sd["conv_last.weight"]).shape[0]
+        ups = sorted(int(k.split(".")[0][7:]) for k in sd
+                     if k.startswith("conv_up") and k.endswith(".weight"))
+        scale = 2 ** len(ups)
+        cfg = RRDBNetConfig(in_channels=in_ch, out_channels=out_ch, nf=nf,
+                            nb=nb, gc=gc, scale=scale)
+        params: Params = {
+            "conv_first": _conv_from(sd, "conv_first.weight",
+                                     "conv_first.bias"),
+            "conv_body": _conv_from(sd, "conv_body.weight",
+                                    "conv_body.bias"),
+            "conv_hr": _conv_from(sd, "conv_hr.weight", "conv_hr.bias"),
+            "conv_last": _conv_from(sd, "conv_last.weight",
+                                    "conv_last.bias"),
+            "body": [
+                {f"rdb{j}": {f"conv{c}": _conv_from(
+                    sd, f"body.{i}.rdb{j}.conv{c}.weight",
+                    f"body.{i}.rdb{j}.conv{c}.bias")
+                    for c in range(1, 6)} for j in range(1, 4)}
+                for i in range(nb)],
+        }
+        for u in ups:
+            params[f"conv_up{u}"] = _conv_from(
+                sd, f"conv_up{u}.weight", f"conv_up{u}.bias")
+    else:  # esrgan-old
+        nb = max(int(m.group(1))
+                 for k in sd if (m := _OLD_RDB_RE.match(k))) + 1
+        w_first = _to_np(sd["model.0.weight"])
+        nf = w_first.shape[0]
+        in_ch = w_first.shape[1]
+        gc = _to_np(sd["model.1.sub.0.RDB1.conv1.0.weight"]).shape[0]
+        # indices of the remaining plain convs after the trunk
+        plain = sorted(
+            int(k.split(".")[1]) for k in sd
+            if re.match(r"^model\.(\d+)\.weight$", k))
+        # plain == [0, 3, 6, ..., hr, last]; drop conv_first
+        tail = [i for i in plain if i != 0]
+        up_idx, hr_idx, last_idx = tail[:-2], tail[-2], tail[-1]
+        out_ch = _to_np(sd[f"model.{last_idx}.weight"]).shape[0]
+        scale = 2 ** len(up_idx)
+        cfg = RRDBNetConfig(in_channels=in_ch, out_channels=out_ch, nf=nf,
+                            nb=nb, gc=gc, scale=scale)
+        params = {
+            "conv_first": _conv_from(sd, "model.0.weight", "model.0.bias"),
+            "conv_body": _conv_from(sd, f"model.1.sub.{nb}.weight",
+                                    f"model.1.sub.{nb}.bias"),
+            "conv_hr": _conv_from(sd, f"model.{hr_idx}.weight",
+                                  f"model.{hr_idx}.bias"),
+            "conv_last": _conv_from(sd, f"model.{last_idx}.weight",
+                                    f"model.{last_idx}.bias"),
+            "body": [
+                {f"rdb{j}": {f"conv{c}": _conv_from(
+                    sd, f"model.1.sub.{i}.RDB{j}.conv{c}.0.weight",
+                    f"model.1.sub.{i}.RDB{j}.conv{c}.0.bias")
+                    for c in range(1, 6)} for j in range(1, 4)}
+                for i in range(nb)],
+        }
+        for n, idx in enumerate(up_idx):
+            params[f"conv_up{n + 1}"] = _conv_from(
+                sd, f"model.{idx}.weight", f"model.{idx}.bias")
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params, cfg
+
+
+def load_upscale_model(path: str) -> tuple[Params, RRDBNetConfig, str]:
+    """Load an ESRGAN-family checkpoint (.safetensors or torch .pth).
+
+    Returns (params, config, architecture_name) — the architecture name
+    feeds the reversal-function choice (`hdr_upscale_with_model.py:266-279`).
+    """
+    if path.endswith(".safetensors"):
+        sd = load_safetensors(path)
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "params_ema" in sd:
+            sd = sd["params_ema"]
+        elif isinstance(sd, dict) and "params" in sd:
+            sd = sd["params"]
+    params, cfg = rrdbnet_from_state_dict(sd)
+    arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
+        else "RealESRGAN"
+    return params, cfg, arch

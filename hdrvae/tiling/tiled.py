@@ -1,0 +1,181 @@
+"""Overlap-tiled execution with seam blending — the scaling substrate.
+
+Re-designs `comfy.utils.tiled_scale` (used by the reference at
+`hdr_upscale_with_model.py:110-146`) for XLA: the tile grid is STATIC
+(computed from shapes at trace time), every tile runs through one compiled
+function, and the OOM-retry loop (`:120-145`) is replaced by trace-time tile
+planning from a memory budget (SURVEY.md section 7, inversion #5).
+
+Two seam strategies:
+  - ``feather``: accumulate tiles with linear edge ramps and normalize by
+    the accumulated weight — semantics of the reference's tiled_scale.
+  - ``crop``: halo-exchange style — each tile is computed with an
+    ``overlap``-wide halo and only its interior is pasted.  Exact (seam-free)
+    for translation-local functions whose receptive field <= overlap.
+
+The stacked-tile form (``extract_tiles`` -> model -> ``blend_tiles``) is the
+unit the mesh shards over ICI: tiles are data-parallel work items
+(SURVEY.md section 5, parallelism row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TilePlan:
+    """Static tiling geometry for an (H, W) image."""
+
+    height: int
+    width: int
+    tile_h: int
+    tile_w: int
+    overlap: int
+    positions: Tuple[Tuple[int, int], ...]  # top-left (y, x) per tile
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.positions)
+
+
+def plan_tiles(height: int, width: int, tile: int, overlap: int) -> TilePlan:
+    """Comfy-style grid: stride = tile - overlap, last tile clamped to fit.
+
+    Tiles never exceed the image; small images get a single clamped tile.
+    """
+    tile_h = min(tile, height)
+    tile_w = min(tile, width)
+    if overlap >= tile:
+        raise ValueError(f"overlap {overlap} must be < tile {tile}")
+
+    def starts(size: int, t: int) -> List[int]:
+        if size <= t:
+            return [0]
+        stride = t - overlap
+        pos = list(range(0, size - t, stride)) + [size - t]
+        # dedupe while preserving order
+        seen, out = set(), []
+        for p in pos:
+            p = max(0, min(p, size - t))
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
+        return out
+
+    ys = starts(height, tile_h)
+    xs = starts(width, tile_w)
+    positions = tuple((y, x) for y in ys for x in xs)
+    return TilePlan(height, width, tile_h, tile_w, overlap, positions)
+
+
+def extract_tiles(x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
+    """[B, H, W, C] -> [T, B, th, tw, C] stacked tiles (static slices)."""
+    tiles = [x[:, y:y + plan.tile_h, x0:x0 + plan.tile_w, :]
+             for y, x0 in plan.positions]
+    return jnp.stack(tiles, axis=0)
+
+
+def _feather_mask(tile_h: int, tile_w: int, feather: int) -> np.ndarray:
+    """Linear ramps on all four edges (the reference blends every tile edge
+    and normalizes by accumulated weight, so borders stay correct)."""
+    mask = np.ones((tile_h, tile_w), np.float32)
+    if feather > 0:
+        ramp = (np.arange(1, feather + 1, dtype=np.float32)) / (feather + 1)
+        mask[:feather, :] *= ramp[:, None]
+        mask[-feather:, :] *= ramp[::-1][:, None]
+        mask[:, :feather] *= ramp[None, :]
+        mask[:, -feather:] *= ramp[::-1][None, :]
+    return mask
+
+
+def blend_tiles(tiles: jnp.ndarray, plan: TilePlan, *, scale: int = 1,
+                mode: str = "feather") -> jnp.ndarray:
+    """[T, B, s*th, s*tw, C] -> [B, s*H, s*W, C].
+
+    ``scale`` is the per-tile spatial growth (the upscale_amount of
+    `hdr_upscale_with_model.py:133`).
+    """
+    t, b, th, tw, c = tiles.shape
+    out_h, out_w = plan.height * scale, plan.width * scale
+    feather = plan.overlap * scale
+
+    if mode == "feather":
+        mask = jnp.asarray(_feather_mask(th, tw, feather))[None, :, :, None]
+        acc = jnp.zeros((b, out_h, out_w, c), jnp.float32)
+        weight = jnp.zeros((b, out_h, out_w, 1), jnp.float32)
+        for i, (y, x0) in enumerate(plan.positions):
+            ys, xs = y * scale, x0 * scale
+            acc = acc.at[:, ys:ys + th, xs:xs + tw, :].add(tiles[i] * mask)
+            weight = weight.at[:, ys:ys + th, xs:xs + tw, :].add(mask)
+        return acc / jnp.maximum(weight, 1e-8)
+
+    if mode == "crop":
+        half = feather // 2
+        out = jnp.zeros((b, out_h, out_w, c), jnp.float32)
+        for i, (y, x0) in enumerate(plan.positions):
+            ys, xs = y * scale, x0 * scale
+            # interior bounds: keep halo only at image borders
+            top = 0 if ys == 0 else half
+            left = 0 if xs == 0 else half
+            bottom = th if ys + th >= out_h else th - half
+            right = tw if xs + tw >= out_w else tw - half
+            out = out.at[:, ys + top:ys + bottom,
+                         xs + left:xs + right, :].set(
+                tiles[i][:, top:bottom, left:right, :])
+        return out
+
+    raise ValueError(f"unknown blend mode {mode!r}")
+
+
+def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
+                *, tile: int = 512, overlap: int = 64, scale: int = 1,
+                mode: str = "feather", batched: bool = False) -> jnp.ndarray:
+    """Apply ``fn`` tile-by-tile over [B, H, W, C] with seam handling.
+
+    ``fn`` maps [B, th, tw, C] -> [B, s*th, s*tw, C'] (or the stacked
+    [T, B, th, tw, C] form when ``batched=True``, which is what the sharded
+    executor vmaps/shards over devices).
+
+    Memory: the sequential path uses ``lax.map`` so only one tile's
+    activations are live at a time — the static-shape replacement for the
+    reference's OOM-halving loop.
+    """
+    plan = plan_tiles(x.shape[1], x.shape[2], tile, overlap)
+    tiles = extract_tiles(x, plan)
+    if plan.num_tiles == 1:
+        return fn(tiles[0])
+    if batched:
+        out = fn(tiles)
+    else:
+        out = jax.lax.map(fn, tiles)
+    return blend_tiles(out, plan, scale=scale, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# Static tile-size selection from a memory budget
+# ---------------------------------------------------------------------------
+
+
+def select_tile_size(height: int, width: int, *, bytes_per_pixel: float,
+                     hbm_budget_bytes: int, preferred: int = 512,
+                     overlap: int = 64, min_tile: int = 128,
+                     alignment: int = 64) -> int:
+    """Pick the largest aligned tile <= preferred whose working set fits the
+    budget — the trace-time replacement for the reference's halve-on-OOM
+    retry (`hdr_upscale_with_model.py:137-144`, floor 128 kept)."""
+    tile = min(preferred, max(height, width))
+    tile = max(min_tile, -(-tile // alignment) * alignment)
+    while tile > min_tile and tile * tile * bytes_per_pixel > \
+            hbm_budget_bytes:
+        tile = max(min_tile, (tile // 2 // alignment) * alignment)
+        if tile * tile * bytes_per_pixel <= hbm_budget_bytes:
+            break
+        if tile == min_tile:
+            break
+    return max(tile, min_tile)

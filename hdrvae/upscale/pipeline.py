@@ -1,0 +1,123 @@
+"""HDR-aware two-pass tiled upscaling.
+
+Rebuild of `HDRUpscaleWithModel.upscale` (`hdr_upscale_with_model.py:148-263`,
+SURVEY.md section 3.5):
+
+  pass 1: tiled model over the UNCLAMPED input, output un-normalized by the
+          inverse activation (the reference's forward hook `:79-107` becomes
+          plain function composition — we own the model call);
+  pass 2: tiled model over the input clamped to [-1, 1] (color-stable);
+  recombine in YCbCr: luma from pass 1 (clamped to [0, 8] + 3x3 median),
+          chroma from pass 2, unclamped ycbcr_to_rgb;
+  optional small_blur (gaussian pre-filter + median post-filter) and
+  local_fix (dark-area hotspot suppression via mask blend).
+
+Each pass is one cached jit (static configs as hashable dataclasses); the
+reversal function is selected from the architecture name with the
+reference's mapping (`:266-279`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.color import luma, rgb_to_ycbcr, ycbcr_to_rgb
+from hdrvae.core.config import Precision, UpscaleConfig
+from hdrvae.decode.modes import inverse_sigmoid, inverse_tanh
+from hdrvae.models.rrdbnet import RRDBNetConfig, rrdbnet_apply
+from hdrvae.tiling.tiled import tiled_apply
+from hdrvae.upscale.filters import gaussian_blur, median_blur
+from hdrvae.upscale.resize import common_upscale
+
+Params = Dict[str, Any]
+
+# Architecture -> inverse activation (`hdr_upscale_with_model.py:266-279`).
+# ESRGAN-family and VAE-like models reverse with atanh; default is logit.
+_ATANH_ARCHES = ("ESRGAN", "RealESRGAN", "SwinIR", "HAT")
+
+
+def get_reversal_fn(architecture: str) -> Callable[[jnp.ndarray],
+                                                   jnp.ndarray]:
+    if architecture in _ATANH_ARCHES or "VAE" in architecture:
+        return inverse_tanh
+    return inverse_sigmoid
+
+
+class UpscaleResult(NamedTuple):
+    image: jnp.ndarray          # [B, sH, sW, 3] float32 HDR
+    unclamped: jnp.ndarray      # pass-1 result (pre-recombine)
+    clamped: jnp.ndarray        # pass-2 result
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "cfg",
+                                             "architecture", "precision"))
+def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
+              cfg: UpscaleConfig, architecture: str,
+              precision: Precision) -> jnp.ndarray:
+    reversal = get_reversal_fn(architecture)
+
+    def model_with_reversal(tile: jnp.ndarray) -> jnp.ndarray:
+        out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
+        return reversal(out)
+
+    return tiled_apply(model_with_reversal, x, tile=cfg.tiling.tile,
+                       overlap=cfg.tiling.overlap, scale=model_cfg.scale,
+                       mode="feather")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _recombine(unclamped: jnp.ndarray, clamped: jnp.ndarray,
+               original: jnp.ndarray, cfg: UpscaleConfig) -> jnp.ndarray:
+    y_detail = rgb_to_ycbcr(unclamped)[..., 0:1]
+    y_stab = jnp.clip(y_detail, 0.0, cfg.luma_max)
+    y_stab = median_blur(y_stab, kernel_size=3)
+    cbcr = rgb_to_ycbcr(clamped)[..., 1:3]
+    s_final = ycbcr_to_rgb(jnp.concatenate([y_stab, cbcr], axis=-1))
+    if cfg.small_blur:
+        s_final = median_blur(s_final, kernel_size=3)
+    if cfg.local_fix:
+        # dark-area hotspot suppression (`hdr_upscale_with_model.py:231-256`)
+        y_orig = luma(original)
+        h, w = s_final.shape[1], s_final.shape[2]
+        y_scaled = common_upscale(y_orig, w, h, cfg.upscale_method)
+        mask = (y_scaled < cfg.local_fix_threshold).astype(jnp.float32)
+        conservative = jnp.clip(s_final, -1.0, 1.0)
+        s_final = s_final * (1.0 - mask) + conservative * mask
+    return s_final
+
+
+def hdr_upscale(params: Params, image: jnp.ndarray,
+                model_cfg: RRDBNetConfig,
+                cfg: UpscaleConfig = UpscaleConfig(), *,
+                architecture: str = "ESRGAN",
+                precision: Precision = Precision()) -> UpscaleResult:
+    """Upscale an HDR float image [B, H, W, 3] (NHWC).
+
+    The model forward + inverse activation runs tiled (tile/overlap from
+    ``cfg.tiling``, reference defaults 512/64); recombination happens on the
+    stitched full-resolution tensors, exactly as the reference composes
+    full-image YCbCr after tiled_scale.
+    """
+    if image.ndim != 4 or image.shape[-1] != 3:
+        raise ValueError(f"expected [B, H, W, 3] image, got {image.shape}")
+    image = image.astype(jnp.float32)
+
+    in_filtered = image
+    if cfg.small_blur:
+        in_filtered = gaussian_blur(image, kernel_size=3, sigma=0.1)
+
+    # pass 1: full HDR range; pass 2: color-stable clamped input
+    s_unclamped = _run_pass(params, in_filtered, model_cfg, cfg,
+                            architecture, precision)
+    s_clamped = _run_pass(params,
+                          jnp.clip(in_filtered, cfg.color_stable_min,
+                                   cfg.color_stable_max),
+                          model_cfg, cfg, architecture, precision)
+
+    s_final = _recombine(s_unclamped, s_clamped, in_filtered, cfg)
+    return UpscaleResult(image=s_final.astype(jnp.float32),
+                         unclamped=s_unclamped, clamped=s_clamped)

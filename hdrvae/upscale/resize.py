@@ -1,0 +1,137 @@
+"""Image resize methods for the local_fix path (NHWC, pure JAX).
+
+The reference exposes five methods on the upscale node
+(`hdr_upscale_with_model.py:65`: nearest-exact, bilinear, area, bicubic,
+bislerp) and delegates to ComfyUI's ``common_upscale``.  This module owns
+them:
+
+  - nearest-exact / bilinear / bicubic: ``jax.image.resize`` equivalents
+    (align_corners=False, half-pixel centers — torch semantics).
+  - area: adaptive average pooling.
+  - bislerp: bilinear weights applied as a spherical interpolation of
+    normalized pixel vectors (ComfyUI's signature method) — magnitudes
+    lerped, directions slerped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.config import UPSCALE_METHODS
+
+
+def _resize_jax(x: jnp.ndarray, height: int, width: int,
+                method: str) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, height, width, c), method=method)
+
+
+def nearest_exact(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """torch 'nearest-exact': round(half-pixel source coordinate)."""
+    b, h, w, c = x.shape
+    ys = jnp.clip(jnp.floor((jnp.arange(height) + 0.5) * h / height),
+                  0, h - 1).astype(jnp.int32)
+    xs = jnp.clip(jnp.floor((jnp.arange(width) + 0.5) * w / width),
+                  0, w - 1).astype(jnp.int32)
+    return x[:, ys][:, :, xs]
+
+
+def area(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Adaptive average pooling (torch F.interpolate mode='area')."""
+    b, h, w, c = x.shape
+    if h % height == 0 and w % width == 0:
+        fh, fw = h // height, w // width
+        return x.reshape(b, height, fh, width, fw, c).mean(axis=(2, 4))
+    # non-integer factor: integrate the box via cumulative sums
+    ys0 = jnp.floor(jnp.arange(height) * h / height).astype(jnp.int32)
+    ys1 = jnp.ceil((jnp.arange(height) + 1) * h / height).astype(jnp.int32)
+    xs0 = jnp.floor(jnp.arange(width) * w / width).astype(jnp.int32)
+    xs1 = jnp.ceil((jnp.arange(width) + 1) * w / width).astype(jnp.int32)
+    cum = jnp.cumsum(jnp.cumsum(x, axis=1), axis=2)
+    cum = jnp.pad(cum, ((0, 0), (1, 0), (1, 0), (0, 0)))
+
+    def box(y0, y1, x0, x1):
+        total = (cum[:, y1, x1] - cum[:, y0, x1] - cum[:, y1, x0]
+                 + cum[:, y0, x0])
+        return total / ((y1 - y0) * (x1 - x0))[..., None]
+
+    yy0, xx0 = jnp.meshgrid(ys0, xs0, indexing="ij")
+    yy1, xx1 = jnp.meshgrid(ys1, xs1, indexing="ij")
+    out = box(yy0.reshape(-1), yy1.reshape(-1), xx0.reshape(-1),
+              xx1.reshape(-1))  # [B, height*width, C]
+    return out.reshape(b, height, width, c)
+
+
+def bislerp(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear-weighted spherical interpolation of channel vectors.
+
+    For each output pixel the four bilinear neighbors are combined in two
+    slerp steps (horizontal pair, then vertical): directions are slerped on
+    the unit sphere in channel space, magnitudes linearly interpolated —
+    preserving color vector norms better than plain bilinear (ComfyUI's
+    `bislerp`, the node's default method)."""
+    b, h, w, c = x.shape
+
+    def coords(n_out, n_in):
+        s = (jnp.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        s = jnp.clip(s, 0, n_in - 1)
+        lo = jnp.floor(s).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        frac = s - lo
+        return lo, hi, frac.astype(x.dtype)
+
+    y0, y1, fy = coords(height, h)
+    x0, x1, fx = coords(width, w)
+
+    def slerp(a, bb, t):
+        # a, bb: [..., C]; t: [...] broadcastable
+        na = jnp.linalg.norm(a, axis=-1, keepdims=True)
+        nb = jnp.linalg.norm(bb, axis=-1, keepdims=True)
+        eps = 1e-12
+        ua = a / jnp.maximum(na, eps)
+        ub = bb / jnp.maximum(nb, eps)
+        dot = jnp.clip(jnp.sum(ua * ub, axis=-1, keepdims=True), -1.0, 1.0)
+        omega = jnp.arccos(dot)
+        so = jnp.sin(omega)
+        t = t[..., None]
+        # near-parallel: fall back to lerp of directions
+        use_lerp = so < 1e-4
+        wa = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * omega)
+                       / jnp.where(use_lerp, 1.0, so))
+        wb = jnp.where(use_lerp, t, jnp.sin(t * omega)
+                       / jnp.where(use_lerp, 1.0, so))
+        direction = ua * wa + ub * wb
+        magnitude = na * (1.0 - t) + nb * t
+        return direction * magnitude
+
+    # gather rows then columns
+    top = x[:, y0]       # [B, H', W, C]
+    bot = x[:, y1]
+    tl, tr = top[:, :, x0], top[:, :, x1]   # [B, H', W', C]
+    bl, br = bot[:, :, x0], bot[:, :, x1]
+    fxg = jnp.broadcast_to(fx[None, None, :], tl.shape[:-1])
+    fyg = jnp.broadcast_to(fy[None, :, None], tl.shape[:-1])
+    t_row = slerp(tl, tr, fxg)
+    b_row = slerp(bl, br, fxg)
+    return slerp(t_row, b_row, fyg)
+
+
+def common_upscale(x: jnp.ndarray, width: int, height: int,
+                   method: str) -> jnp.ndarray:
+    """Resize NHWC ``x`` to (height, width) with one of the node's methods
+    (the ComfyUI ``common_upscale`` role at `hdr_upscale_with_model.py:240`)."""
+    if method not in UPSCALE_METHODS:
+        raise ValueError(f"unknown upscale method {method!r}; expected one "
+                         f"of {UPSCALE_METHODS}")
+    if x.shape[1] == height and x.shape[2] == width:
+        return x
+    if method == "nearest-exact":
+        return nearest_exact(x, height, width)
+    if method == "bilinear":
+        return _resize_jax(x, height, width, "bilinear")
+    if method == "bicubic":
+        return _resize_jax(x, height, width, "cubic")
+    if method == "area":
+        return area(x, height, width)
+    return bislerp(x, height, width)

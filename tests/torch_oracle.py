@@ -139,3 +139,69 @@ def torch_decoder_from_jax(params, cfg: DecoderConfig) -> TorchDecoder:
                            for k, v in sd.items()})
     model.eval()
     return model
+
+
+# ---------------------------------------------------------------------------
+# RRDBNet oracle (standard ESRGAN topology, test-only)
+# ---------------------------------------------------------------------------
+
+
+class _RDB(nn.Module):
+    def __init__(self, nf: int, gc: int):
+        super().__init__()
+        self.conv1 = nn.Conv2d(nf, gc, 3, padding=1)
+        self.conv2 = nn.Conv2d(nf + gc, gc, 3, padding=1)
+        self.conv3 = nn.Conv2d(nf + 2 * gc, gc, 3, padding=1)
+        self.conv4 = nn.Conv2d(nf + 3 * gc, gc, 3, padding=1)
+        self.conv5 = nn.Conv2d(nf + 4 * gc, nf, 3, padding=1)
+        self.act = nn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        x1 = self.act(self.conv1(x))
+        x2 = self.act(self.conv2(torch.cat([x, x1], 1)))
+        x3 = self.act(self.conv3(torch.cat([x, x1, x2], 1)))
+        x4 = self.act(self.conv4(torch.cat([x, x1, x2, x3], 1)))
+        x5 = self.conv5(torch.cat([x, x1, x2, x3, x4], 1))
+        return x + 0.2 * x5
+
+
+class _RRDB(nn.Module):
+    def __init__(self, nf: int, gc: int):
+        super().__init__()
+        self.rdb1 = _RDB(nf, gc)
+        self.rdb2 = _RDB(nf, gc)
+        self.rdb3 = _RDB(nf, gc)
+
+    def forward(self, x):
+        return x + 0.2 * self.rdb3(self.rdb2(self.rdb1(x)))
+
+
+class TorchRRDBNet(nn.Module):
+    """New-arch RRDBNet with BasicSR-style key names."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.conv_first = nn.Conv2d(cfg.in_channels, cfg.nf, 3, padding=1)
+        self.body = nn.ModuleList([_RRDB(cfg.nf, cfg.gc)
+                                   for _ in range(cfg.nb)])
+        self.conv_body = nn.Conv2d(cfg.nf, cfg.nf, 3, padding=1)
+        for i in range(cfg.num_upsamples):
+            setattr(self, f"conv_up{i + 1}",
+                    nn.Conv2d(cfg.nf, cfg.nf, 3, padding=1))
+        self.conv_hr = nn.Conv2d(cfg.nf, cfg.nf, 3, padding=1)
+        self.conv_last = nn.Conv2d(cfg.nf, cfg.out_channels, 3, padding=1)
+        self.act = nn.LeakyReLU(0.2)
+
+    @torch.no_grad()
+    def forward(self, x):
+        fea = self.conv_first(x)
+        trunk = fea
+        for block in self.body:
+            trunk = block(trunk)
+        fea = fea + self.conv_body(trunk)
+        for i in range(self.cfg.num_upsamples):
+            fea = F.interpolate(fea, scale_factor=2.0, mode="nearest")
+            fea = self.act(getattr(self, f"conv_up{i + 1}")(fea))
+        fea = self.act(self.conv_hr(fea))
+        return self.conv_last(fea)
