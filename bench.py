@@ -1,0 +1,94 @@
+"""Benchmark harness — prints ONE JSON line with the tracked metric.
+
+Metric (BASELINE.md): HDR decode throughput in megapixels/sec at 1024x1024
+output (128x128 Flux.1 latent -> full decode + fused HDR epilogue), on
+whatever accelerator is available (the driver runs this on one real TPU
+chip).  Baseline: the reference GPU node's derived 0.024 MP/s
+(`README.md:262`: ~41 s for a 0.999 MP image).
+
+Usage: python bench.py [--size 1024] [--runs 5] [--precision fast|parity]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REFERENCE_MP_PER_S = 0.024  # BASELINE.md derived throughput
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=1024,
+                        help="output image edge in pixels")
+    parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--precision", choices=("fast", "parity"),
+                        default="fast")
+    parser.add_argument("--extra", action="store_true",
+                        help="also print secondary metrics as extra lines")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
+    from hdrvae.decode.pipeline import _hdr_decode_compiled
+    from hdrvae.models.decoder import init_decoder
+
+    decoder_cfg = DecoderConfig()
+    cfg = HDRDecodeConfig()
+    precision = (Precision.fast() if args.precision == "fast"
+                 else Precision.parity())
+
+    latent_edge = args.size // decoder_cfg.spatial_scale
+    params = init_decoder(jax.random.PRNGKey(0), decoder_cfg)
+    latent = jax.random.normal(
+        jax.random.PRNGKey(1), (1, latent_edge, latent_edge,
+                                decoder_cfg.z_channels), jnp.float32)
+
+    def step():
+        image, rgb, stats, fb = _hdr_decode_compiled(
+            params, latent, decoder_cfg, cfg, precision)
+        return image
+
+    # warmup (includes compile)
+    t0 = time.perf_counter()
+    for _ in range(max(1, args.warmup)):
+        step().block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        step().block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    megapixels = (args.size * args.size) / 1e6
+    mp_per_s = megapixels / best
+
+    result = {
+        "metric": f"hdr_decode_mp_per_s_{args.size}",
+        "value": round(mp_per_s, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 1),
+    }
+    print(json.dumps(result))
+
+    if args.extra:
+        extra = {
+            "device": str(jax.devices()[0]),
+            "precision": args.precision,
+            "best_s": round(best, 4),
+            "mean_s": round(sum(times) / len(times), 4),
+            "warmup_s": round(compile_s, 1),
+        }
+        print(json.dumps(extra), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,32 +63,44 @@ def spatial_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_kv: int,
-                  block_k: int):
-    """One Q block against all KV blocks with online softmax."""
-    q = q_ref[...].astype(jnp.float32) * scale  # [Bq, Cqk]
-    bq = q.shape[0]
-    c_v = o_ref.shape[1]
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float):
+    """Grid (num_q, num_kv): Q block i against KV block j, online softmax
+    carried in VMEM scratch across the j dimension.
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk,
-                                    preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+    Only one (block_q, C) Q tile and one (block_k, C) K/V tile are resident
+    in VMEM at a time — K/V stream through the Pallas pipeline instead of
+    being materialized whole (a 16K-token mid block would need 2x32 MB of
+    VMEM otherwise, over the ~16 MB budget)."""
+    j = pl.program_id(1)
+    n_kv = pl.num_programs(1)
 
-    acc0 = jnp.zeros((bq, c_v), jnp.float32)
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_kv // block_k, body, (acc0, m0, l0))
-    o_ref[...] = acc / l
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[...].astype(jnp.float32) * scale
+    k_blk = k_ref[...].astype(jnp.float32)
+    v_blk = v_ref[...].astype(jnp.float32)
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    m_prev = m_ref[...]
+    l_prev = l_ref[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_ref[...] * alpha + jnp.dot(
+        p, v_blk, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_new
+    m_ref[...] = m_new
+    l_ref[...] = l_new
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        o_ref[...] = acc_ref[...] / l_ref[...]
 
 
 def _flash_attention_2d(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -97,27 +109,31 @@ def _flash_attention_2d(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     """q, k: [N, Cqk]; v: [N, Cv]; N divisible by block sizes."""
     n, c_qk = q.shape
     c_v = v.shape[1]
-    grid = (n // block_q,)
-    kernel = functools.partial(_flash_kernel, scale=scale, n_kv=n,
-                               block_k=block_k)
+    grid = (n // block_q, n // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, c_qk), lambda i: (i, 0),
+            pl.BlockSpec((block_q, c_qk), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, c_qk), lambda i: (0, 0),
+            pl.BlockSpec((block_k, c_qk), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, c_v), lambda i: (0, 0),
+            pl.BlockSpec((block_k, c_v), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_q, c_v), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_q, c_v), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c_v), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, c_v), jnp.float32),   # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),     # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),     # running sum
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * n * n * c_qk // grid[0],
+            flops=4 * n * n * c_qk,
             bytes_accessed=4 * n * (2 * c_qk + 2 * c_v),
-            transcendentals=n * n // grid[0],
+            transcendentals=n * n,
         ),
     )(q, k, v)
 

@@ -6,7 +6,12 @@ cluster (SURVEY.md section 4e).  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the ambient environment presets JAX_PLATFORMS=axon (the
+# real TPU tunnel) and a sitecustomize registers the axon backend at
+# interpreter start, overriding the env var.  Backends initialize lazily,
+# so steering jax.config back to CPU here (before any jax.devices() call)
+# still works; XLA_FLAGS is read at backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,7 +19,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.device_count()} on "
+    f"{jax.default_backend()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
