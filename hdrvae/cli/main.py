@@ -1,0 +1,278 @@
+"""hdrvae command-line interface.
+
+Subcommands:
+  decode   latent (.npy/.safetensors) -> HDR decode -> EXR/HDR file
+  upscale  EXR/HDR image -> ESRGAN HDR upscale -> EXR/HDR file
+  export   re-export a numpy/EXR image through the export pipeline
+  convert  torch VAE/upscaler checkpoint -> framework safetensors
+  inspect  print a checkpoint/model structure summary
+  bench    run the benchmark harness
+
+The reference has no CLI (SURVEY.md section 0: everything rides ComfyUI);
+this is the framework's standalone entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("hdrvae.cli")
+
+
+def _load_latent(path: str) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".safetensors"):
+        from hdrvae.models.params import load_safetensors
+        sd = load_safetensors(path)
+        if len(sd) != 1:
+            raise ValueError(
+                f"latent safetensors must hold one tensor, found "
+                f"{sorted(sd)}")
+        return next(iter(sd.values()))
+    raise ValueError(f"unsupported latent format: {path}")
+
+
+def _load_image(path: str) -> np.ndarray:
+    if path.endswith(".exr"):
+        from hdrvae.io import exr
+        return exr.read_exr(path)
+    if path.endswith(".hdr"):
+        from hdrvae.io import hdr
+        return hdr.read_hdr(path)
+    if path.endswith(".npy"):
+        return np.load(path)
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def _add_export_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--prefix", default="hdrvae")
+    p.add_argument("--output-path", default="")
+    p.add_argument("--format", choices=("exr", "hdr"), default="exr")
+    p.add_argument("--bit-depth", choices=("16bit", "32bit"),
+                   default="32bit")
+    p.add_argument("--compression",
+                   choices=("none", "rle", "zip", "piz", "pxr24"),
+                   default="zip")
+    p.add_argument("--versioning", action="store_true")
+
+
+def _export(image: np.ndarray, args) -> str:
+    from hdrvae.core.config import ExportConfig
+    from hdrvae.io.export import export_linear
+    cfg = ExportConfig(filename_prefix=args.prefix,
+                       output_path=args.output_path,
+                       format=args.format, bit_depth=args.bit_depth,
+                       compression=args.compression,
+                       versioning=args.versioning)
+    from hdrvae.api import folders
+    res = export_linear(image, cfg,
+                        default_output_dir=folders.get_output_directory())
+    if res.error:
+        raise SystemExit(res.error)
+    print(json.dumps({"filepath": res.last, **res.verify_stats}))
+    return res.last
+
+
+def cmd_decode(args) -> int:
+    import jax.numpy as jnp
+    from hdrvae.api.vae import VAE
+    from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig,
+                                    Precision)
+    from hdrvae.decode.pipeline import decode_summary, hdr_decode
+
+    cfg = DecoderConfig()
+    if args.vae:
+        vae = VAE.load(args.vae, cfg)
+    else:
+        logger.warning("no --vae checkpoint given; using random weights")
+        vae = VAE.random_init(seed=0, config=cfg)
+
+    if args.latent:
+        latent = _load_latent(args.latent)
+    else:
+        rng = np.random.default_rng(args.seed)
+        edge = args.size // cfg.spatial_scale
+        latent = rng.standard_normal(
+            (1, edge, edge, cfg.z_channels)).astype(np.float32)
+    if latent.ndim == 3:
+        latent = latent[None]
+
+    precision = Precision.parity() if args.parity else Precision.fast()
+    result = hdr_decode(vae.params, jnp.asarray(latent), cfg,
+                        HDRDecodeConfig(
+                            hdr_mode=args.mode,
+                            conservative_ev_multiplier=args.ev_multiplier),
+                        precision)
+    print(json.dumps(decode_summary(result)))
+    _export(np.asarray(result.image), args)
+    return 0
+
+
+def cmd_upscale(args) -> int:
+    import jax.numpy as jnp
+    from hdrvae.core.config import TilingConfig, UpscaleConfig
+    from hdrvae.models.rrdbnet import load_upscale_model
+    from hdrvae.upscale.pipeline import hdr_upscale
+
+    params, model_cfg, arch = load_upscale_model(args.model)
+    image = _load_image(args.image)
+    if image.ndim == 3:
+        image = image[None]
+    cfg = UpscaleConfig(small_blur=args.small_blur,
+                        local_fix=args.local_fix,
+                        upscale_method=args.upscale_method,
+                        tiling=TilingConfig(tile=args.tile,
+                                            overlap=args.overlap))
+    result = hdr_upscale(params, jnp.asarray(image, jnp.float32),
+                         model_cfg, cfg, architecture=arch)
+    print(json.dumps({"architecture": arch, "scale": model_cfg.scale,
+                      "out_shape": list(result.image.shape)}))
+    _export(np.asarray(result.image), args)
+    return 0
+
+
+def cmd_export(args) -> int:
+    image = _load_image(args.image)
+    _export(image, args)
+    return 0
+
+
+def cmd_convert(args) -> int:
+    """torch checkpoint -> framework safetensors (weights converted once;
+    SURVEY.md section 5 checkpoint row)."""
+    from safetensors.numpy import save_file
+
+    if args.kind == "vae":
+        import torch
+        from hdrvae.core.config import DecoderConfig
+        from hdrvae.models.params import (decoder_params_from_state_dict,
+                                          decoder_params_to_state_dict)
+        if args.input.endswith(".safetensors"):
+            from hdrvae.models.params import load_safetensors
+            sd = load_safetensors(args.input)
+        else:
+            sd = torch.load(args.input, map_location="cpu",
+                            weights_only=True)
+        params = decoder_params_from_state_dict(sd, DecoderConfig())
+        out_sd = decoder_params_to_state_dict(params, DecoderConfig())
+        save_file({f"decoder.{k}": v for k, v in out_sd.items()},
+                  args.output)
+    else:  # upscaler
+        from hdrvae.models.rrdbnet import load_upscale_model
+        params, cfg, arch = load_upscale_model(args.input)
+        flat = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}.{k}" if prefix else k, v)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    walk(f"{prefix}.{i}", v)
+            else:
+                flat[prefix] = np.asarray(node)
+
+        walk("", params)
+        save_file(flat, args.output)
+        print(json.dumps({"architecture": arch, "scale": cfg.scale,
+                          "nf": cfg.nf, "nb": cfg.nb}))
+    print(json.dumps({"output": args.output}))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from hdrvae.utils.introspect import describe_params, describe_state_dict
+    if args.path:
+        print(describe_state_dict(args.path))
+    else:
+        import jax
+        from hdrvae.core.config import DecoderConfig
+        from hdrvae.models.decoder import init_decoder
+        params = init_decoder(jax.random.PRNGKey(0), DecoderConfig())
+        print(describe_params(params, name="flux1-vae-decoder"))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+    import os
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.dirname(
+               os.path.dirname(os.path.abspath(__file__)))), "bench.py")]
+    if args.size:
+        cmd += ["--size", str(args.size)]
+    return subprocess.call(cmd)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="hdrvae",
+        description="TPU-native HDR VAE decode framework")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("decode", help="HDR-decode a latent to EXR/HDR")
+    p.add_argument("--latent", help=".npy or single-tensor .safetensors")
+    p.add_argument("--vae", help="Flux.1 ae.safetensors checkpoint")
+    p.add_argument("--mode", default="mathematical_recovery",
+                   choices=("conservative", "exposure", "adaptive_recovery",
+                            "mathematical_recovery"))
+    p.add_argument("--ev-multiplier", type=float, default=1.0)
+    p.add_argument("--size", type=int, default=1024,
+                   help="output edge when generating a random latent")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--parity", action="store_true",
+                   help="full float32 numerics (slower)")
+    _add_export_args(p)
+    p.set_defaults(func=cmd_decode)
+
+    p = sub.add_parser("upscale", help="HDR-upscale an EXR/HDR image")
+    p.add_argument("--image", required=True)
+    p.add_argument("--model", required=True,
+                   help="ESRGAN-family checkpoint path")
+    p.add_argument("--small-blur", action="store_true")
+    p.add_argument("--local-fix", action="store_true")
+    p.add_argument("--upscale-method", default="bislerp",
+                   choices=("nearest-exact", "bilinear", "area", "bicubic",
+                            "bislerp"))
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--overlap", type=int, default=64)
+    _add_export_args(p)
+    p.set_defaults(func=cmd_upscale)
+
+    p = sub.add_parser("export", help="re-export an image file")
+    p.add_argument("--image", required=True)
+    _add_export_args(p)
+    p.set_defaults(func=cmd_export)
+
+    p = sub.add_parser("convert",
+                       help="torch checkpoint -> framework safetensors")
+    p.add_argument("kind", choices=("vae", "upscaler"))
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(func=cmd_convert)
+
+    p = sub.add_parser("inspect", help="describe a model/checkpoint")
+    p.add_argument("--path", help="checkpoint to describe (default: "
+                                  "built-in Flux.1 decoder topology)")
+    p.set_defaults(func=cmd_inspect)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("--size", type=int)
+    p.set_defaults(func=cmd_bench)
+    return parser
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
