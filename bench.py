@@ -34,6 +34,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from hdrvae.core.runtime import setup
+    setup()  # persistent compilation cache
+
     from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
     from hdrvae.decode.pipeline import _hdr_decode_compiled
     from hdrvae.models.decoder import init_decoder

@@ -1,0 +1,124 @@
+"""Minimal workflow-graph executor.
+
+The reference rides ComfyUI's graph executor (SURVEY.md L0: "graph
+executor" is an external substrate the TPU build must supply).  This module
+executes workflow JSON in the shape of ``workflow_examples/``: a list of
+nodes with ``type`` (a key of NODE_CLASS_MAPPINGS), ``inputs`` mapping
+socket names to either literals or ``[source_node_id, output_index]``
+references, and ``widgets_values`` (list in INPUT_TYPES declaration order,
+or a dict by name).
+
+Execution is a topological walk with memoized node outputs; node classes
+are instantiated per node and their FUNCTION method invoked — exactly the
+ComfyUI node protocol the classes already implement.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from typing import Any, Dict, List, Mapping, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+
+class GraphError(RuntimeError):
+    pass
+
+
+def _input_names_in_order(node_cls) -> List[str]:
+    """Socket/widget names in INPUT_TYPES declaration order (required then
+    optional), excluding hidden."""
+    it = node_cls.INPUT_TYPES()
+    names = list(it.get("required", {}))
+    names += list(it.get("optional", {}))
+    return names
+
+
+def _is_link(value: Any) -> bool:
+    return (isinstance(value, (list, tuple)) and len(value) == 2
+            and isinstance(value[1], int) and not isinstance(value[0], dict))
+
+
+class GraphExecutor:
+    """Executes a node graph against a registry of node classes."""
+
+    def __init__(self, registry: Optional[Mapping[str, type]] = None,
+                 external_inputs: Optional[Dict[str, Any]] = None):
+        if registry is None:
+            import hdrvae
+            registry = hdrvae.NODE_CLASS_MAPPINGS
+        self.registry = dict(registry)
+        # named external sources referenced as ["name", idx] links
+        self.external = dict(external_inputs or {})
+
+    def run(self, workflow: Mapping[str, Any],
+            hidden: Optional[Dict[str, Any]] = None) -> Dict[Any, Tuple]:
+        nodes = {n["id"]: n for n in workflow["nodes"]}
+        results: Dict[Any, Tuple] = {}
+        in_progress: set = set()
+        hidden = hidden or {}
+
+        def resolve(value):
+            if _is_link(value):
+                src, idx = value
+                if src in nodes:
+                    return evaluate(src)[idx]
+                if src in self.external:
+                    ext = self.external[src]
+                    return ext[idx] if isinstance(ext, (list, tuple)) \
+                        else ext
+                raise GraphError(f"link target {src!r} is neither a node "
+                                 f"id nor an external input")
+            return value
+
+        def evaluate(node_id):
+            if node_id in results:
+                return results[node_id]
+            if node_id in in_progress:
+                raise GraphError(f"cycle detected at node {node_id}")
+            in_progress.add(node_id)
+            node = nodes[node_id]
+            cls = self.registry.get(node["type"])
+            if cls is None:
+                raise GraphError(f"unknown node type {node['type']!r}")
+
+            kwargs: Dict[str, Any] = {}
+            for name, value in (node.get("inputs") or {}).items():
+                kwargs[name] = resolve(value)
+
+            widgets = node.get("widgets_values")
+            if isinstance(widgets, dict):
+                kwargs.update(widgets)
+            elif isinstance(widgets, list):
+                names = [n for n in _input_names_in_order(cls)
+                         if n not in kwargs]
+                for name, value in zip(names, widgets):
+                    kwargs[name] = value
+
+            it = cls.INPUT_TYPES()
+            for name, kind in (it.get("hidden") or {}).items():
+                if kind in hidden:
+                    kwargs[name] = hidden[kind]
+
+            fn = getattr(cls(), cls.FUNCTION)
+            logger.info("executing node %s (%s)", node_id, node["type"])
+            out = fn(**kwargs)
+            if not isinstance(out, tuple):
+                out = (out,)
+            results[node_id] = out
+            in_progress.discard(node_id)
+            return out
+
+        for node_id in nodes:
+            evaluate(node_id)
+        return results
+
+
+def run_workflow_file(path: str, *, registry=None,
+                      external_inputs: Optional[Dict[str, Any]] = None,
+                      hidden: Optional[Dict[str, Any]] = None
+                      ) -> Dict[Any, Tuple]:
+    with open(path) as f:
+        workflow = json.load(f)
+    return GraphExecutor(registry, external_inputs).run(workflow, hidden)

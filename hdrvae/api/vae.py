@@ -37,9 +37,16 @@ class VAE:
     def random_init(cls, seed: int = 0,
                     config: DecoderConfig = DecoderConfig(),
                     precision: Precision = Precision()) -> "VAE":
-        """Random weights — fixtures and cold-start testing."""
-        return cls(params=init_decoder(jax.random.PRNGKey(seed), config),
-                   config=config, precision=precision)
+        """Random weights — fixtures and cold-start testing.
+
+        Initialization runs on CPU: it is hundreds of small ops, and on a
+        remote accelerator each would pay a dispatch round trip; the pytree
+        moves to the accelerator on first jitted use.
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = init_decoder(jax.random.PRNGKey(seed), config)
+        return cls(params=params, config=config, precision=precision)
 
     def decode(self, latent: jnp.ndarray, *,
                apply_conv_out: bool = True) -> DecodeOutput:

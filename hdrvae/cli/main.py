@@ -199,6 +199,43 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Execute a workflow JSON graph (the framework-owned replacement for
+    the host graph executor the reference relies on)."""
+    from hdrvae.api.graph import GraphExecutor
+    from hdrvae.api.vae import VAE
+    from hdrvae.core.config import DecoderConfig
+
+    # Parse/validate the graph BEFORE any (slow) model construction so bad
+    # files fail fast.
+    with open(args.workflow) as f:
+        workflow = json.load(f)
+    if "nodes" not in workflow:
+        raise SystemExit(f"{args.workflow}: no 'nodes' list in workflow")
+
+    cfg = DecoderConfig()
+    vae = VAE.load(args.vae, cfg) if args.vae else VAE.random_init(
+        seed=0, config=cfg)
+    if args.latent:
+        latent = _load_latent(args.latent)
+    else:
+        rng = np.random.default_rng(args.seed)
+        edge = args.size // cfg.spatial_scale
+        latent = rng.standard_normal(
+            (1, edge, edge, cfg.z_channels)).astype(np.float32)
+    if latent.ndim == 3:
+        latent = latent[None]
+
+    results = GraphExecutor(
+        external_inputs={"latent_source": ({"samples": latent},),
+                         "vae_loader": (vae,)}).run(workflow)
+    for node_id, outputs in results.items():
+        desc = [getattr(o, "shape", o) for o in outputs]
+        print(json.dumps({"node": node_id,
+                          "outputs": [str(d) for d in desc]}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -265,11 +302,22 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("--size", type=int)
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser("run", help="execute a workflow JSON graph")
+    p.add_argument("workflow")
+    p.add_argument("--latent", help="latent fed as external input "
+                                    "'latent_source'")
+    p.add_argument("--vae", help="VAE checkpoint fed as 'vae_loader'")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--size", type=int, default=512)
+    p.set_defaults(func=cmd_run)
     return parser
 
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
+    from hdrvae.core.runtime import setup
+    setup()  # persistent compilation cache
     args = build_parser().parse_args(argv)
     return args.func(args)
 

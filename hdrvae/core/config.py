@@ -151,12 +151,16 @@ class Precision:
 
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
+    # Inter-layer activation storage: bf16 in fast mode halves HBM traffic
+    # (reductions/accumulation stay float32 either way).
+    storage_dtype: jnp.dtype = jnp.float32
     # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST.
     mode: str = "parity"
 
     @classmethod
     def fast(cls) -> "Precision":
-        return cls(compute_dtype=jnp.bfloat16, mode="fast")
+        return cls(compute_dtype=jnp.bfloat16, storage_dtype=jnp.bfloat16,
+                   mode="fast")
 
     @classmethod
     def parity(cls) -> "Precision":

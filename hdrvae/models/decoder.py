@@ -45,9 +45,11 @@ class DecodeOutput(NamedTuple):
 
 def resnet_block(x: jnp.ndarray, p: Params, *, num_groups: int,
                  precision: Precision) -> jnp.ndarray:
-    h = group_norm_silu(x, p["norm1"], num_groups=num_groups)
+    h = group_norm_silu(x, p["norm1"], num_groups=num_groups,
+                        precision=precision)
     h = conv2d(h, p["conv1"], precision=precision)
-    h = group_norm_silu(h, p["norm2"], num_groups=num_groups)
+    h = group_norm_silu(h, p["norm2"], num_groups=num_groups,
+                        precision=precision)
     h = conv2d(h, p["conv2"], precision=precision)
     if "nin_shortcut" in p:
         x = conv2d(x, p["nin_shortcut"], precision=precision)
@@ -62,7 +64,8 @@ def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
     canonical AutoencoderKL AttnBlock.
     """
     from hdrvae.models.layers import group_norm
-    h = group_norm(x, p["norm"], num_groups=num_groups)
+    h = group_norm(x, p["norm"], num_groups=num_groups,
+                   precision=precision)
     q = conv2d(h, p["q"], precision=precision)
     k = conv2d(h, p["k"], precision=precision)
     v = conv2d(h, p["v"], precision=precision)
@@ -115,7 +118,8 @@ def decoder_apply(params: Params, z: jnp.ndarray,
             x = nearest_upsample_2x(x)
             x = conv2d(x, up["upsample"], precision=precision)
 
-    x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups)
+    x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups,
+                        precision=precision)
     pre_conv_out = x.astype(jnp.float32)
 
     rgb = None

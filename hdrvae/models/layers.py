@@ -3,7 +3,9 @@
 TPU-first conventions:
   - NHWC activations (channels on the 128-wide lane dimension),
   - HWIO conv kernels,
-  - float32 accumulation with optional bfloat16 compute via Precision,
+  - float32 accumulation/statistics with optional bfloat16 compute AND
+    bfloat16 inter-layer storage (halves HBM traffic; the usual TPU
+    bottleneck — SURVEY.md north-star HBM notes) via Precision,
   - no Python-level control flow on traced values.
 
 Param pytrees are plain nested dicts so they serialize to/from safetensors
@@ -33,7 +35,11 @@ def _conv_precision(precision: Precision):
 
 def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1, padding: str = "SAME",
            precision: Precision = Precision()) -> jnp.ndarray:
-    """2D convolution; p = {'kernel': HWIO, 'bias': [O]}."""
+    """2D convolution; p = {'kernel': HWIO, 'bias': [O]}.
+
+    bf16 MXU inputs with float32 accumulation in fast mode; the bias add and
+    the storage-dtype cast fuse into the conv epilogue.
+    """
     kernel = p["kernel"]
     dtype = precision.compute_dtype
     y = jax.lax.conv_general_dilated(
@@ -43,16 +49,19 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1, padding: str = "SAME",
         precision=_conv_precision(precision),
         preferred_element_type=jnp.float32,
     )
-    return y + p["bias"].astype(jnp.float32)
+    y = y + p["bias"].astype(jnp.float32)
+    return y.astype(precision.storage_dtype)
 
 
 def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
-               eps: float = 1e-6) -> jnp.ndarray:
+               eps: float = 1e-6,
+               precision: Precision = Precision()) -> jnp.ndarray:
     """GroupNorm over NHWC; p = {'scale': [C], 'bias': [C]}.
 
     Statistics are computed in float32 over (H, W, C/G) — the whole-image
     normalization whose global nature is the main tiled-decode fidelity risk
-    (SURVEY.md section 7, "Hard parts").
+    (SURVEY.md section 7, "Hard parts").  Output is cast to the storage
+    dtype (bf16 in fast mode) to halve the HBM round trip.
     """
     b, h, w, c = x.shape
     g = num_groups
@@ -61,14 +70,24 @@ def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
     xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     xn = xn.reshape(b, h, w, c)
-    return xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    out = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(precision.storage_dtype)
 
 
 def group_norm_silu(x: jnp.ndarray, p: Params, *, num_groups: int,
-                    eps: float = 1e-6) -> jnp.ndarray:
+                    eps: float = 1e-6,
+                    precision: Precision = Precision()) -> jnp.ndarray:
     """Fused GroupNorm + SiLU epilogue (XLA fuses the elementwise tail)."""
-    y = group_norm(x, p, num_groups=num_groups, eps=eps)
-    return y * jax.nn.sigmoid(y)
+    b, h, w, c = x.shape
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn.reshape(b, h, w, c)
+    y = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    return y.astype(precision.storage_dtype)
 
 
 def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
