@@ -44,12 +44,12 @@ class DecodeOutput(NamedTuple):
 
 
 def resnet_block(x: jnp.ndarray, p: Params, *, num_groups: int,
-                 precision: Precision) -> jnp.ndarray:
+                 precision: Precision, tape=None) -> jnp.ndarray:
     h = group_norm_silu(x, p["norm1"], num_groups=num_groups,
-                        precision=precision)
+                        precision=precision, tape=tape)
     h = conv2d(h, p["conv1"], precision=precision)
     h = group_norm_silu(h, p["norm2"], num_groups=num_groups,
-                        precision=precision)
+                        precision=precision, tape=tape)
     h = conv2d(h, p["conv2"], precision=precision)
     if "nin_shortcut" in p:
         x = conv2d(x, p["nin_shortcut"], precision=precision)
@@ -57,7 +57,7 @@ def resnet_block(x: jnp.ndarray, p: Params, *, num_groups: int,
 
 
 def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
-               precision: Precision) -> jnp.ndarray:
+               precision: Precision, tape=None) -> jnp.ndarray:
     """Single-head spatial self-attention with residual (mid-block attn).
 
     Uses plain GroupNorm (no SiLU) before the qkv projections, per the
@@ -65,7 +65,7 @@ def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
     """
     from hdrvae.models.layers import group_norm
     h = group_norm(x, p["norm"], num_groups=num_groups,
-                   precision=precision)
+                   precision=precision, tape=tape)
     q = conv2d(h, p["q"], precision=precision)
     k = conv2d(h, p["k"], precision=precision)
     v = conv2d(h, p["v"], precision=precision)
@@ -84,7 +84,8 @@ def decoder_apply(params: Params, z: jnp.ndarray,
                   precision: Precision = Precision(),
                   apply_conv_out: bool = True,
                   preprocess_latent: bool = True,
-                  postprocess_output: bool = True) -> DecodeOutput:
+                  postprocess_output: bool = True,
+                  tape=None) -> DecodeOutput:
     """Decode a latent ``z`` [B, h, w, z_channels] (NHWC).
 
     Returns both the standard image and the pre-conv_out feature map from ONE
@@ -100,12 +101,12 @@ def decoder_apply(params: Params, z: jnp.ndarray,
 
     mid = params["mid"]
     x = resnet_block(x, mid["block_1"], num_groups=cfg.num_groups,
-                     precision=precision)
+                     precision=precision, tape=tape)
     if cfg.attn_mid:
         x = attn_block(x, mid["attn_1"], num_groups=cfg.num_groups,
-                       precision=precision)
+                       precision=precision, tape=tape)
     x = resnet_block(x, mid["block_2"], num_groups=cfg.num_groups,
-                     precision=precision)
+                     precision=precision, tape=tape)
 
     # Up path: highest multiplier first (matches AutoencoderKL's
     # reversed(range(num_resolutions)) traversal).
@@ -113,14 +114,17 @@ def decoder_apply(params: Params, z: jnp.ndarray,
         up = params["up"][level]
         for j in range(cfg.num_res_blocks + 1):
             x = resnet_block(x, up["block"][j], num_groups=cfg.num_groups,
-                             precision=precision)
+                             precision=precision, tape=tape)
         if level != 0:
             x = nearest_upsample_2x(x)
             x = conv2d(x, up["upsample"], precision=precision)
 
     x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups,
-                        precision=precision)
-    pre_conv_out = x.astype(jnp.float32)
+                        precision=precision, tape=tape)
+    # Stays in storage dtype (bf16 in fast mode): the epilogue's stats /
+    # collapse passes over this [B, H, W, 128] map are HBM-bound, and f32
+    # doubles their traffic.  Parity mode keeps float32.
+    pre_conv_out = x.astype(precision.storage_dtype)
 
     rgb = None
     if apply_conv_out:

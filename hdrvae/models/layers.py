@@ -53,38 +53,77 @@ def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1, padding: str = "SAME",
     return y.astype(precision.storage_dtype)
 
 
-def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
-               eps: float = 1e-6,
-               precision: Precision = Precision()) -> jnp.ndarray:
-    """GroupNorm over NHWC; p = {'scale': [C], 'bias': [C]}.
+class GNTape:
+    """Records or replays GroupNorm statistics across a decoder forward.
 
-    Statistics are computed in float32 over (H, W, C/G) — the whole-image
-    normalization whose global nature is the main tiled-decode fidelity risk
-    (SURVEY.md section 7, "Hard parts").  Output is cast to the storage
-    dtype (bf16 in fast mode) to halve the HBM round trip.
+    GroupNorm's whole-image statistics are the main tiled-decode fidelity
+    risk (SURVEY.md section 7, "Hard parts"): per-tile stats differ from
+    global stats.  A tape collected from a whole-image (or downsampled)
+    decode can be injected into per-tile decodes so every tile normalizes
+    with the same statistics — making halo-crop tiling near-exact.
+
+    Entries are (mean, var) pairs of shape [B, G] in decoder GN-call order
+    (static under jit, so the tape is an ordinary pytree input).
     """
+
+    def __init__(self, mode: str = "off", stats=None):
+        assert mode in ("off", "collect", "inject")
+        self.mode = mode
+        self.stats = list(stats) if stats is not None else []
+        self._idx = 0
+
+    def record(self, mean: jnp.ndarray, var: jnp.ndarray):
+        if self.mode == "collect":
+            self.stats.append((mean, var))
+
+    def next_override(self):
+        if self.mode != "inject":
+            return None
+        entry = self.stats[self._idx]
+        self._idx += 1
+        return entry
+
+
+def _gn_stats(x: jnp.ndarray, num_groups: int, tape: "GNTape | None"):
+    """Per-(B, G) float32 mean/var, honoring a tape override."""
     b, h, w, c = x.shape
     g = num_groups
     xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(b, h, w, c)
+    override = tape.next_override() if tape is not None else None
+    if override is not None:
+        mean, var = override
+        mean = mean.reshape(b, 1, 1, g, 1).astype(jnp.float32)
+        var = var.reshape(b, 1, 1, g, 1).astype(jnp.float32)
+    else:
+        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        if tape is not None:
+            tape.record(mean.reshape(b, g), var.reshape(b, g))
+    return xf, mean, var
+
+
+def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
+               eps: float = 1e-6, precision: Precision = Precision(),
+               tape: "GNTape | None" = None) -> jnp.ndarray:
+    """GroupNorm over NHWC; p = {'scale': [C], 'bias': [C]}.
+
+    Statistics are float32 over (H, W, C/G); output is cast to the storage
+    dtype (bf16 in fast mode) to halve the HBM round trip.
+    """
+    b, h, w, c = x.shape
+    xf, mean, var = _gn_stats(x, num_groups, tape)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
     out = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     return out.astype(precision.storage_dtype)
 
 
 def group_norm_silu(x: jnp.ndarray, p: Params, *, num_groups: int,
-                    eps: float = 1e-6,
-                    precision: Precision = Precision()) -> jnp.ndarray:
+                    eps: float = 1e-6, precision: Precision = Precision(),
+                    tape: "GNTape | None" = None) -> jnp.ndarray:
     """Fused GroupNorm + SiLU epilogue (XLA fuses the elementwise tail)."""
     b, h, w, c = x.shape
-    g = num_groups
-    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
-    mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(b, h, w, c)
+    xf, mean, var = _gn_stats(x, num_groups, tape)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
     y = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
     y = y * jax.nn.sigmoid(y)
     return y.astype(precision.storage_dtype)

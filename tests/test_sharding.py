@@ -50,22 +50,37 @@ def test_tiled_vs_whole_decode_seam_error(small_cfg, small_params, rng):
     """Tiled decode vs whole-image decode (config 3 seam check).
 
     Halo-crop makes the conv stack exact; the residual difference comes
-    from GroupNorm's per-tile vs global statistics — the documented
-    fidelity trade (SURVEY.md section 7 hard-parts).  Bound it relative to
-    the whole-image signal and record the measurement in the assert message.
+    from GroupNorm statistics:
+      - norm_stats="global" (stats_downsample=1): tiles replay EXACT
+        whole-image stats -> near-exact reconstruction;
+      - norm_stats="per_tile": the naive trade, larger error.
+    (stats_downsample > 1 is experimental: decoder activations are not
+    scale-invariant, so downsampled-stats injection is unvalidated.)
     """
     latent = _latent(rng, small_cfg, 16, 16)
-    whole = hdr_decode(small_params, latent, small_cfg,
-                       HDRDecodeConfig(), Precision.parity()).image
-    tiled = sharded_tiled_decode(small_params, latent, small_cfg,
-                                 HDRDecodeConfig(),
-                                 mesh=make_mesh(num_devices=4),
-                                 latent_tile=12, latent_overlap=8,
-                                 precision=Precision.parity())
-    whole_np, tiled_np = np.asarray(whole), np.asarray(tiled)
-    signal = np.abs(whole_np).max()
-    rel_err = np.abs(whole_np - tiled_np).max() / signal
-    assert rel_err < 0.5, f"seam relative error {rel_err:.3f}"
+    whole = np.asarray(hdr_decode(small_params, latent, small_cfg,
+                                  HDRDecodeConfig(),
+                                  Precision.parity()).image)
+    signal = np.abs(whole).max()
+
+    def run(**kw):
+        out = sharded_tiled_decode(small_params, latent, small_cfg,
+                                   HDRDecodeConfig(),
+                                   mesh=make_mesh(num_devices=4),
+                                   latent_tile=12, latent_overlap=8,
+                                   precision=Precision.parity(), **kw)
+        return np.abs(whole - np.asarray(out)).max() / signal
+
+    err_exact = run(norm_stats="global", stats_downsample=1)
+    err_tile = run(norm_stats="per_tile")
+
+    # Exact global stats: the residual is conv-halo truncation plus the
+    # mid-block attention seeing only its tile (attention is global; no
+    # spatial tiling can be exact through it — the reference "solves" this
+    # by skipping attention, `hdr_vae_decode.py:514`).  Measured ~0.6%.
+    assert err_exact < 2e-2, f"exact-stats seam error {err_exact:.4f}"
+    assert err_exact < err_tile, (err_exact, err_tile)
+    assert err_tile < 0.5, f"per-tile seam error {err_tile:.3f}"
 
 
 def test_uneven_tiles_padded(small_cfg, small_params, rng):
