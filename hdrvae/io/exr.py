@@ -5,9 +5,11 @@ pyexr -> imageio -> cv2) but with implementations this framework owns: the
 native codec (`native/exr_codec.cpp`) and the numpy codec (`exr_py.py`)
 produce byte-identical files.
 
-Compression "piz" is accepted for API parity with the reference's option set
-(`linear_exr_export.py:105`) but is written as "zip" (PIZ wavelet+Huffman
-encoding is not implemented); a warning is logged once.
+All five of the reference's compression options (`linear_exr_export.py:105`)
+are supported.  PIZ (bitmap/LUT + 2D wavelet + canonical Huffman) is
+implemented in the native codec only; when the native library is
+unavailable, "piz" falls back to "zip" in the pure-Python writer (same
+lossless contract) with a one-time warning.
 """
 
 from __future__ import annotations
@@ -26,13 +28,13 @@ logger = logging.getLogger(__name__)
 _PIZ_WARNED = False
 
 
-def _resolve_compression(compression: str) -> str:
+def _resolve_compression(compression: str, have_native: bool) -> str:
     global _PIZ_WARNED
     compression = compression.lower()
-    if compression == "piz":
+    if compression == "piz" and not have_native:
         if not _PIZ_WARNED:
-            logger.warning("PIZ compression not implemented; writing ZIP "
-                           "instead (same lossless contract)")
+            logger.warning("native codec unavailable: PIZ written as ZIP "
+                           "(same lossless contract)")
             _PIZ_WARNED = True
         return "zip"
     if compression not in exr_py.COMPRESSION_IDS:
@@ -47,7 +49,6 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
     pixel_type: "half" | "float" (the reference's 16bit/32bit,
     `linear_exr_export.py:155`); compression: none/rle/zip/zips/piz/pxr24.
     """
-    compression = _resolve_compression(compression)
     image = np.ascontiguousarray(np.asarray(image, np.float32))
     if image.ndim == 2:
         image = image[..., None]
@@ -55,6 +56,7 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
         raise ValueError(f"image must be HxWxC, got {image.shape}")
 
     lib = load_native() if use_native else None
+    compression = _resolve_compression(compression, lib is not None)
     if lib is not None:
         h, w, c = image.shape
         ptype = 1 if pixel_type == "half" else 2

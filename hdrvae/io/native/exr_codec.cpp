@@ -9,6 +9,7 @@
 // Build: g++ -O3 -shared -fPIC exr_codec.cpp -o libexr_codec.so -lz
 // Bound from Python via ctypes (hdrvae/io/exr.py); no pybind11 needed.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -197,6 +198,528 @@ float float24_to_float(uint32_t i24) {
 }
 
 // ---------------------------------------------------------------------------
+// PIZ: bitmap/LUT compaction + 2D integer wavelet + canonical Huffman.
+//
+// Implemented from the OpenEXR file-format specification of the PIZ scheme.
+// Payload layout: u16 minNonZero, u16 maxNonZero, bitmap bytes
+// [minNonZero..maxNonZero], i32 huffman length, huffman data.  Huffman
+// block: u32 im, u32 iM, u32 tableLength, u32 nBits, u32 reserved, packed
+// 6-bit code-length table, MSB-first bitstream.  The run-length
+// pseudo-symbol is index iM; code lengths are capped at 58 bits.
+// ---------------------------------------------------------------------------
+
+namespace piz {
+
+constexpr int kBitmapSize = 65536 / 8;
+constexpr int kUShortRange = 65536;
+constexpr int kHufEncSize = 65537;
+constexpr int kMaxCodeLen = 58;
+constexpr int kShortZerocodeRun = 59;
+constexpr int kLongZerocodeRun = 63;
+constexpr int kShortestLongRun = 2 + kLongZerocodeRun - kShortZerocodeRun;
+constexpr int kLongestLongRun = 255 + kShortestLongRun;
+
+// ---- wavelet ----
+
+inline void wenc14(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int16_t as = static_cast<int16_t>(a), bs = static_cast<int16_t>(b);
+  int16_t ms = static_cast<int16_t>((as + bs) >> 1);
+  int16_t ds = static_cast<int16_t>(as - bs);
+  l = static_cast<uint16_t>(ms);
+  h = static_cast<uint16_t>(ds);
+}
+
+inline void wdec14(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int16_t ls = static_cast<int16_t>(l), hs = static_cast<int16_t>(h);
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = static_cast<int16_t>(ai);
+  int16_t bs = static_cast<int16_t>(ai - hi);
+  a = static_cast<uint16_t>(as);
+  b = static_cast<uint16_t>(bs);
+}
+
+constexpr int kNBits = 16;
+constexpr int kAOffset = 1 << (kNBits - 1);
+constexpr int kMOffset = 1 << (kNBits - 1);
+constexpr int kModMask = (1 << kNBits) - 1;
+
+inline void wenc16(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int ao = (a + kAOffset) & kModMask;
+  int m = (ao + b) >> 1;
+  int d = ao - b;
+  if (d < 0) m = (m + kMOffset) & kModMask;
+  d &= kModMask;
+  l = static_cast<uint16_t>(m);
+  h = static_cast<uint16_t>(d);
+}
+
+inline void wdec16(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int m = l, d = h;
+  int bb = (m - (d >> 1)) & kModMask;
+  int aa = (d + bb - kAOffset) & kModMask;
+  b = static_cast<uint16_t>(bb);
+  a = static_cast<uint16_t>(aa);
+}
+
+void wav2Encode(uint16_t* in, int nx, int ox, int ny, int oy, uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = nx > ny ? ny : nx;
+  int p = 1, p2 = 2;
+  while (p2 <= n) {
+    uint16_t* py = in;
+    uint16_t* ey = in + oy * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2, ox1 = ox * p, ox2 = ox * p2;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        uint16_t i00, i01, i10, i11;
+        if (w14) {
+          wenc14(*px, *p01, i00, i01);
+          wenc14(*p10, *p11, i10, i11);
+          wenc14(i00, i10, *px, *p10);
+          wenc14(i01, i11, *p01, *p11);
+        } else {
+          wenc16(*px, *p01, i00, i01);
+          wenc16(*p10, *p11, i10, i11);
+          wenc16(i00, i10, *px, *p10);
+          wenc16(i01, i11, *p01, *p11);
+        }
+      }
+      if (nx & p) {  // odd leftover column
+        uint16_t* p10 = px + oy1;
+        uint16_t i00;
+        if (w14) wenc14(*px, *p10, i00, *p10);
+        else wenc16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {  // leftover row
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t i00;
+        if (w14) wenc14(*px, *p01, i00, *p01);
+        else wenc16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p = p2;
+    p2 <<= 1;
+  }
+}
+
+void wav2Decode(uint16_t* in, int nx, int ox, int ny, int oy, uint16_t mx) {
+  bool w14 = mx < (1 << 14);
+  int n = nx > ny ? ny : nx;
+  int p = 1, p2;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  p2 = p;
+  p >>= 1;
+  while (p >= 1) {
+    uint16_t* py = in;
+    uint16_t* ey = in + oy * (ny - p2);
+    int oy1 = oy * p, oy2 = oy * p2, ox1 = ox * p, ox2 = ox * p2;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        uint16_t i00, i01, i10, i11;
+        if (w14) {
+          wdec14(*px, *p10, i00, i10);
+          wdec14(*p01, *p11, i01, i11);
+          wdec14(i00, i01, *px, *p01);
+          wdec14(i10, i11, *p10, *p11);
+        } else {
+          wdec16(*px, *p10, i00, i10);
+          wdec16(*p01, *p11, i01, i11);
+          wdec16(i00, i01, *px, *p01);
+          wdec16(i10, i11, *p10, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        uint16_t i00;
+        if (w14) wdec14(*px, *p10, i00, *p10);
+        else wdec16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t i00;
+        if (w14) wdec14(*px, *p01, i00, *p01);
+        else wdec16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+// ---- bitmap / LUT ----
+
+uint16_t forwardLutFromBitmap(const uint8_t bitmap[kBitmapSize],
+                              uint16_t lut[kUShortRange]) {
+  int k = 0;
+  for (int i = 0; i < kUShortRange; ++i) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7))))
+      lut[i] = static_cast<uint16_t>(k++);
+    else
+      lut[i] = 0;
+  }
+  return static_cast<uint16_t>(k - 1);
+}
+
+uint16_t reverseLutFromBitmap(const uint8_t bitmap[kBitmapSize],
+                              uint16_t lut[kUShortRange]) {
+  int k = 0;
+  for (int i = 0; i < kUShortRange; ++i) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7))))
+      lut[k++] = static_cast<uint16_t>(i);
+  }
+  int n = k - 1;
+  while (k < kUShortRange) lut[k++] = 0;
+  return static_cast<uint16_t>(n);
+}
+
+// ---- bit IO ----
+
+struct BitWriter {
+  std::vector<uint8_t>* out;
+  uint64_t c = 0;
+  int lc = 0;
+  void writeBits(int n, uint64_t val) {
+    c = (c << n) | (val & ((1ull << n) - 1));
+    lc += n;
+    while (lc >= 8) {
+      lc -= 8;
+      out->push_back(static_cast<uint8_t>(c >> lc));
+    }
+  }
+  void flush() {
+    if (lc > 0) {
+      out->push_back(static_cast<uint8_t>(c << (8 - lc)));
+      lc = 0;
+    }
+  }
+};
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos = 0;
+  uint64_t c = 0;
+  int lc = 0;
+  bool readBits(int n, uint64_t* val) {
+    while (lc < n) {
+      if (pos >= size) return false;
+      c = (c << 8) | data[pos++];
+      lc += 8;
+    }
+    lc -= n;
+    *val = (c >> lc) & ((1ull << n) - 1);
+    return true;
+  }
+};
+
+// ---- Huffman ----
+
+// code entry: (canonical code << 6) | length
+inline int hufLength(uint64_t code) { return static_cast<int>(code & 63); }
+inline uint64_t hufCode(uint64_t code) { return code >> 6; }
+
+void hufCanonicalCodeTable(uint64_t hcode[kHufEncSize]) {
+  uint64_t n[59] = {0};
+  for (int i = 0; i < kHufEncSize; ++i) n[hcode[i]] += 1;
+  // n[0] irrelevant; compute first canonical code per length, longest first
+  uint64_t c = 0;
+  for (int i = kMaxCodeLen; i > 0; --i) {
+    uint64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < kHufEncSize; ++i) {
+    int l = static_cast<int>(hcode[i]);
+    if (l > 0) hcode[i] = static_cast<uint64_t>(l) | (n[l]++ << 6);
+  }
+}
+
+// Build code lengths (into frq, replaced by packed codes) for symbols with
+// nonzero frequency; appends the run-length pseudo-symbol at *iM.
+void hufBuildEncTable(uint64_t* frq, int* im, int* iM) {
+  std::vector<int> hlink(kHufEncSize);
+  std::vector<uint64_t*> fheap;
+  fheap.reserve(kHufEncSize);
+
+  *im = 0;
+  while (*im < kHufEncSize - 1 && !frq[*im]) (*im)++;
+  *iM = *im;
+  for (int i = *im; i < kHufEncSize; ++i) {
+    hlink[i] = i;
+    if (frq[i]) {
+      fheap.push_back(&frq[i]);
+      *iM = i;
+    }
+  }
+  // run-length pseudo-symbol
+  (*iM)++;
+  frq[*iM] = 1;
+  fheap.push_back(&frq[*iM]);
+  hlink[*iM] = *iM;
+
+  auto cmp = [](uint64_t* a, uint64_t* b) { return *a > *b; };  // min-heap
+  std::make_heap(fheap.begin(), fheap.end(), cmp);
+
+  std::vector<uint64_t> scode(kHufEncSize, 0);
+  size_t nf = fheap.size();
+  while (nf > 1) {
+    std::pop_heap(fheap.begin(), fheap.begin() + nf, cmp);
+    int mm = static_cast<int>(fheap[--nf] - frq);
+    std::pop_heap(fheap.begin(), fheap.begin() + nf, cmp);
+    int m = static_cast<int>(fheap[--nf] - frq);
+    frq[m] += frq[mm];
+    fheap[nf++] = &frq[m];
+    std::push_heap(fheap.begin(), fheap.begin() + nf, cmp);
+    for (int j = m;; j = hlink[j]) {
+      scode[j]++;
+      if (hlink[j] == j) {
+        hlink[j] = mm;
+        break;
+      }
+    }
+    for (int j = mm;; j = hlink[j]) {
+      scode[j]++;
+      if (hlink[j] == j) break;
+    }
+  }
+  // cap pathological lengths (never expected with real data)
+  for (int i = 0; i < kHufEncSize; ++i)
+    if (scode[i] > kMaxCodeLen) scode[i] = kMaxCodeLen;
+
+  hufCanonicalCodeTable(scode.data());
+  std::memcpy(frq, scode.data(), sizeof(uint64_t) * kHufEncSize);
+}
+
+void hufPackEncTable(const uint64_t* hcode, int im, int iM,
+                     std::vector<uint8_t>* out) {
+  BitWriter w{out};
+  for (int i = im; i <= iM; ++i) {
+    int l = hufLength(hcode[i]);
+    if (l == 0) {
+      int zerun = 1;
+      while (i < iM && zerun < kLongestLongRun) {
+        if (hufLength(hcode[i + 1]) > 0) break;
+        i++;
+        zerun++;
+      }
+      if (zerun >= 2) {
+        if (zerun >= kShortestLongRun) {
+          w.writeBits(6, kLongZerocodeRun);
+          w.writeBits(8, zerun - kShortestLongRun);
+        } else {
+          w.writeBits(6, kShortZerocodeRun + zerun - 2);
+        }
+        continue;
+      }
+    }
+    w.writeBits(6, l);
+  }
+  w.flush();
+}
+
+bool hufUnpackEncTable(BitReader* r, int im, int iM,
+                       uint64_t hcode[kHufEncSize]) {
+  std::memset(hcode, 0, sizeof(uint64_t) * kHufEncSize);
+  for (int i = im; i <= iM;) {
+    uint64_t l;
+    if (!r->readBits(6, &l)) return false;
+    if (l == kLongZerocodeRun) {
+      uint64_t n;
+      if (!r->readBits(8, &n)) return false;
+      int zerun = static_cast<int>(n) + kShortestLongRun;
+      if (i + zerun > iM + 1) return false;
+      for (int k = 0; k < zerun; ++k) hcode[i++] = 0;
+    } else if (l >= kShortZerocodeRun) {
+      int zerun = static_cast<int>(l) - kShortZerocodeRun + 2;
+      if (i + zerun > iM + 1) return false;
+      for (int k = 0; k < zerun; ++k) hcode[i++] = 0;
+    } else {
+      hcode[i++] = l;
+    }
+  }
+  hufCanonicalCodeTable(hcode);
+  return true;
+}
+
+uint64_t hufEncode(const uint64_t* hcode, const uint16_t* in, size_t ni,
+                   int rlc, std::vector<uint8_t>* out) {
+  BitWriter w{out};
+  uint64_t nbits = 0;
+  auto outputCode = [&](uint64_t entry) {
+    w.writeBits(hufLength(entry), hufCode(entry));
+    nbits += hufLength(entry);
+  };
+  auto sendCode = [&](uint64_t sCode, int runCount, uint64_t runCode) {
+    if (hufLength(sCode) + hufLength(runCode) + 8 <
+        hufLength(sCode) * (runCount + 1)) {
+      outputCode(sCode);
+      outputCode(runCode);
+      w.writeBits(8, runCount);
+      nbits += 8;
+    } else {
+      for (int i = 0; i <= runCount; ++i) outputCode(sCode);
+    }
+  };
+  uint16_t s = in[0];
+  int cs = 0;
+  for (size_t i = 1; i < ni; ++i) {
+    if (in[i] == s && cs < 255) {
+      cs++;
+    } else {
+      sendCode(hcode[s], cs, hcode[rlc]);
+      s = in[i];
+      cs = 0;
+    }
+  }
+  sendCode(hcode[s], cs, hcode[rlc]);
+  w.flush();
+  return nbits;
+}
+
+// Canonical decode tables: per length, first code / count / symbol list.
+struct HufDecoder {
+  uint64_t firstCode[kMaxCodeLen + 1] = {0};
+  uint32_t count[kMaxCodeLen + 1] = {0};
+  uint32_t offset[kMaxCodeLen + 1] = {0};
+  std::vector<uint32_t> symbols;  // sorted by (length, symbol index)
+
+  void build(const uint64_t* hcode, int im, int iM) {
+    for (int i = im; i <= iM; ++i) count[hufLength(hcode[i])]++;
+    count[0] = 0;
+    uint32_t total = 0;
+    for (int l = 1; l <= kMaxCodeLen; ++l) {
+      offset[l] = total;
+      total += count[l];
+    }
+    symbols.resize(total);
+    std::vector<uint32_t> fill(kMaxCodeLen + 1, 0);
+    for (int i = im; i <= iM; ++i) {
+      int l = hufLength(hcode[i]);
+      if (l > 0) {
+        if (fill[l] == 0) firstCode[l] = hufCode(hcode[i]);
+        symbols[offset[l] + fill[l]++] = static_cast<uint32_t>(i);
+      }
+    }
+  }
+
+  // Decode ni symbols; returns false on malformed stream.
+  bool decode(BitReader* r, uint64_t nbits, int rlc, uint16_t* out,
+              size_t ni) const {
+    size_t produced = 0;
+    uint64_t consumed = 0;
+    uint64_t code = 0;
+    int len = 0;
+    int prev = -1;
+    while (produced < ni && consumed < nbits) {
+      uint64_t bit;
+      if (!r->readBits(1, &bit)) return false;
+      consumed++;
+      code = (code << 1) | bit;
+      len++;
+      if (len > kMaxCodeLen) return false;
+      if (count[len] && code >= firstCode[len] &&
+          code - firstCode[len] < count[len]) {
+        uint32_t sym =
+            symbols[offset[len] + static_cast<uint32_t>(code -
+                                                        firstCode[len])];
+        if (static_cast<int>(sym) == rlc) {
+          uint64_t n;
+          if (!r->readBits(8, &n)) return false;
+          consumed += 8;
+          if (prev < 0 || produced + n > ni) return false;
+          for (uint64_t k = 0; k < n; ++k)
+            out[produced++] = static_cast<uint16_t>(prev);
+        } else {
+          if (produced >= ni) return false;
+          out[produced++] = static_cast<uint16_t>(sym);
+          prev = sym;
+        }
+        code = 0;
+        len = 0;
+      }
+    }
+    return produced == ni;
+  }
+};
+
+void put_u32(std::vector<uint8_t>* b, uint32_t v) {
+  for (int i = 0; i < 4; ++i) b->push_back((v >> (8 * i)) & 0xFF);
+}
+
+// Full huf block: header + packed table + bitstream.
+void hufCompress(const uint16_t* raw, size_t n, std::vector<uint8_t>* out) {
+  std::vector<uint64_t> freq(kHufEncSize, 0);
+  for (size_t i = 0; i < n; ++i) freq[raw[i]]++;
+  int im = 0, iM = 0;
+  hufBuildEncTable(freq.data(), &im, &iM);
+
+  std::vector<uint8_t> table;
+  hufPackEncTable(freq.data(), im, iM, &table);
+
+  std::vector<uint8_t> bits;
+  uint64_t nbits = hufEncode(freq.data(), raw, n, iM, &bits);
+
+  put_u32(out, static_cast<uint32_t>(im));
+  put_u32(out, static_cast<uint32_t>(iM));
+  put_u32(out, static_cast<uint32_t>(table.size()));
+  put_u32(out, static_cast<uint32_t>(nbits));
+  put_u32(out, 0);
+  out->insert(out->end(), table.begin(), table.end());
+  out->insert(out->end(), bits.begin(), bits.end());
+}
+
+bool hufUncompress(const uint8_t* data, size_t size, uint16_t* out,
+                   size_t n_out) {
+  if (size < 20) return false;
+  auto rd_u32 = [&](size_t o) {
+    uint32_t v;
+    std::memcpy(&v, data + o, 4);
+    return v;
+  };
+  uint32_t im = rd_u32(0), iM = rd_u32(4), tlen = rd_u32(8),
+           nbits = rd_u32(12);
+  if (im >= kHufEncSize || iM >= kHufEncSize || im > iM) return false;
+  if (20 + tlen > size) return false;
+
+  std::vector<uint64_t> hcode(kHufEncSize);
+  BitReader tr{data + 20, tlen};
+  if (!hufUnpackEncTable(&tr, static_cast<int>(im), static_cast<int>(iM),
+                         hcode.data()))
+    return false;
+
+  HufDecoder dec;
+  dec.build(hcode.data(), static_cast<int>(im), static_cast<int>(iM));
+  BitReader br{data + 20 + tlen, size - 20 - tlen};
+  return dec.decode(&br, nbits, static_cast<int>(iM), out, n_out);
+}
+
+}  // namespace piz
+
+// ---------------------------------------------------------------------------
 // zlib helpers
 // ---------------------------------------------------------------------------
 
@@ -270,8 +793,7 @@ extern "C" {
 int exr_write(const char* path, const float* data, int height, int width,
               int channels, int pixel_type, int compression_id) {
   if (pixel_type != HALF && pixel_type != FLOAT) return -2;
-  if (compression_id == PIZ || compression_id < 0 || compression_id > 5)
-    return -3;
+  if (compression_id < 0 || compression_id > 5) return -3;
 
   const int lines = lines_per_chunk(compression_id);
   const int psz = pixel_size(pixel_type);
@@ -355,6 +877,60 @@ int exr_write(const char* path, const float* data, int height, int width,
     std::vector<uint8_t> payload;
     if (compression_id == NONE) {
       payload = raw;
+    } else if (compression_id == PIZ) {
+      // un-interleave scanlines into channel-major short planes
+      const int psize = psz / 2;  // shorts per pixel
+      const size_t plane_shorts =
+          static_cast<size_t>(nrows) * width * psize;
+      std::vector<uint16_t> shorts(plane_shorts * channels);
+      {
+        const uint16_t* src = reinterpret_cast<const uint16_t*>(raw.data());
+        size_t spos = 0;
+        for (int r = 0; r < nrows; ++r) {
+          for (int ci = 0; ci < channels; ++ci) {
+            uint16_t* plane = shorts.data() + plane_shorts * ci +
+                              static_cast<size_t>(r) * width * psize;
+            std::memcpy(plane, src + spos,
+                        static_cast<size_t>(width) * psize * 2);
+            spos += static_cast<size_t>(width) * psize;
+          }
+        }
+      }
+      // bitmap + forward LUT
+      std::vector<uint8_t> bitmap(piz::kBitmapSize, 0);
+      for (uint16_t v : shorts) bitmap[v >> 3] |= 1 << (v & 7);
+      bitmap[0] &= ~1u;  // zero is not stored
+      std::vector<uint16_t> lut(piz::kUShortRange);
+      uint16_t max_value = piz::forwardLutFromBitmap(bitmap.data(),
+                                                     lut.data());
+      for (uint16_t& v : shorts) v = lut[v];
+      // wavelet per channel per short-plane
+      for (int ci = 0; ci < channels; ++ci) {
+        for (int j = 0; j < psize; ++j) {
+          piz::wav2Encode(shorts.data() + plane_shorts * ci + j, width,
+                          psize, nrows, width * psize, max_value);
+        }
+      }
+      // payload: bitmap range + bitmap + huffman
+      int min_nz = piz::kBitmapSize, max_nz = -1;
+      for (int i = 0; i < piz::kBitmapSize; ++i) {
+        if (bitmap[i]) {
+          if (i < min_nz) min_nz = i;
+          max_nz = i;
+        }
+      }
+      if (max_nz < 0) { min_nz = 1; max_nz = 0; }  // empty bitmap signal
+      payload.push_back(min_nz & 0xFF);
+      payload.push_back((min_nz >> 8) & 0xFF);
+      payload.push_back(max_nz & 0xFF);
+      payload.push_back((max_nz >> 8) & 0xFF);
+      for (int i = min_nz; i <= max_nz; ++i) payload.push_back(bitmap[i]);
+      std::vector<uint8_t> huf;
+      piz::hufCompress(shorts.data(), shorts.size(), &huf);
+      int32_t hlen = static_cast<int32_t>(huf.size());
+      for (int i = 0; i < 4; ++i)
+        payload.push_back((hlen >> (8 * i)) & 0xFF);
+      payload.insert(payload.end(), huf.begin(), huf.end());
     } else if (compression_id == ZIPS || compression_id == ZIP) {
       tmp.resize(raw_size);
       filter_encode(raw.data(), raw_size, tmp.data());
@@ -536,7 +1112,7 @@ int exr_read(const char* path, float* out) {
   if (!load_file(path, &buf)) return -1;
   Parsed p;
   if (!parse_header(buf, &p)) return -2;
-  if (p.comp == PIZ || p.comp > PXR24) return -3;
+  if (p.comp > PXR24) return -3;
 
   const int lines = lines_per_chunk(p.comp);
   const int c = static_cast<int>(p.channels.size());
@@ -583,6 +1159,71 @@ int exr_read(const char* path, float* out) {
     const uint8_t* rows = nullptr;
     if (p.comp == NONE || static_cast<size_t>(size) >= raw_size) {
       rows = data;
+    } else if (p.comp == PIZ) {
+      // parse payload
+      if (size < 4) return -5;
+      int min_nz = data[0] | (data[1] << 8);
+      int max_nz = data[2] | (data[3] << 8);
+      std::vector<uint8_t> bitmap(piz::kBitmapSize, 0);
+      size_t pos = 4;
+      if (min_nz <= max_nz) {
+        if (max_nz >= piz::kBitmapSize ||
+            pos + (max_nz - min_nz + 1) > static_cast<size_t>(size))
+          return -5;
+        std::memcpy(bitmap.data() + min_nz, data + pos,
+                    max_nz - min_nz + 1);
+        pos += max_nz - min_nz + 1;
+      }
+      if (pos + 4 > static_cast<size_t>(size)) return -5;
+      int32_t hlen;
+      std::memcpy(&hlen, data + pos, 4);
+      pos += 4;
+      if (hlen < 0 || pos + hlen > static_cast<size_t>(size)) return -5;
+
+      const size_t total_shorts = raw_size / 2;
+      std::vector<uint16_t> shorts(total_shorts);
+      if (!piz::hufUncompress(data + pos, hlen, shorts.data(),
+                              total_shorts))
+        return -5;
+
+      std::vector<uint16_t> rlut(piz::kUShortRange);
+      uint16_t max_value = piz::reverseLutFromBitmap(bitmap.data(),
+                                                     rlut.data());
+      // wavelet decode per channel plane, then reverse LUT
+      size_t plane_off = 0;
+      for (int k = 0; k < c; ++k) {
+        const int psize = pixel_size(p.channels[k].ptype) / 2;
+        for (int j = 0; j < psize; ++j) {
+          piz::wav2Decode(shorts.data() + plane_off + j, p.width, psize,
+                          nrows, p.width * psize, max_value);
+        }
+        plane_off += static_cast<size_t>(nrows) * p.width * psize;
+      }
+      for (uint16_t& v : shorts) v = rlut[v];
+      // re-interleave channel-major planes into scanline order
+      raw.resize(raw_size);
+      uint16_t* dst = reinterpret_cast<uint16_t*>(raw.data());
+      size_t dpos = 0;
+      std::vector<size_t> plane_base(c);
+      {
+        size_t off = 0;
+        for (int k = 0; k < c; ++k) {
+          plane_base[k] = off;
+          off += static_cast<size_t>(nrows) * p.width *
+                 (pixel_size(p.channels[k].ptype) / 2);
+        }
+      }
+      for (int r = 0; r < nrows; ++r) {
+        for (int k = 0; k < c; ++k) {
+          const int psize = pixel_size(p.channels[k].ptype) / 2;
+          const uint16_t* src = shorts.data() + plane_base[k] +
+                                static_cast<size_t>(r) * p.width * psize;
+          std::memcpy(dst + dpos, src,
+                      static_cast<size_t>(p.width) * psize * 2);
+          dpos += static_cast<size_t>(p.width) * psize;
+        }
+      }
+      rows = raw.data();
     } else if (p.comp == ZIPS || p.comp == ZIP) {
       if (!zlib_inflate(data, size, tmp.data(), raw_size)) return -5;
       filter_decode(tmp.data(), raw_size, raw.data());

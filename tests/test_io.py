@@ -78,10 +78,39 @@ class TestEXRCodec:
         assert back.max() > 1.0
         assert back.min() < 0.0
 
-    def test_piz_substitution(self, tmp_path, hdr_image):
-        """piz accepted for API parity, written as zip."""
+    def test_piz_native_round_trip(self, tmp_path, hdr_image):
+        """True PIZ (wavelet+Huffman) via the native codec: lossless."""
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
         path = str(tmp_path / "t.exr")
-        exr.write_exr(path, hdr_image, compression="piz")
+        exr.write_exr(path, hdr_image, pixel_type="float",
+                      compression="piz")
+        header = open(path, "rb").read()
+        hdr_out, _ = exr_py.read_exr_header(header)
+        assert hdr_out["compression"] == "piz"
+        np.testing.assert_array_equal(exr.read_exr(path), hdr_image)
+
+    def test_piz_compresses_smooth_data(self, tmp_path):
+        """PIZ should beat NONE decisively on smooth gradients."""
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
+        y = np.linspace(0, 4, 64)[:, None, None]
+        x = np.linspace(0, 2, 64)[None, :, None]
+        img = (y + x * np.ones((1, 1, 3))).astype(np.float32)
+        p_piz = str(tmp_path / "p.exr")
+        p_none = str(tmp_path / "n.exr")
+        exr.write_exr(p_piz, img, compression="piz")
+        exr.write_exr(p_none, img, compression="none")
+        assert os.path.getsize(p_piz) < 0.6 * os.path.getsize(p_none)
+        np.testing.assert_array_equal(
+            exr.read_exr(p_piz),
+            img.astype(np.float16).astype(np.float32))
+
+    def test_piz_fallback_without_native(self, tmp_path, hdr_image):
+        """Pure-Python path substitutes zip for piz (documented)."""
+        path = str(tmp_path / "t.exr")
+        exr.write_exr(path, hdr_image, compression="piz",
+                      use_native=False)
         hdr_out, _ = exr_py.read_exr_header(open(path, "rb").read())
         assert hdr_out["compression"] == "zip"
 
@@ -253,3 +282,41 @@ class TestExportPipeline:
         res = export_linear(hdr_image, cfg, default_output_dir=str(tmp_path))
         header, _ = exr_py.read_exr_header(open(res.last, "rb").read())
         assert all(c[1] == exr_py.PIXEL_HALF for c in header["channels"])
+
+
+class TestPIZFuzz:
+    def test_many_shapes_lossless(self, tmp_path):
+        """PIZ roundtrip across chunk boundaries (32 lines), odd sizes,
+        extreme values, and both pixel types."""
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
+        r = np.random.default_rng(9)
+        shapes = [(1, 1, 3), (7, 3, 3), (31, 5, 3), (32, 8, 3),
+                  (33, 129, 3), (96, 17, 3), (64, 64, 1)]
+        for i, shape in enumerate(shapes):
+            img = (r.standard_normal(shape) * (10 ** (i % 4))).astype(
+                np.float32)
+            img.flat[0] = 65504.0   # half max
+            img.flat[-1] = -65504.0
+            if img.size > 2:
+                img.flat[1] = 0.0
+            for ptype in ("half", "float"):
+                path = str(tmp_path / f"f{i}{ptype}.exr")
+                exr.write_exr(path, img, pixel_type=ptype,
+                              compression="piz")
+                back = exr.read_exr(path)
+                expect = (img.astype(np.float16).astype(np.float32)
+                          if ptype == "half" else img)
+                np.testing.assert_array_equal(
+                    back.reshape(expect.shape), expect,
+                    err_msg=f"shape={shape} ptype={ptype}")
+
+    def test_constant_image(self, tmp_path):
+        if load_native() is None:
+            pytest.skip("native codec unavailable")
+        img = np.full((40, 40, 3), 2.5, np.float32)
+        path = str(tmp_path / "const.exr")
+        exr.write_exr(path, img, compression="piz")
+        np.testing.assert_array_equal(exr.read_exr(path), img)
+        # constant data compresses to almost nothing
+        assert os.path.getsize(path) < 1200
