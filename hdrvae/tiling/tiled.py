@@ -174,8 +174,4 @@ def select_tile_size(height: int, width: int, *, bytes_per_pixel: float,
     while tile > min_tile and tile * tile * bytes_per_pixel > \
             hbm_budget_bytes:
         tile = max(min_tile, (tile // 2 // alignment) * alignment)
-        if tile * tile * bytes_per_pixel <= hbm_budget_bytes:
-            break
-        if tile == min_tile:
-            break
-    return max(tile, min_tile)
+    return tile

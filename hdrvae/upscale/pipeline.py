@@ -29,7 +29,7 @@ from hdrvae.core.color import luma, rgb_to_ycbcr, ycbcr_to_rgb
 from hdrvae.core.config import Precision, UpscaleConfig
 from hdrvae.decode.modes import inverse_sigmoid, inverse_tanh
 from hdrvae.models.rrdbnet import RRDBNetConfig, rrdbnet_apply
-from hdrvae.tiling.tiled import tiled_apply
+from hdrvae.tiling.tiled import select_tile_size, tiled_apply
 from hdrvae.upscale.filters import gaussian_blur, median_blur
 from hdrvae.upscale.resize import common_upscale
 
@@ -64,7 +64,22 @@ def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
         out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
         return reversal(out)
 
-    return tiled_apply(model_with_reversal, x, tile=cfg.tiling.tile,
+    tile = cfg.tiling.tile
+    if cfg.tiling.hbm_budget_bytes is not None:
+        # Static tile planning from the memory budget (replaces the
+        # reference's halve-on-OOM retry).  Working set per tile pixel:
+        # the densest RRDB concat holds nf + 4*gc channels, live twice
+        # (input + output), at the storage dtype, plus the upscaled
+        # output tile.
+        elsize = jnp.dtype(precision.storage_dtype).itemsize
+        bpp = ((model_cfg.nf + 4 * model_cfg.gc) * 2 * elsize
+               + model_cfg.scale ** 2 * 3 * 4)
+        tile = select_tile_size(
+            x.shape[1], x.shape[2], bytes_per_pixel=float(bpp),
+            hbm_budget_bytes=cfg.tiling.hbm_budget_bytes, preferred=tile,
+            overlap=cfg.tiling.overlap, min_tile=cfg.tiling.min_tile)
+
+    return tiled_apply(model_with_reversal, x, tile=tile,
                        overlap=cfg.tiling.overlap, scale=model_cfg.scale,
                        mode="feather")
 

@@ -280,3 +280,21 @@ class TestHDRUpscalePipeline:
     def test_bad_input_rejected(self, up_cfg, up_params):
         with pytest.raises(ValueError, match="B, H, W, 3"):
             hdr_upscale(up_params, jnp.zeros((4, 4, 3)), up_cfg)
+
+
+class TestBudgetedTiling:
+    def test_hbm_budget_shrinks_tile(self, up_cfg, up_params, rng):
+        """A tight hbm budget makes the pipeline pick a smaller tile; the
+        output is still correct (same content as the unbudgeted run up to
+        seam blending)."""
+        img = jnp.asarray(rng.uniform(0, 1, (1, 20, 20, 3)), jnp.float32)
+        free = UpscaleConfig(tiling=TilingConfig(tile=16, overlap=2))
+        tight = UpscaleConfig(tiling=TilingConfig(
+            tile=16, overlap=2, min_tile=4,
+            hbm_budget_bytes=8 * 8 * 200))  # forces tiles below 16
+        a = hdr_upscale(up_params, img, up_cfg, free)
+        b = hdr_upscale(up_params, img, up_cfg, tight)
+        assert a.image.shape == b.image.shape
+        # interiors agree; seams differ only by feather blending
+        diff = np.abs(np.asarray(a.image) - np.asarray(b.image))
+        assert np.median(diff) < 0.05
