@@ -190,11 +190,21 @@ class HDRUpscaleWithModel:
     FUNCTION = "upscale"
     CATEGORY = "HDR/Upscale"
 
+    # Loaded-checkpoint cache: the reference reloads the model from disk on
+    # every node invocation (`hdr_upscale_with_model.py:149`); repeated
+    # graph executions here reuse the converted pytree.
+    _MODEL_CACHE: Dict[str, tuple] = {}
+
     def upscale(self, image, model_name: str, small_blur: bool,
                 local_fix: bool, upscale_method: str) -> Tuple[np.ndarray]:
         import jax.numpy as jnp
         path = folders.get_full_path("upscale_models", model_name)
-        params, model_cfg, arch = load_upscale_model(path)
+        cached = self._MODEL_CACHE.get(path)
+        if cached is None:
+            cached = load_upscale_model(path)
+            self._MODEL_CACHE.clear()  # hold at most one model
+            self._MODEL_CACHE[path] = cached
+        params, model_cfg, arch = cached
         img = jnp.asarray(_to_numpy(image), jnp.float32)
         if img.ndim == 3:
             img = img[None]

@@ -44,18 +44,25 @@ class HDRDecodeResult(NamedTuple):
     used_fallback: jnp.ndarray            # 0-d bool: raw-features tier used
 
 
-def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
-                 cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                ConvOutAnalysis]:
-    """Analysis + mode math + acceptance select on decoder outputs.
+def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
+                            pre_stats: Dict[str, jnp.ndarray],
+                            cfg: HDRDecodeConfig
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                       ConvOutAnalysis]:
+    """Mode math + acceptance select from pre-computed parts.
 
-    Separated from the decoder forward so the tiled/sharded executors can
-    reuse it on stitched outputs.
+    The tiled/sharded executors collapse each tile's 128-channel pre map to
+    3 channels BEFORE stitching (pointwise, so it commutes with stitching)
+    and combine the raw-pre statistics from per-tile partials — at 4K the
+    raw stitched map would be a multi-GB tensor.
     """
     mode = cfg.canonical_mode()
-    analysis = analyze_conv_out(rgb, pre_conv_out)
+    from hdrvae.core.stats import tensor_stats
+    post_stats = tensor_stats(rgb)
+    from hdrvae.decode.analysis import classify_normalization
+    analysis = ConvOutAnalysis(pre_stats=pre_stats, post_stats=post_stats,
+                               norm_kind=classify_normalization(post_stats))
 
-    pre_collapsed = collapse_channels_maxpool(pre_conv_out)
     ldr_linear = srgb_to_linear(rgb)
     maps = build_recovery_maps(rgb, pre_collapsed, analysis.pre_stats,
                                analysis.norm_kind, cfg)
@@ -76,6 +83,17 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
     image = image * cfg.conservative_ev_multiplier
 
     return image.astype(jnp.float32), jnp.logical_not(accept), analysis
+
+
+def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
+                 cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                ConvOutAnalysis]:
+    """Analysis + mode math + acceptance select on decoder outputs
+    (whole-image form; computes stats and the collapse in-graph)."""
+    from hdrvae.core.stats import tensor_stats
+    pre_stats = tensor_stats(pre_conv_out)
+    pre_collapsed = collapse_channels_maxpool(pre_conv_out)
+    return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg)
 
 
 def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
@@ -103,7 +121,8 @@ def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision):
 def hdr_decode(params: Params, latent: jnp.ndarray,
                decoder_cfg: DecoderConfig = DecoderConfig(),
                cfg: HDRDecodeConfig = HDRDecodeConfig(),
-               precision: Precision = Precision()) -> HDRDecodeResult:
+               precision: Precision = Precision(),
+               *, shape_bucket: int = 0) -> HDRDecodeResult:
     """Decode a latent to a linear HDR image.
 
     Args:
@@ -111,6 +130,13 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
       latent: [B, h, w, z_channels] NHWC (or [B, z, h, w] NCHW, detected and
         transposed for API compatibility with torch-layout callers).
       decoder_cfg / cfg / precision: static configs (hashable dataclasses).
+      shape_bucket: when > 0, pad the latent H/W up to multiples of this
+        value (edge padding) and crop the output — bounding the number of
+        compiled shapes for arbitrary-resolution serving (SURVEY.md
+        section 7 hard-parts, "recompilation storms").  NOTE: padding
+        participates in GroupNorm statistics, so bucketed output differs
+        slightly from the unpadded decode; 0 (default) compiles exact
+        shapes.
 
     Returns an :class:`HDRDecodeResult`; ``stats`` remain device arrays.
     """
@@ -125,8 +151,22 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                 f"latent shape {latent.shape} has no {zc}-channel axis "
                 f"(expected NHWC or NCHW with z_channels={zc})")
 
+    orig_h, orig_w = latent.shape[1], latent.shape[2]
+    if shape_bucket > 0:
+        pad_h = -orig_h % shape_bucket
+        pad_w = -orig_w % shape_bucket
+        if pad_h or pad_w:
+            latent = jnp.pad(latent, ((0, 0), (0, pad_h), (0, pad_w),
+                                      (0, 0)), mode="edge")
+
     image, standard, stats, used_fallback = _hdr_decode_compiled(
         params, latent, decoder_cfg, cfg, precision)
+
+    if shape_bucket > 0 and (latent.shape[1] != orig_h
+                             or latent.shape[2] != orig_w):
+        s = decoder_cfg.spatial_scale
+        image = image[:, :orig_h * s, :orig_w * s]
+        standard = standard[:, :orig_h * s, :orig_w * s]
     return HDRDecodeResult(image=image, standard=standard, stats=stats,
                            used_fallback=used_fallback)
 

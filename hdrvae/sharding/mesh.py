@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig, MeshConfig,
                                 Precision)
-from hdrvae.decode.pipeline import hdr_epilogue
+from hdrvae.decode.formatting import collapse_channels_maxpool
+from hdrvae.decode.pipeline import hdr_epilogue_from_parts
 from hdrvae.models.decoder import decoder_apply
 from hdrvae.tiling.tiled import TilePlan, blend_tiles, extract_tiles, \
     plan_tiles
@@ -43,6 +44,23 @@ def make_mesh(num_devices: Optional[int] = None,
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def _crop_boxes(plan: TilePlan, scale: int):
+    """Per-tile interior (top, bottom, left, right) in tile-pixel space —
+    identical regions to blend_tiles(mode='crop')."""
+    th, tw = plan.tile_h * scale, plan.tile_w * scale
+    out_h, out_w = plan.height * scale, plan.width * scale
+    half = (plan.overlap * scale) // 2
+    boxes = []
+    for y, x0 in plan.positions:
+        ys, xs = y * scale, x0 * scale
+        top = 0 if ys == 0 else half
+        left = 0 if xs == 0 else half
+        bottom = th if ys + th >= out_h else th - half
+        right = tw if xs + tw >= out_w else tw - half
+        boxes.append((top, bottom, left, right))
+    return boxes
 
 
 def _pad_tiles(tiles: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
@@ -83,22 +101,59 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
                       tape=collect_tape)
         collected = collect_tape.stats
 
-    def decode_tile(tile):
+    scale = decoder_cfg.spatial_scale
+    n_real = plan.num_tiles
+    # per-tile interior crop boxes (pixel space) — the same regions
+    # blend_tiles(mode="crop") pastes, so every pixel is counted exactly
+    # once in the combined statistics.
+    boxes = jnp.asarray(_crop_boxes(plan, scale), jnp.int32)
+    boxes = jnp.concatenate(
+        [boxes, jnp.zeros((tiles.shape[0] - n_real, 4), jnp.int32)], axis=0)
+
+    def decode_tile(tile, box):
         tape = None
         if collected is not None:
             from hdrvae.models.layers import GNTape
             tape = GNTape("inject", collected)
         out = decoder_apply(params, tile, decoder_cfg, precision=precision,
                             tape=tape)
-        return out.rgb, out.pre_conv_out
+        # Collapse the 128-ch pre map to 3 channels HERE (pointwise ->
+        # commutes with stitching): the raw stitched map at 4K would be a
+        # multi-GB tensor.  Raw-pre statistics travel as per-tile partials
+        # masked to the interior crop region.
+        pre_f = out.pre_conv_out.astype(jnp.float32)
+        h, w = pre_f.shape[1], pre_f.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        mask = ((rows >= box[0]) & (rows < box[1])
+                & (cols >= box[2]) & (cols < box[3]))[None, :, :, None]
+        cnt = jnp.sum(mask) * pre_f.shape[0] * pre_f.shape[3]
+        masked = jnp.where(mask, pre_f, 0.0)
+        partial = (jnp.sum(masked), jnp.sum(jnp.square(masked)),
+                   jnp.min(jnp.where(mask, pre_f, jnp.inf)),
+                   jnp.max(jnp.where(mask, pre_f, -jnp.inf)),
+                   cnt.astype(jnp.float32))
+        return out.rgb, collapse_channels_maxpool(out.pre_conv_out), partial
 
-    rgb_tiles, pre_tiles = jax.vmap(decode_tile)(tiles)
+    rgb_tiles, prec_tiles, partials = jax.vmap(decode_tile)(tiles, boxes)
 
-    scale = decoder_cfg.spatial_scale
-    n_real = plan.num_tiles
     rgb = blend_tiles(rgb_tiles[:n_real], plan, scale=scale, mode="crop")
-    pre = blend_tiles(pre_tiles[:n_real], plan, scale=scale, mode="crop")
-    image, used_fallback, analysis = hdr_epilogue(rgb, pre, cfg)
+    pre_c = blend_tiles(prec_tiles[:n_real], plan, scale=scale, mode="crop")
+
+    psum, psumsq, pmin, pmax, pcnt = partials
+    n = jnp.sum(pcnt[:n_real])
+    mean = jnp.sum(psum[:n_real]) / n
+    var = jnp.maximum(jnp.sum(psumsq[:n_real]) / n - jnp.square(mean), 0.0)
+    # unbiased (ddof=1) to match torch.std semantics of the analysis pass
+    var = var * n / jnp.maximum(n - 1.0, 1.0)
+    pre_stats = {
+        "min": jnp.min(pmin[:n_real]),
+        "max": jnp.max(pmax[:n_real]),
+        "mean": mean,
+        "std": jnp.sqrt(var),
+    }
+    image, used_fallback, analysis = hdr_epilogue_from_parts(
+        rgb, pre_c, pre_stats, cfg)
     return image, rgb, used_fallback
 
 

@@ -44,6 +44,8 @@ def small_params(small_cfg):
     return init_decoder(jax.random.PRNGKey(0), small_cfg)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of which
+    # subset of the suite runs (order-independent determinism)
     return np.random.default_rng(1234)

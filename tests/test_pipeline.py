@@ -143,7 +143,8 @@ def test_bad_latent_shapes_rejected(small_cfg, small_params):
     with pytest.raises(ValueError, match="4D"):
         hdr_decode(small_params, jnp.zeros((4, 4, 4)), small_cfg)
     with pytest.raises(ValueError, match="channel"):
-        hdr_decode(small_params, jnp.zeros((1, 4, 4, 7)), small_cfg)
+        # no axis equals z_channels (=4), so layout detection cannot save it
+        hdr_decode(small_params, jnp.zeros((1, 5, 5, 7)), small_cfg)
 
 
 def test_decode_summary_single_sync(small_cfg, small_params, rng):
@@ -168,3 +169,23 @@ def test_ev_multiplier_applied(small_cfg, small_params, rng):
                                         conservative_ev_multiplier=2.0))
     np.testing.assert_allclose(np.asarray(scaled.image),
                                np.asarray(base.image) * 2.0, rtol=1e-6)
+
+
+def test_shape_bucketing(small_cfg, small_params, rng):
+    """Bucketed decode compiles one padded shape for nearby resolutions and
+    crops the output back; result stays close to the exact-shape decode
+    (padding shifts GroupNorm stats slightly)."""
+    latent5 = _latent(rng, small_cfg, h=5, w=7)
+    exact = hdr_decode(small_params, latent5, small_cfg)
+    bucketed = hdr_decode(small_params, latent5, small_cfg, shape_bucket=8)
+    assert bucketed.image.shape == exact.image.shape
+    scale = max(1.0, float(np.abs(np.asarray(exact.image)).max()))
+    err = np.abs(np.asarray(exact.image)
+                 - np.asarray(bucketed.image)).max() / scale
+    assert err < 0.35, err  # stats shift, bounded
+
+    # a second, different small size hits the SAME compiled shape
+    latent6 = _latent(rng, small_cfg, h=6, w=6)
+    out = hdr_decode(small_params, latent6, small_cfg, shape_bucket=8)
+    assert out.image.shape[1:3] == (6 * small_cfg.spatial_scale,
+                                    6 * small_cfg.spatial_scale)
