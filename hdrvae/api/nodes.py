@@ -21,10 +21,9 @@ import numpy as np
 
 from hdrvae.api import folders
 from hdrvae.api.vae import VAE
-from hdrvae.core.config import (EXR_COMPRESSIONS, HDR_MODE_ALIASES,
-                                HDR_MODES, UPSCALE_METHODS, ExportConfig,
+from hdrvae.core.config import (EXR_COMPRESSIONS, HDR_MODES,
+                                UPSCALE_METHODS, ExportConfig,
                                 HDRDecodeConfig, UpscaleConfig)
-from hdrvae.core.stats import stats_to_host
 from hdrvae.decode.pipeline import decode_summary, hdr_decode
 from hdrvae.io.export import export_linear, export_node_return
 from hdrvae.models.rrdbnet import load_upscale_model

@@ -9,7 +9,7 @@ A handle owns the decoder params + config and exposes ``decode`` /
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

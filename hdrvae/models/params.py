@@ -14,8 +14,7 @@ Two key schemas are supported for the decoder:
 
 from __future__ import annotations
 
-import re
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import jax
 import jax.numpy as jnp

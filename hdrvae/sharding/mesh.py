@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig, MeshConfig,
+from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig,
                                 Precision)
 from hdrvae.decode.formatting import collapse_channels_maxpool
 from hdrvae.decode.pipeline import hdr_epilogue_from_parts

@@ -21,7 +21,7 @@ unit the mesh shards over ICI: tiles are data-parallel work items
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Tuple
 
 import jax
 import jax.numpy as jnp

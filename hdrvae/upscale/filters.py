@@ -7,9 +7,6 @@ reflect padding to match the torch/kornia defaults.
 
 from __future__ import annotations
 
-import math
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
