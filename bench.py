@@ -27,6 +27,9 @@ def main() -> int:
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--precision", choices=("fast", "parity"),
                         default="fast")
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--tiled", action="store_true",
+                        help="benchmark the sharded/tiled decode path")
     parser.add_argument("--extra", action="store_true",
                         help="also print secondary metrics as extra lines")
     args = parser.parse_args()
@@ -49,13 +52,22 @@ def main() -> int:
     latent_edge = args.size // decoder_cfg.spatial_scale
     params = init_decoder(jax.random.PRNGKey(0), decoder_cfg)
     latent = jax.random.normal(
-        jax.random.PRNGKey(1), (1, latent_edge, latent_edge,
+        jax.random.PRNGKey(1), (args.batch, latent_edge, latent_edge,
                                 decoder_cfg.z_channels), jnp.float32)
 
-    def step():
-        image, rgb, stats, fb = _hdr_decode_compiled(
-            params, latent, decoder_cfg, cfg, precision)
-        return image
+    if args.tiled:
+        from hdrvae.sharding.mesh import make_mesh, sharded_tiled_decode
+        mesh = make_mesh()
+
+        def step():
+            return sharded_tiled_decode(
+                params, latent, decoder_cfg, cfg, mesh=mesh,
+                norm_stats="per_tile", precision=precision)
+    else:
+        def step():
+            image, rgb, stats, fb = _hdr_decode_compiled(
+                params, latent, decoder_cfg, cfg, precision)
+            return image
 
     # warmup (includes compile)
     t0 = time.perf_counter()
@@ -70,11 +82,13 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
 
     best = min(times)
-    megapixels = (args.size * args.size) / 1e6
+    megapixels = args.batch * (args.size * args.size) / 1e6
     mp_per_s = megapixels / best
 
     result = {
-        "metric": f"hdr_decode_mp_per_s_{args.size}",
+        "metric": f"hdr_decode_mp_per_s_{args.size}"
+                  + ("_tiled" if args.tiled else "")
+                  + (f"_b{args.batch}" if args.batch > 1 else ""),
         "value": round(mp_per_s, 3),
         "unit": "MP/s",
         "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 1),

@@ -135,7 +135,26 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
                    cnt.astype(jnp.float32))
         return out.rgb, collapse_channels_maxpool(out.pre_conv_out), partial
 
-    rgb_tiles, prec_tiles, partials = jax.vmap(decode_tile)(tiles, boxes)
+    # Tiles are processed in device-count-sized chunks: lax.map runs chunks
+    # SEQUENTIALLY (bounding live activations to one tile per device) while
+    # vmap + the sharding constraint spreads each chunk across the mesh.
+    # A plain vmap over all T tiles would batch every tile's activations
+    # at once — tens of GB for a 4K image on one device.
+    n_dev = mesh.devices.size
+    t_total = tiles.shape[0]
+    tiles_g = tiles.reshape((t_total // n_dev, n_dev) + tiles.shape[1:])
+    boxes_g = boxes.reshape(t_total // n_dev, n_dev, 4)
+
+    def chunk_fn(args):
+        chunk, chunk_boxes = args
+        chunk = jax.lax.with_sharding_constraint(chunk, tile_sharding)
+        return jax.vmap(decode_tile)(chunk, chunk_boxes)
+
+    rgb_g, prec_g, partials_g = jax.lax.map(chunk_fn, (tiles_g, boxes_g))
+    rgb_tiles = rgb_g.reshape((t_total,) + rgb_g.shape[2:])
+    prec_tiles = prec_g.reshape((t_total,) + prec_g.shape[2:])
+    partials = jax.tree_util.tree_map(
+        lambda x: x.reshape((t_total,) + x.shape[2:]), partials_g)
 
     rgb = blend_tiles(rgb_tiles[:n_real], plan, scale=scale, mode="crop")
     pre_c = blend_tiles(prec_tiles[:n_real], plan, scale=scale, mode="crop")
