@@ -59,29 +59,38 @@ def main() -> int:
         from hdrvae.sharding.mesh import make_mesh, sharded_tiled_decode
         mesh = make_mesh()
 
-        def step():
-            return sharded_tiled_decode(
-                params, latent, decoder_cfg, cfg, mesh=mesh,
+        def step(x):
+            img = sharded_tiled_decode(
+                params, x, decoder_cfg, cfg, mesh=mesh,
                 norm_stats="per_tile", precision=precision)
+            return x + img.mean() * 1e-6
     else:
-        def step():
+        def step(x):
             image, rgb, stats, fb = _hdr_decode_compiled(
-                params, latent, decoder_cfg, cfg, precision)
-            return image
+                params, x, decoder_cfg, cfg, precision)
+            return x + image.mean() * 1e-6
 
-    # warmup (includes compile)
+    # Timing: chain steps through a data dependency and sync once with a
+    # host fetch — per-call block_until_ready costs a readiness RPC on
+    # remote backends and distorts per-step numbers.
+    import numpy as np
+
+    def sync(x):
+        np.asarray(x.ravel()[0])
+
     t0 = time.perf_counter()
+    x = latent
     for _ in range(max(1, args.warmup)):
-        step().block_until_ready()
+        x = step(x)
+    sync(x)
     compile_s = time.perf_counter() - t0
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(args.runs):
-        t0 = time.perf_counter()
-        step().block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
+        x = step(x)
+    sync(x)
+    best = (time.perf_counter() - t0) / args.runs
+    times = [best]
     megapixels = args.batch * (args.size * args.size) / 1e6
     mp_per_s = megapixels / best
 
