@@ -46,6 +46,10 @@ class VAE:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             params = init_decoder(jax.random.PRNGKey(seed), config)
+        # Re-home to the default accelerator: CPU-created arrays are
+        # COMMITTED to CPU and would silently drag every downstream jit
+        # onto the CPU backend.
+        params = jax.device_put(params, jax.devices()[0])
         return cls(params=params, config=config, precision=precision)
 
     def decode(self, latent: jnp.ndarray, *,
