@@ -44,10 +44,13 @@ class DecoderConfig:
     shift_factor: float = 0.1159
 
     # Output mapping from decoder range [-1, 1] to image range [0, 1]
-    # (the host framework's process_output; this is what makes the
-    # reference's analysis classify the transform as "SIGMOID"-like).
+    # (the host framework's process_output: clamp((x+1)/2, 0, 1)).  The
+    # clamp is what makes the reference's analysis see post range exactly
+    # [0, 1] and classify the transform as SIGMOID — which in turn selects
+    # the logit recovery path.  Disable output_clamp only for raw studies.
     output_scale: float = 0.5
     output_shift: float = 0.5
+    output_clamp: bool = True
 
     @property
     def num_levels(self) -> int:

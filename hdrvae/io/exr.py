@@ -69,6 +69,8 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
             return
         logger.warning("native EXR write returned %d; falling back to "
                        "pure-Python writer", rc)
+        # the pure-Python writer has no PIZ: re-resolve for have_native=False
+        compression = _resolve_compression(compression, False)
     exr_py.write_exr(path, image, pixel_type=pixel_type,
                      compression=compression)
 

@@ -130,8 +130,13 @@ def decoder_apply(params: Params, z: jnp.ndarray,
     if apply_conv_out:
         rgb = conv2d(pre_conv_out, params["conv_out"], precision=precision)
         if postprocess_output:
-            # Host-framework output mapping [-1,1] -> [0,1] (unclamped).
+            # Host-framework output mapping: clamp((x+1)/2, 0, 1).  The
+            # clamp matches ComfyUI's process_output — the reference's
+            # analysis relies on the exact [0, 1] post range to classify
+            # SIGMOID and select logit recovery.
             rgb = rgb * cfg.output_scale + cfg.output_shift
+            if cfg.output_clamp:
+                rgb = jnp.clip(rgb, 0.0, 1.0)
         rgb = rgb.astype(jnp.float32)
 
     return DecodeOutput(rgb=rgb, pre_conv_out=pre_conv_out)

@@ -46,20 +46,44 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def _ownership_intervals(starts, tile_px: int, out_px: int, half: int):
+    """Per-axis pixel intervals each tile OWNS after blend_tiles(mode='crop')
+    overwrite order: tile k's interior is clipped where the NEXT tile's
+    interior begins (later tiles .set over earlier ones), so the intervals
+    partition the axis exactly — no pixel counted twice even when a clamped
+    last tile breaks the regular stride."""
+    intervals = []
+    n = len(starts)
+    for i, s in enumerate(starts):
+        sp = s  # already pixel-space
+        int_start = 0 if sp == 0 else sp + half
+        int_end = out_px if sp + tile_px >= out_px else sp + tile_px - half
+        if i + 1 < n:
+            nxt = starts[i + 1]
+            nxt_start = 0 if nxt == 0 else nxt + half
+            int_end = min(int_end, nxt_start)
+        intervals.append((int_start, int_end))
+    return intervals
+
+
 def _crop_boxes(plan: TilePlan, scale: int):
-    """Per-tile interior (top, bottom, left, right) in tile-pixel space —
-    identical regions to blend_tiles(mode='crop')."""
+    """Per-tile owned (top, bottom, left, right) in tile-pixel space —
+    matching exactly the pixels each tile contributes to the final stitched
+    image under blend_tiles(mode='crop') overwrite semantics."""
     th, tw = plan.tile_h * scale, plan.tile_w * scale
     out_h, out_w = plan.height * scale, plan.width * scale
     half = (plan.overlap * scale) // 2
+    ys = sorted({y * scale for y, _ in plan.positions})
+    xs = sorted({x * scale for _, x in plan.positions})
+    y_int = dict(zip(ys, _ownership_intervals(ys, th, out_h, half)))
+    x_int = dict(zip(xs, _ownership_intervals(xs, tw, out_w, half)))
     boxes = []
     for y, x0 in plan.positions:
-        ys, xs = y * scale, x0 * scale
-        top = 0 if ys == 0 else half
-        left = 0 if xs == 0 else half
-        bottom = th if ys + th >= out_h else th - half
-        right = tw if xs + tw >= out_w else tw - half
-        boxes.append((top, bottom, left, right))
+        ya, yb = y_int[y * scale]
+        xa, xb = x_int[x0 * scale]
+        # convert absolute intervals to tile-local coordinates
+        boxes.append((ya - y * scale, yb - y * scale,
+                      xa - x0 * scale, xb - x0 * scale))
     return boxes
 
 
@@ -233,8 +257,12 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
     tiles = extract_tiles(latent, plan)       # [T, B, th, tw, zc]
     tiles, _ = _pad_tiles(tiles, n_dev)
 
-    params = jax.device_put(
-        params, NamedSharding(mesh, P()))     # replicate weights
+    # Replicate weights over the mesh — but skip the ~100-200 MB transfer
+    # when a serving loop passes params already placed there.
+    replicated = NamedSharding(mesh, P())
+    first_leaf = jax.tree_util.tree_leaves(params)[0]
+    if getattr(first_leaf, "sharding", None) != replicated:
+        params = jax.device_put(params, replicated)
     tiles = jax.device_put(
         tiles, NamedSharding(mesh, P(axis_name)))
 

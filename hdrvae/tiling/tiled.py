@@ -135,25 +135,19 @@ def blend_tiles(tiles: jnp.ndarray, plan: TilePlan, *, scale: int = 1,
 
 def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
                 *, tile: int = 512, overlap: int = 64, scale: int = 1,
-                mode: str = "feather", batched: bool = False) -> jnp.ndarray:
+                mode: str = "feather") -> jnp.ndarray:
     """Apply ``fn`` tile-by-tile over [B, H, W, C] with seam handling.
 
-    ``fn`` maps [B, th, tw, C] -> [B, s*th, s*tw, C'] (or the stacked
-    [T, B, th, tw, C] form when ``batched=True``, which is what the sharded
-    executor vmaps/shards over devices).
-
-    Memory: the sequential path uses ``lax.map`` so only one tile's
-    activations are live at a time — the static-shape replacement for the
-    reference's OOM-halving loop.
+    ``fn`` maps [B, th, tw, C] -> [B, s*th, s*tw, C'].  Tiles run through
+    ``lax.map`` so only one tile's activations are live at a time — the
+    static-shape replacement for the reference's OOM-halving loop.  (The
+    mesh-parallel stacked-tile form lives in hdrvae.sharding.mesh.)
     """
     plan = plan_tiles(x.shape[1], x.shape[2], tile, overlap)
     tiles = extract_tiles(x, plan)
     if plan.num_tiles == 1:
         return fn(tiles[0])
-    if batched:
-        out = fn(tiles)
-    else:
-        out = jax.lax.map(fn, tiles)
+    out = jax.lax.map(fn, tiles)
     return blend_tiles(out, plan, scale=scale, mode=mode)
 
 
@@ -164,8 +158,7 @@ def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
 
 def select_tile_size(height: int, width: int, *, bytes_per_pixel: float,
                      hbm_budget_bytes: int, preferred: int = 512,
-                     overlap: int = 64, min_tile: int = 128,
-                     alignment: int = 64) -> int:
+                     min_tile: int = 128, alignment: int = 64) -> int:
     """Pick the largest aligned tile <= preferred whose working set fits the
     budget — the trace-time replacement for the reference's halve-on-OOM
     retry (`hdr_upscale_with_model.py:137-144`, floor 128 kept)."""

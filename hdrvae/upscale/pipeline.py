@@ -77,7 +77,7 @@ def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
         tile = select_tile_size(
             x.shape[1], x.shape[2], bytes_per_pixel=float(bpp),
             hbm_budget_bytes=cfg.tiling.hbm_budget_bytes, preferred=tile,
-            overlap=cfg.tiling.overlap, min_tile=cfg.tiling.min_tile)
+            min_tile=cfg.tiling.min_tile)
 
     return tiled_apply(model_with_reversal, x, tile=tile,
                        overlap=cfg.tiling.overlap, scale=model_cfg.scale,

@@ -5,8 +5,9 @@ The reference exposes five methods on the upscale node
 bislerp) and delegates to ComfyUI's ``common_upscale``.  This module owns
 them:
 
-  - nearest-exact / bilinear / bicubic: ``jax.image.resize`` equivalents
-    (align_corners=False, half-pixel centers — torch semantics).
+  - nearest-exact / bilinear: torch semantics (align_corners=False,
+    half-pixel centers); bicubic: explicit Keys a=-0.75 kernel matching
+    torch (jax.image's cubic uses a=-0.5).
   - area: adaptive average pooling.
   - bislerp: bilinear weights applied as a spherical interpolation of
     normalized pixel vectors (ComfyUI's signature method) — magnitudes
@@ -25,6 +26,38 @@ def _resize_jax(x: jnp.ndarray, height: int, width: int,
                 method: str) -> jnp.ndarray:
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, height, width, c), method=method)
+
+
+def bicubic_torch(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bicubic with the torch/ComfyUI kernel (Keys a = -0.75; jax.image's
+    'cubic' uses a = -0.5, which diverges near edges — parity matters for
+    the local_fix mask threshold)."""
+    a = -0.75
+
+    def kernel(t):
+        t = jnp.abs(t)
+        return jnp.where(
+            t <= 1.0, (a + 2.0) * t ** 3 - (a + 3.0) * t ** 2 + 1.0,
+            jnp.where(t < 2.0,
+                      a * t ** 3 - 5.0 * a * t ** 2 + 8.0 * a * t - 4.0 * a,
+                      0.0))
+
+    def axis_weights(n_out, n_in):
+        s = (jnp.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        base = jnp.floor(s).astype(jnp.int32)
+        frac = s - base
+        idx = base[:, None] + jnp.arange(-1, 3)[None, :]   # [n_out, 4]
+        w = kernel(frac[:, None] - jnp.arange(-1, 3)[None, :])
+        idx = jnp.clip(idx, 0, n_in - 1)                   # replicate edges
+        return idx, w.astype(x.dtype)
+
+    yi, yw = axis_weights(height, x.shape[1])
+    xi, xw = axis_weights(width, x.shape[2])
+    # rows: gather [B, n_out, 4, W, C] -> weighted sum
+    rows = x[:, yi]                                        # [B,H',4,W,C]
+    rows = jnp.einsum("bhkwc,hk->bhwc", rows, yw)
+    cols = rows[:, :, xi]                                  # [B,H',W',4,C]
+    return jnp.einsum("bhwkc,wk->bhwc", cols, xw)
 
 
 def nearest_exact(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -131,7 +164,7 @@ def common_upscale(x: jnp.ndarray, width: int, height: int,
     if method == "bilinear":
         return _resize_jax(x, height, width, "bilinear")
     if method == "bicubic":
-        return _resize_jax(x, height, width, "cubic")
+        return bicubic_torch(x, height, width)
     if method == "area":
         return area(x, height, width)
     return bislerp(x, height, width)

@@ -320,3 +320,21 @@ class TestPIZFuzz:
         np.testing.assert_array_equal(exr.read_exr(path), img)
         # constant data compresses to almost nothing
         assert os.path.getsize(path) < 1200
+
+
+def test_piz_python_fallback_after_native_failure(tmp_path, monkeypatch):
+    """If the native writer errors at write time, the python fallback must
+    substitute zip for piz instead of raising (review regression)."""
+    import hdrvae.io.exr as exr_mod
+
+    class FailingLib:
+        def exr_write(self, *a):
+            return -5
+
+    monkeypatch.setattr(exr_mod, "load_native", lambda: FailingLib())
+    img = np.random.default_rng(0).standard_normal((6, 6, 3)).astype(
+        np.float32)
+    path = str(tmp_path / "fb.exr")
+    exr_mod.write_exr(path, img, compression="piz")  # must not raise
+    header, _ = exr_py.read_exr_header(open(path, "rb").read())
+    assert header["compression"] == "zip"

@@ -298,3 +298,23 @@ class TestBudgetedTiling:
         # interiors agree; seams differ only by feather blending
         diff = np.abs(np.asarray(a.image) - np.asarray(b.image))
         assert np.median(diff) < 0.05
+
+
+class TestBicubicTorchParity:
+    def test_matches_torch_bicubic(self, rng):
+        x = rng.standard_normal((1, 7, 9, 3)).astype(np.float32)
+        ours = np.asarray(common_upscale(jnp.asarray(x), 18, 14, "bicubic"))
+        theirs = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(14, 18),
+            mode="bicubic", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+    def test_downscale_matches_torch(self, rng):
+        x = rng.standard_normal((1, 12, 16, 3)).astype(np.float32)
+        ours = np.asarray(common_upscale(jnp.asarray(x), 8, 6, "bicubic"))
+        theirs = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(6, 8),
+            mode="bicubic", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)

@@ -127,6 +127,8 @@ class TorchDecoder(nn.Module):
         rgb = self.conv_out(pre)
         if postprocess_output:
             rgb = rgb * cfg.output_scale + cfg.output_shift
+            if cfg.output_clamp:
+                rgb = torch.clamp(rgb, 0.0, 1.0)
         return rgb, pre
 
 
