@@ -89,10 +89,10 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
                  cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                 ConvOutAnalysis]:
     """Analysis + mode math + acceptance select on decoder outputs
-    (whole-image form; computes stats and the collapse in-graph)."""
-    from hdrvae.core.stats import tensor_stats
-    pre_stats = tensor_stats(pre_conv_out)
-    pre_collapsed = collapse_channels_maxpool(pre_conv_out)
+    (whole-image form; the collapse + raw statistics run as ONE fused
+    Pallas pass over the pre map on TPU — see kernels/epilogue.py)."""
+    from hdrvae.kernels.epilogue import collapse_and_stats
+    pre_collapsed, pre_stats = collapse_and_stats(pre_conv_out)
     return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg)
 
 

@@ -1,0 +1,152 @@
+"""Fused HDR-epilogue kernel: MAX-pool collapse + raw statistics in ONE
+streamed pass over the pre-conv_out map.
+
+The north-star design (BASELINE.json): "all four HDR expansion modes plus
+the MAX-pool 128->3 channel collapse compile into the same fused decode
+kernel to avoid extra HBM round-trips".  The mode math itself is cheap
+elementwise work on the 3-channel result (XLA fuses it); the expensive part
+is the [B, H, W, 128] pre map, which the XLA epilogue reads several times
+(min/max/mean/std reductions + the collapse).  This kernel reads it ONCE,
+emitting the collapsed map and partial sums; the host-side combine is a
+handful of scalars.
+
+Grid is 1-D over row-blocks; TPU grids execute sequentially, so the scalar
+accumulators in SMEM scratch are race-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_M = 1024  # rows of the flattened [M, C] view per grid step
+
+
+def _epilogue_kernel(pre_ref, collapsed_ref, sum_ref, sumsq_ref, min_ref,
+                     max_ref, acc_ref, *, m_total: int, block_m: int,
+                     bounds: Tuple[int, int, int, int]):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[0, 0] = 0.0          # sum
+        acc_ref[0, 1] = 0.0          # sumsq
+        acc_ref[0, 2] = jnp.inf      # min
+        acc_ref[0, 3] = -jnp.inf     # max
+
+    x = pre_ref[...].astype(jnp.float32)            # [block_m, C]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * block_m
+    valid = rows < m_total
+
+    xv = jnp.where(valid, x, 0.0)
+    acc_ref[0, 0] += jnp.sum(xv)
+    acc_ref[0, 1] += jnp.sum(jnp.square(xv))
+    acc_ref[0, 2] = jnp.minimum(acc_ref[0, 2],
+                                jnp.min(jnp.where(valid, x, jnp.inf)))
+    acc_ref[0, 3] = jnp.maximum(acc_ref[0, 3],
+                                jnp.max(jnp.where(valid, x, -jnp.inf)))
+
+    a, b, c, d = bounds
+    r = jnp.max(x[:, a:b], axis=1)
+    g = jnp.max(x[:, b:c], axis=1)
+    bl = jnp.max(x[:, c:d], axis=1)
+    collapsed_ref[...] = jnp.stack([r, g, bl], axis=1).astype(
+        collapsed_ref.dtype)
+
+    @pl.when(i == n_blocks - 1)
+    def _finalize():
+        sum_ref[0, 0] = acc_ref[0, 0]
+        sumsq_ref[0, 0] = acc_ref[0, 1]
+        min_ref[0, 0] = acc_ref[0, 2]
+        max_ref[0, 0] = acc_ref[0, 3]
+
+
+def _collapse_bounds(c: int) -> Tuple[int, int, int, int]:
+    if c == 128:
+        return (0, 42, 84, 126)
+    step = c // 3
+    return (0, step, 2 * step, 3 * step)
+
+
+def collapse_and_stats_pallas(pre: jnp.ndarray, *, interpret: bool = False
+                              ) -> Tuple[jnp.ndarray,
+                                         Dict[str, jnp.ndarray]]:
+    """pre: [B, H, W, C] -> (collapsed [B, H, W, 3], stats dict).
+
+    Stats match hdrvae.core.stats.tensor_stats semantics (ddof=1 std).
+    """
+    b, h, w, c = pre.shape
+    m = b * h * w
+    flat = pre.reshape(m, c)
+    block_m = min(_BLOCK_M, m)
+    grid = (pl.cdiv(m, block_m),)
+
+    kernel = functools.partial(_epilogue_kernel, m_total=m,
+                               block_m=block_m,
+                               bounds=_collapse_bounds(c))
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((block_m, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((block_m, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, 3), pre.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+        interpret=interpret,
+    )
+    collapsed, s, ss, mn, mx = call(flat)
+    n = jnp.float32(m * c)
+    mean = s[0, 0] / n
+    var = jnp.maximum(ss[0, 0] / n - jnp.square(mean), 0.0)
+    var = var * n / jnp.maximum(n - 1.0, 1.0)   # ddof=1, torch.std
+    stats = {"min": mn[0, 0], "max": mx[0, 0], "mean": mean,
+             "std": jnp.sqrt(var)}
+    return collapsed.reshape(b, h, w, 3), stats
+
+
+def collapse_and_stats(pre: jnp.ndarray) -> Tuple[jnp.ndarray,
+                                                  Dict[str, jnp.ndarray]]:
+    """Collapse + stats over the pre map.
+
+    The fused Pallas single-pass kernel above is numerically exact on-chip
+    but MEASURED SLOWER than XLA's fused reductions end-to-end (197 ms vs
+    110 ms at 1024^2): 1024-row grid steps are too small to amortize, the
+    scalar SMEM accumulation serializes the pipeline, and the 3-lane
+    collapsed store wastes the VPU.  XLA already fuses the min/max/mean and
+    collapse reads well, so the jnp path is the default; the kernel stays
+    as opt-in groundwork (HDRVAE_FUSED_EPILOGUE=1) for a future blocked
+    rewrite.
+    """
+    from hdrvae.core.stats import tensor_stats
+    from hdrvae.decode.formatting import collapse_channels_maxpool
+    import os
+
+    c = pre.shape[-1]
+    if (os.environ.get("HDRVAE_FUSED_EPILOGUE") == "1"
+            and jax.default_backend() == "tpu" and pre.ndim == 4
+            and (c == 128 or (c % 3 == 0 and c >= 3))):
+        return collapse_and_stats_pallas(pre)
+    return collapse_channels_maxpool(pre), tensor_stats(pre)

@@ -44,3 +44,32 @@ class TestFlashAttention:
         ref = spatial_attention_xla(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestFusedEpilogue:
+    def test_matches_reference_path(self, rng):
+        """Fused collapse+stats kernel (interpret mode) == jnp reference."""
+        from hdrvae.kernels.epilogue import collapse_and_stats_pallas
+        from hdrvae.core.stats import tensor_stats
+        from hdrvae.decode.formatting import collapse_channels_maxpool
+        pre = jnp.asarray(rng.standard_normal((1, 5, 7, 128)) * 2,
+                          jnp.float32)
+        col, stats = collapse_and_stats_pallas(pre, interpret=True)
+        ref_col = collapse_channels_maxpool(pre)
+        ref_stats = tensor_stats(pre)
+        np.testing.assert_array_equal(np.asarray(col), np.asarray(ref_col))
+        for key in ("min", "max", "mean", "std"):
+            np.testing.assert_allclose(float(stats[key]),
+                                       float(ref_stats[key]), rtol=1e-5,
+                                       atol=1e-6, err_msg=key)
+
+    def test_non_divisible_rows(self, rng):
+        """M not a multiple of the block size: tail masking is exact."""
+        from hdrvae.kernels.epilogue import collapse_and_stats_pallas
+        from hdrvae.core.stats import tensor_stats
+        pre = jnp.asarray(rng.standard_normal((1, 3, 3, 12)), jnp.float32)
+        col, stats = collapse_and_stats_pallas(pre, interpret=True)
+        ref = tensor_stats(pre)
+        np.testing.assert_allclose(float(stats["mean"]),
+                                   float(ref["mean"]), rtol=1e-5)
+        np.testing.assert_allclose(float(stats["max"]), float(ref["max"]))
