@@ -32,7 +32,7 @@ from hdrvae.core.stats import hdr_stats, stats_to_host
 from hdrvae.decode.analysis import ConvOutAnalysis
 from hdrvae.decode.formatting import collapse_channels_maxpool
 from hdrvae.decode.modes import apply_mode, build_recovery_maps
-from hdrvae.models.decoder import decoder_apply
+from hdrvae.models.decoder import DecodeOutput, decoder_apply
 
 Params = Dict[str, Any]
 
@@ -99,7 +99,22 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
 def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
                     decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
                     precision: Precision):
-    out = decoder_apply(params, latent, decoder_cfg, precision=precision)
+    if latent.shape[0] > 1:
+        # Decode batch entries SEQUENTIALLY: XLA:TPU convs at these shapes
+        # run ~2.2x slower per image with batch >= 2 (measured 219 vs
+        # 101 ms/img at 1024^2) — layout/scheduling pathology.  lax.map
+        # keeps each forward at the batch-1 optimum; the epilogue still
+        # sees the whole batch (reference semantics: stats span all
+        # frames).
+        def one(z):
+            o = decoder_apply(params, z[None], decoder_cfg,
+                              precision=precision)
+            return o.rgb[0], o.pre_conv_out[0]
+        rgb, pre = jax.lax.map(one, latent)
+        out = DecodeOutput(rgb=rgb, pre_conv_out=pre)
+    else:
+        out = decoder_apply(params, latent, decoder_cfg,
+                            precision=precision)
     image, used_fallback, analysis = hdr_epilogue(out.rgb, out.pre_conv_out,
                                                   cfg)
     stats = {
