@@ -130,3 +130,17 @@ class TestFolders:
     def test_missing_model_error(self):
         with pytest.raises(FileNotFoundError, match="HDRVAE_MODELS_DIR"):
             folders.get_full_path("upscale_models", "nope.pth")
+
+
+class TestComfyAdapter:
+    def test_torch_returns(self, small_cfg, rng):
+        torch = pytest.importorskip("torch")
+        from hdrvae.api import comfy
+        vae = VAE.random_init(seed=3, config=small_cfg)
+        latent = rng.standard_normal(
+            (1, 4, 4, small_cfg.z_channels)).astype(np.float32)
+        node = comfy.NODE_CLASS_MAPPINGS["HDRVAEDecode"]()
+        (image,) = node.simple_hdr_decode({"samples": latent}, vae)
+        assert isinstance(image, torch.Tensor)
+        assert image.dtype == torch.float32
+        assert image.shape[-1] == 3
