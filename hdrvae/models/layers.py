@@ -136,6 +136,66 @@ def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def upsample_conv_2x(x: jnp.ndarray, p: Params, *,
+                     precision: Precision = Precision()) -> jnp.ndarray:
+    """nearest_upsample_2x followed by a 3x3 SAME conv, computed as four
+    2x2 phase convolutions at LOW resolution (subpixel decomposition).
+
+    With X_up[p, q] = X[p//2, q//2], output phase (di, dj) at low-res
+    position (i, j) sums kernel taps that collapse onto the same low-res
+    pixel, giving an exact 2x2 kernel per phase:
+      di=0 rows: {i-1: K[0], i: K[1]+K[2]};  di=1 rows: {i: K[0]+K[1],
+      i+1: K[2]}  (same along columns).
+    16 low-res taps replace 9 high-res taps over 4x the pixels — 2.25x
+    fewer MACs and no 4x-materialized intermediate.  Bit-level: only the
+    summation grouping changes (<=1e-6).
+
+    EVALUATED AND NOT USED: measured SLOWER than the plain
+    nearest_upsample_2x + conv2d on v5e (121 vs 97 ms decoder at 1024^2) —
+    four small 2x2 convs plus the phase interleave lose to XLA's single
+    well-tiled 3x3 conv despite the MAC savings.  Kept (with its exactness
+    test) as a documented optimization experiment.
+    """
+    kernel = p["kernel"].astype(jnp.float32)  # [3, 3, Cin, Cout]
+    dtype = precision.compute_dtype
+    xc = x.astype(dtype)
+
+    # per-phase 2x2 kernels: rows (and cols) combine as
+    # phase 0: [K0, K1+K2]  -> taps at offsets (-1, 0)
+    # phase 1: [K0+K1, K2]  -> taps at offsets (0, +1)
+    row0 = jnp.stack([kernel[0], kernel[1] + kernel[2]], axis=0)  # [2,3,...]
+    row1 = jnp.stack([kernel[0] + kernel[1], kernel[2]], axis=0)
+    rows = (row0, row1)
+
+    def phase_kernel(di: int, dj: int) -> jnp.ndarray:
+        r = rows[di]                                   # [2, 3, Cin, Cout]
+        c0 = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)
+        c1 = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+        return (c0, c1)[dj]                            # [2, 2, Cin, Cout]
+
+    # phase (0, *) needs the i-1 row -> pad top; (1, *) needs i+1 -> bottom
+    pads = {0: (1, 0), 1: (0, 1)}
+    outs = []
+    for di in (0, 1):
+        row_phases = []
+        for dj in (0, 1):
+            y = jax.lax.conv_general_dilated(
+                xc, phase_kernel(di, dj).astype(dtype),
+                window_strides=(1, 1),
+                padding=(pads[di], pads[dj]),
+                dimension_numbers=_DIMS,
+                precision=_conv_precision(precision),
+                preferred_element_type=jnp.float32,
+            )
+            row_phases.append(y)
+        outs.append(jnp.stack(row_phases, axis=3))     # [B, H, W, 2, Cout]
+    stacked = jnp.stack(outs, axis=2)                  # [B, H, 2, W, 2, C]
+    b, h, _, w, _, cout = stacked.shape
+    y = stacked.reshape(b, 2 * h, 2 * w, cout)
+    y = y + p["bias"].astype(jnp.float32)
+    return y.astype(precision.storage_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Initializers (match torch defaults so randomly-initialized fixtures have
 # comparable dynamics to real checkpoints)

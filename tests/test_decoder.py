@@ -92,3 +92,18 @@ class TestDecoderContract:
                           preprocess_latent=False)
         np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
                                    atol=1e-6)
+
+
+def test_upsample_conv_subpixel_equivalence(rng):
+    """upsample_conv_2x == nearest_upsample_2x + conv2d exactly (only the
+    float summation grouping differs)."""
+    import jax
+    from hdrvae.core.config import Precision
+    from hdrvae.models.layers import (conv2d, init_conv2d,
+                                      nearest_upsample_2x, upsample_conv_2x)
+    p = init_conv2d(jax.random.PRNGKey(3), 3, 3, 8, 16)
+    x = jnp.asarray(rng.standard_normal((2, 5, 7, 8)), jnp.float32)
+    ref = conv2d(nearest_upsample_2x(x), p, precision=Precision.parity())
+    got = upsample_conv_2x(x, p, precision=Precision.parity())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=1e-6)
