@@ -203,6 +203,174 @@ def _pxr24_unpack_rows(data: bytes, w: int,
 
 
 # ---------------------------------------------------------------------------
+# PIZ decoding (pure Python) — an implementation of the PIZ scheme fully
+# independent of the C++ codec, used to cross-validate files the native
+# writer produces (and to read PIZ without the native library).  Writing
+# PIZ stays native-only.
+# ---------------------------------------------------------------------------
+
+_PIZ_MAXLEN = 58
+_PIZ_SHORT_ZEROCODE = 59
+_PIZ_LONG_ZEROCODE = 63
+_PIZ_SHORTEST_LONG_RUN = 2 + _PIZ_LONG_ZEROCODE - _PIZ_SHORT_ZEROCODE
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("PIZ: bitstream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return val
+
+
+def _piz_canonical_codes(lengths: Dict[int, int]) -> Dict[int, Tuple[int,
+                                                                     int]]:
+    """symbol -> (code, length) with the OpenEXR canonical assignment:
+    per-length base codes computed longest-first, symbols in index order."""
+    n = [0] * (_PIZ_MAXLEN + 1)
+    for l in lengths.values():
+        n[l] += 1
+    c = 0
+    base = [0] * (_PIZ_MAXLEN + 1)
+    for i in range(_PIZ_MAXLEN, 0, -1):
+        nc = (c + n[i]) >> 1
+        base[i] = c
+        c = nc
+    codes = {}
+    nxt = list(base)
+    for sym in sorted(lengths):
+        l = lengths[sym]
+        if l > 0:
+            codes[sym] = (nxt[l], l)
+            nxt[l] += 1
+    return codes
+
+
+def _piz_huf_decode(data: bytes, n_out: int) -> np.ndarray:
+    im, iM, tlen, nbits, _ = struct.unpack_from("<IIIII", data, 0)
+    table = _BitReader(data[20:20 + tlen])
+    lengths: Dict[int, int] = {}
+    i = im
+    while i <= iM:
+        l = table.read(6)
+        if l == _PIZ_LONG_ZEROCODE:
+            zerun = table.read(8) + _PIZ_SHORTEST_LONG_RUN
+            i += zerun
+        elif l >= _PIZ_SHORT_ZEROCODE:
+            i += l - _PIZ_SHORT_ZEROCODE + 2
+        else:
+            if l > 0:
+                lengths[i] = l
+            i += 1
+    codes = _piz_canonical_codes(lengths)
+
+    # decode table: (code, length) -> symbol
+    dec = {cl: sym for sym, cl in codes.items()}
+    rlc = iM
+    br = _BitReader(data[20 + tlen:])
+    out = np.empty(n_out, np.uint16)
+    produced = 0
+    consumed = 0
+    code = 0
+    length = 0
+    prev = -1
+    while produced < n_out and consumed < nbits:
+        code = (code << 1) | br.read(1)
+        length += 1
+        consumed += 1
+        sym = dec.get((code, length))
+        if sym is not None:
+            if sym == rlc:
+                n = br.read(8)
+                consumed += 8
+                if prev < 0 or produced + n > n_out:
+                    raise ValueError("PIZ: bad run")
+                out[produced:produced + n] = prev
+                produced += n
+            else:
+                out[produced] = sym
+                prev = sym
+                produced += 1
+            code = 0
+            length = 0
+    if produced != n_out:
+        raise ValueError("PIZ: short output")
+    return out
+
+
+def _piz_wav_decode(buf: np.ndarray, nx: int, ox: int, ny: int, oy: int,
+                    mx: int) -> None:
+    """In-place 2D wavelet decode (the inverse of the PIZ encoder's
+    wenc14/wenc16 passes), operating on a flat uint16 array."""
+    w14 = mx < (1 << 14)
+
+    def wdec14(l, h):
+        ls = l.astype(np.int16).astype(np.int32)
+        hs = h.astype(np.int16).astype(np.int32)
+        ai = ls + (hs & 1) + (hs >> 1)
+        return (ai.astype(np.int16).astype(np.uint16),
+                (ai - hs).astype(np.int16).astype(np.uint16))
+
+    def wdec16(l, h):
+        m = l.astype(np.int64)
+        d = h.astype(np.int64)
+        bb = (m - (d >> 1)) & 0xFFFF
+        aa = (d + bb - 0x8000) & 0xFFFF
+        return aa.astype(np.uint16), bb.astype(np.uint16)
+
+    wdec = wdec14 if w14 else wdec16
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2)
+        xs = np.arange(0, nx - p2 + 1, p2)
+        # aligned 2x2 blocks (vectorized; disjoint from the leftovers)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        i00 = (yy * oy + xx * ox).ravel()
+        i01 = i00 + p * ox
+        i10 = i00 + p * oy
+        i11 = i10 + p * ox
+        a00, a10 = wdec(buf[i00], buf[i10])
+        a01, a11 = wdec(buf[i01], buf[i11])
+        b00, b01 = wdec(a00, a01)
+        b10, b11 = wdec(a10, a11)
+        buf[i00], buf[i01] = b00, b01
+        buf[i10], buf[i11] = b10, b11
+        # leftover column: first x beyond the aligned loop (encoder mirrors)
+        if nx & p:
+            x_l = int(xs[-1]) + p2
+            if x_l < nx:
+                idx0 = ys * oy + x_l * ox
+                a, b = wdec(buf[idx0], buf[idx0 + p * oy])
+                buf[idx0], buf[idx0 + p * oy] = a, b
+        # leftover row
+        if ny & p:
+            y_l = int(ys[-1]) + p2
+            if y_l < ny:
+                idx0 = y_l * oy + xs * ox
+                a, b = wdec(buf[idx0], buf[idx0 + p * ox])
+                buf[idx0], buf[idx0 + p * ox] = a, b
+        p2 = p
+        p >>= 1
+
+
+# ---------------------------------------------------------------------------
 # Header serialization
 # ---------------------------------------------------------------------------
 
@@ -377,8 +545,6 @@ def read_exr(path: str) -> np.ndarray:
     header, pos = read_exr_header(buf)
     w, h = header["width"], header["height"]
     comp_id = header["compression_id"]
-    if comp_id == COMPRESSION_IDS["piz"]:
-        raise NotImplementedError("PIZ reading unsupported")
     lines = LINES_PER_CHUNK[comp_id]
     channels = header["channels"]
     c = len(channels)
@@ -398,6 +564,56 @@ def read_exr(path: str) -> np.ndarray:
         if comp_id == 0 or len(data) >= raw_size:
             # Writers store raw whenever compression does not shrink.
             raw = data
+        elif comp_id == COMPRESSION_IDS["piz"]:
+            # parse payload: bitmap range, bitmap, huffman block
+            min_nz, max_nz = struct.unpack_from("<HH", data, 0)
+            ppos = 4
+            bitmap = np.zeros(65536 // 8, np.uint8)
+            if min_nz <= max_nz:
+                count = max_nz - min_nz + 1
+                bitmap[min_nz:max_nz + 1] = np.frombuffer(
+                    data[ppos:ppos + count], np.uint8)
+                ppos += count
+            (hlen,) = struct.unpack_from("<i", data, ppos)
+            ppos += 4
+            total_shorts = raw_size // 2
+            shorts = _piz_huf_decode(data[ppos:ppos + hlen], total_shorts)
+            # per channel-plane wavelet decode
+            bits = np.unpackbits(bitmap, bitorder="little")
+            present = np.nonzero(bits)[0]
+            rlut = np.zeros(65536, np.uint16)
+            vals = np.unique(np.concatenate([[0], present]))
+            rlut[:len(vals)] = vals.astype(np.uint16)
+            max_value = len(vals) - 1
+            off = 0
+            for name, pt in channels:
+                size = _PIX_SIZE[pt] // 2
+                plane_len = nrows * w * size
+                for j in range(size):
+                    # in-place over a strided view: short-plane j within the
+                    # channel's interleaved buffer (x-stride = size)
+                    _piz_wav_decode(shorts[off + j:off + plane_len], w,
+                                    size, nrows, w * size, max_value)
+                off += plane_len
+            shorts = rlut[shorts]
+            # re-interleave channel-major planes into scanline-major rows
+            raw_arr = np.empty(raw_size, np.uint8)
+            rpos2 = 0
+            plane_off = 0
+            plane_offsets = []
+            for name, pt in channels:
+                plane_offsets.append(plane_off)
+                plane_off += nrows * w * (_PIX_SIZE[pt] // 2)
+            for yy in range(nrows):
+                for (name, pt), poff in zip(channels, plane_offsets):
+                    size = _PIX_SIZE[pt] // 2
+                    rowvals = shorts[poff + yy * w * size:
+                                     poff + (yy + 1) * w * size]
+                    rb = rowvals.astype("<u2").tobytes()
+                    raw_arr[rpos2:rpos2 + len(rb)] = np.frombuffer(
+                        rb, np.uint8)
+                    rpos2 += len(rb)
+            raw = raw_arr.tobytes()
         elif comp_id == 1:
             raw = _filter_decode(_rle_decode(data, raw_size))
         elif comp_id in (2, 3):

@@ -338,3 +338,22 @@ def test_piz_python_fallback_after_native_failure(tmp_path, monkeypatch):
     exr_mod.write_exr(path, img, compression="piz")  # must not raise
     header, _ = exr_py.read_exr_header(open(path, "rb").read())
     assert header["compression"] == "zip"
+
+
+def test_piz_cross_implementation_read(tmp_path):
+    """The pure-Python PIZ decoder (independent huffman + wavelet + LUT
+    implementation) must exactly read files the C++ codec writes — the
+    same two-implementation cross-validation the other compressions get."""
+    if load_native() is None:
+        pytest.skip("native codec unavailable")
+    r = np.random.default_rng(4)
+    for shape, ptype in [((21, 37, 3), "half"), ((33, 5, 3), "float"),
+                         ((64, 64, 1), "half")]:
+        img = (r.standard_normal(shape) * 4).astype(np.float32)
+        path = str(tmp_path / "x.exr")
+        exr.write_exr(path, img, pixel_type=ptype, compression="piz",
+                      use_native=True)
+        back = exr_py.read_exr(path)   # pure-Python path
+        expect = (img.astype(np.float16).astype(np.float32)
+                  if ptype == "half" else img)
+        np.testing.assert_array_equal(back.reshape(expect.shape), expect)
