@@ -357,3 +357,17 @@ def test_piz_cross_implementation_read(tmp_path):
         expect = (img.astype(np.float16).astype(np.float32)
                   if ptype == "half" else img)
         np.testing.assert_array_equal(back.reshape(expect.shape), expect)
+
+
+def test_piz_16bit_wavelet_path(tmp_path):
+    """>16384 distinct short values engage the wenc16/wdec16 wavelet
+    variant; both implementations must still round-trip exactly."""
+    if load_native() is None:
+        pytest.skip("native codec unavailable")
+    r = np.random.default_rng(8)
+    img = (r.standard_normal((128, 128, 3)) * 100).astype(np.float32)
+    path = str(tmp_path / "big.exr")
+    exr.write_exr(path, img, pixel_type="float", compression="piz",
+                  use_native=True)
+    np.testing.assert_array_equal(exr.read_exr(path, use_native=True), img)
+    np.testing.assert_array_equal(exr_py.read_exr(path), img)
