@@ -168,16 +168,19 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = c ** -0.5
 
     def single(qi, ki, vi):
-        qf = qi.reshape(n, c).astype(jnp.float32)
-        kf = ki.reshape(n, c).astype(jnp.float32)
-        vf = vi.reshape(n, c).astype(jnp.float32)
+        # precise mode streams f32 blocks; fast mode keeps the conv output
+        # dtype (bf16) through HBM->VMEM — the kernel upcasts per block.
+        dtype = jnp.float32 if precise else qi.dtype
+        qf = qi.reshape(n, c).astype(dtype)
+        kf = ki.reshape(n, c).astype(dtype)
+        vf = vi.reshape(n, c).astype(dtype)
         if n_pad:
             qf = jnp.pad(qf, ((0, n_pad), (0, 0)))
-            ones = jnp.ones((n_padded, 1), jnp.float32)
+            ones = jnp.ones((n_padded, 1), dtype)
             qf = jnp.concatenate([qf, ones], axis=1)
             flag = jnp.concatenate([
-                jnp.zeros((n, 1), jnp.float32),
-                jnp.full((n_pad, 1), -1e12, jnp.float32)], axis=0)
+                jnp.zeros((n, 1), dtype),
+                jnp.full((n_pad, 1), -1e12, dtype)], axis=0)
             kf = jnp.concatenate([jnp.pad(kf, ((0, n_pad), (0, 0))), flag],
                                  axis=1)
             vf = jnp.pad(vf, ((0, n_pad), (0, 0)))
