@@ -127,6 +127,13 @@ class HDRDecodeConfig:
     # Exposure mode max stops (`hdr_vae_decode.py:982` default).
     max_stops: float = 20.0
 
+    # Use the experimental fused Pallas collapse+stats kernel in the
+    # epilogue (measured slower than XLA's fused reductions on v5e; see
+    # kernels/epilogue.py).  A static jit argument — unlike an env var read
+    # at trace time, toggling it recompiles instead of being silently
+    # ignored by the jit cache.
+    use_fused_epilogue: bool = False
+
     def canonical_mode(self) -> str:
         mode = HDR_MODE_ALIASES.get(self.hdr_mode, self.hdr_mode)
         if mode not in HDR_MODES:

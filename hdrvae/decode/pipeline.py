@@ -89,10 +89,13 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
                  cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                 ConvOutAnalysis]:
     """Analysis + mode math + acceptance select on decoder outputs
-    (whole-image form; the collapse + raw statistics run as ONE fused
-    Pallas pass over the pre map on TPU — see kernels/epilogue.py)."""
+    (whole-image form).  The collapse + raw statistics default to XLA's
+    fused reductions; cfg.use_fused_epilogue opts into the experimental
+    single-pass Pallas kernel (see kernels/epilogue.py for the measured
+    trade-off)."""
     from hdrvae.kernels.epilogue import collapse_and_stats
-    pre_collapsed, pre_stats = collapse_and_stats(pre_conv_out)
+    pre_collapsed, pre_stats = collapse_and_stats(
+        pre_conv_out, use_fused=cfg.use_fused_epilogue)
     return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg)
 
 

@@ -257,6 +257,9 @@ def _piz_canonical_codes(lengths: Dict[int, int]) -> Dict[int, Tuple[int,
     return codes
 
 
+_PIZ_TABLE_BITS = 14
+
+
 def _piz_huf_decode(data: bytes, n_out: int) -> np.ndarray:
     im, iM, tlen, nbits, _ = struct.unpack_from("<IIIII", data, 0)
     table = _BitReader(data[20:20 + tlen])
@@ -275,35 +278,75 @@ def _piz_huf_decode(data: bytes, n_out: int) -> np.ndarray:
             i += 1
     codes = _piz_canonical_codes(lengths)
 
-    # decode table: (code, length) -> symbol
-    dec = {cl: sym for sym, cl in codes.items()}
+    # table-driven decode (the C++ HufDecoder strategy): a 2^14 lookup
+    # resolves any code of <= 14 bits in one step; longer codes fall back
+    # to a per-(code, length) dict probe.
+    tb = _PIZ_TABLE_BITS
+    table_sym = np.full(1 << tb, -1, np.int64)
+    table_len = np.zeros(1 << tb, np.uint8)
+    long_codes: Dict[Tuple[int, int], int] = {}
+    for sym, (code, l) in codes.items():
+        if l <= tb:
+            base = code << (tb - l)
+            table_sym[base:base + (1 << (tb - l))] = sym
+            table_len[base:base + (1 << (tb - l))] = l
+        else:
+            long_codes[(code, l)] = sym
+
     rlc = iM
-    br = _BitReader(data[20 + tlen:])
+    stream = data[20 + tlen:]
     out = np.empty(n_out, np.uint16)
     produced = 0
     consumed = 0
-    code = 0
-    length = 0
+    acc = 0
+    nacc = 0
+    pos = 0
+    n_stream = len(stream)
     prev = -1
     while produced < n_out and consumed < nbits:
-        code = (code << 1) | br.read(1)
-        length += 1
-        consumed += 1
-        sym = dec.get((code, length))
-        if sym is not None:
-            if sym == rlc:
-                n = br.read(8)
-                consumed += 8
-                if prev < 0 or produced + n > n_out:
-                    raise ValueError("PIZ: bad run")
-                out[produced:produced + n] = prev
-                produced += n
-            else:
-                out[produced] = sym
-                prev = sym
-                produced += 1
-            code = 0
-            length = 0
+        # refill so we can peek a full table window (zero-padded at EOS)
+        while nacc < tb + 8:
+            acc = (acc << 8) | (stream[pos] if pos < n_stream else 0)
+            pos += 1
+            nacc += 8
+        window = (acc >> (nacc - tb)) & ((1 << tb) - 1)
+        sym = int(table_sym[window])
+        if sym >= 0:
+            length = int(table_len[window])
+        else:
+            # long code: extend bit by bit beyond the table width
+            code = window
+            length = tb
+            sym = None
+            while sym is None and length < _PIZ_MAXLEN:
+                while nacc < length + 1 + 8:
+                    acc = (acc << 8) | (stream[pos] if pos < n_stream else 0)
+                    pos += 1
+                    nacc += 8
+                length += 1
+                code = (acc >> (nacc - length)) & ((1 << length) - 1)
+                sym = long_codes.get((code, length))
+            if sym is None:
+                raise ValueError("PIZ: invalid code")
+        nacc -= length
+        consumed += length
+        if sym == rlc:
+            while nacc < 8:
+                acc = (acc << 8) | (stream[pos] if pos < n_stream else 0)
+                pos += 1
+                nacc += 8
+            n = (acc >> (nacc - 8)) & 0xFF
+            nacc -= 8
+            consumed += 8
+            if prev < 0 or produced + n > n_out:
+                raise ValueError("PIZ: bad run")
+            out[produced:produced + n] = prev
+            produced += n
+        else:
+            out[produced] = sym
+            prev = sym
+            produced += 1
+        acc &= (1 << nacc) - 1 if nacc else 0
     if produced != n_out:
         raise ValueError("PIZ: short output")
     return out
@@ -585,30 +628,31 @@ def read_exr(path: str) -> np.ndarray:
             vals = np.unique(np.concatenate([[0], present]))
             rlut[:len(vals)] = vals.astype(np.uint16)
             max_value = len(vals) - 1
-            off = 0
+            plane_pos = 0
             for name, pt in channels:
-                size = _PIX_SIZE[pt] // 2
-                plane_len = nrows * w * size
-                for j in range(size):
+                nshorts = _PIX_SIZE[pt] // 2
+                plane_len = nrows * w * nshorts
+                for j in range(nshorts):
                     # in-place over a strided view: short-plane j within the
-                    # channel's interleaved buffer (x-stride = size)
-                    _piz_wav_decode(shorts[off + j:off + plane_len], w,
-                                    size, nrows, w * size, max_value)
-                off += plane_len
+                    # channel's interleaved buffer (x-stride = nshorts)
+                    _piz_wav_decode(
+                        shorts[plane_pos + j:plane_pos + plane_len], w,
+                        nshorts, nrows, w * nshorts, max_value)
+                plane_pos += plane_len
             shorts = rlut[shorts]
             # re-interleave channel-major planes into scanline-major rows
             raw_arr = np.empty(raw_size, np.uint8)
             rpos2 = 0
-            plane_off = 0
+            plane_base = 0
             plane_offsets = []
             for name, pt in channels:
-                plane_offsets.append(plane_off)
-                plane_off += nrows * w * (_PIX_SIZE[pt] // 2)
+                plane_offsets.append(plane_base)
+                plane_base += nrows * w * (_PIX_SIZE[pt] // 2)
             for yy in range(nrows):
                 for (name, pt), poff in zip(channels, plane_offsets):
-                    size = _PIX_SIZE[pt] // 2
-                    rowvals = shorts[poff + yy * w * size:
-                                     poff + (yy + 1) * w * size]
+                    nshorts = _PIX_SIZE[pt] // 2
+                    rowvals = shorts[poff + yy * w * nshorts:
+                                     poff + (yy + 1) * w * nshorts]
                     rb = rowvals.astype("<u2").tobytes()
                     raw_arr[rpos2:rpos2 + len(rb)] = np.frombuffer(
                         rb, np.uint8)

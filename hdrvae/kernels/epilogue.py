@@ -27,29 +27,42 @@ from jax.experimental.pallas import tpu as pltpu
 _BLOCK_M = 1024  # rows of the flattened [M, C] view per grid step
 
 
-def _epilogue_kernel(pre_ref, collapsed_ref, sum_ref, sumsq_ref, min_ref,
+def _epilogue_kernel(pre_ref, collapsed_ref, mean_ref, m2_ref, min_ref,
                      max_ref, acc_ref, *, m_total: int, block_m: int,
                      bounds: Tuple[int, int, int, int]):
+    """Accumulators use the Chan parallel-variance combine (n, mean, M2):
+    numerically stable for |mean| >> std, unlike E[x^2]-mean^2 which
+    catastrophically cancels in f32."""
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _init():
-        acc_ref[0, 0] = 0.0          # sum
-        acc_ref[0, 1] = 0.0          # sumsq
-        acc_ref[0, 2] = jnp.inf      # min
-        acc_ref[0, 3] = -jnp.inf     # max
+        acc_ref[0, 0] = 0.0          # running count n
+        acc_ref[0, 1] = 0.0          # running mean
+        acc_ref[0, 2] = 0.0          # running M2 = sum((x - mean)^2)
+        acc_ref[0, 3] = jnp.inf      # min
+        acc_ref[0, 4] = -jnp.inf     # max
 
     x = pre_ref[...].astype(jnp.float32)            # [block_m, C]
     rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * block_m
     valid = rows < m_total
 
+    nb = jnp.sum(valid).astype(jnp.float32)
     xv = jnp.where(valid, x, 0.0)
-    acc_ref[0, 0] += jnp.sum(xv)
-    acc_ref[0, 1] += jnp.sum(jnp.square(xv))
-    acc_ref[0, 2] = jnp.minimum(acc_ref[0, 2],
+    mean_b = jnp.sum(xv) / nb
+    m2_b = jnp.sum(jnp.square(jnp.where(valid, x - mean_b, 0.0)))
+
+    na = acc_ref[0, 0]
+    mean_a = acc_ref[0, 1]
+    delta = mean_b - mean_a
+    n_new = na + nb
+    acc_ref[0, 0] = n_new
+    acc_ref[0, 1] = mean_a + delta * nb / n_new
+    acc_ref[0, 2] += m2_b + jnp.square(delta) * na * nb / n_new
+    acc_ref[0, 3] = jnp.minimum(acc_ref[0, 3],
                                 jnp.min(jnp.where(valid, x, jnp.inf)))
-    acc_ref[0, 3] = jnp.maximum(acc_ref[0, 3],
+    acc_ref[0, 4] = jnp.maximum(acc_ref[0, 4],
                                 jnp.max(jnp.where(valid, x, -jnp.inf)))
 
     a, b, c, d = bounds
@@ -61,10 +74,10 @@ def _epilogue_kernel(pre_ref, collapsed_ref, sum_ref, sumsq_ref, min_ref,
 
     @pl.when(i == n_blocks - 1)
     def _finalize():
-        sum_ref[0, 0] = acc_ref[0, 0]
-        sumsq_ref[0, 0] = acc_ref[0, 1]
-        min_ref[0, 0] = acc_ref[0, 2]
-        max_ref[0, 0] = acc_ref[0, 3]
+        mean_ref[0, 0] = acc_ref[0, 1]
+        m2_ref[0, 0] = acc_ref[0, 2]
+        min_ref[0, 0] = acc_ref[0, 3]
+        max_ref[0, 0] = acc_ref[0, 4]
 
 
 def _collapse_bounds(c: int) -> Tuple[int, int, int, int]:
@@ -114,39 +127,42 @@ def collapse_and_stats_pallas(pre: jnp.ndarray, *, interpret: bool = False
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((1, 5), jnp.float32)],
         interpret=interpret,
     )
-    collapsed, s, ss, mn, mx = call(flat)
+    collapsed, mean, m2, mn, mx = call(flat)
     n = jnp.float32(m * c)
-    mean = s[0, 0] / n
-    var = jnp.maximum(ss[0, 0] / n - jnp.square(mean), 0.0)
-    var = var * n / jnp.maximum(n - 1.0, 1.0)   # ddof=1, torch.std
-    stats = {"min": mn[0, 0], "max": mx[0, 0], "mean": mean,
+    var = m2[0, 0] / jnp.maximum(n - 1.0, 1.0)   # ddof=1, torch.std
+    stats = {"min": mn[0, 0], "max": mx[0, 0], "mean": mean[0, 0],
              "std": jnp.sqrt(var)}
     return collapsed.reshape(b, h, w, 3), stats
 
 
-def collapse_and_stats(pre: jnp.ndarray) -> Tuple[jnp.ndarray,
-                                                  Dict[str, jnp.ndarray]]:
+def collapse_and_stats(pre: jnp.ndarray, *, use_fused: bool = False
+                       ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Collapse + stats over the pre map.
 
-    The fused Pallas single-pass kernel above is numerically exact on-chip
-    but MEASURED SLOWER than XLA's fused reductions end-to-end (197 ms vs
-    110 ms at 1024^2): 1024-row grid steps are too small to amortize, the
-    scalar SMEM accumulation serializes the pipeline, and the 3-lane
-    collapsed store wastes the VPU.  XLA already fuses the min/max/mean and
-    collapse reads well, so the jnp path is the default; the kernel stays
-    as opt-in groundwork (HDRVAE_FUSED_EPILOGUE=1) for a future blocked
-    rewrite.
+    The fused Pallas single-pass kernel above is numerically sound (Chan
+    variance combine) but MEASURED SLOWER than XLA's fused reductions
+    end-to-end (197 ms vs 110 ms at 1024^2): 1024-row grid steps are too
+    small to amortize, the scalar SMEM accumulation serializes the
+    pipeline, and the 3-lane collapsed store wastes the VPU.  XLA already
+    fuses the min/max/mean and collapse reads well, so the jnp path is the
+    default; the kernel is selected by HDRDecodeConfig.use_fused_epilogue
+    (a static jit argument, so toggling recompiles) and remains groundwork
+    for a future blocked rewrite.
+
+    Fast-mode semantics note: the Pallas call is a fusion barrier, so the
+    kernel reads pre_conv_out at its DECLARED bf16 storage dtype; the XLA
+    path can fuse through the cast and see pre-rounding f32 values.  The
+    paths therefore differ by ~bf16 epsilon on the stats in fast mode
+    (parity mode: 1e-4 agreement, reduction ordering only).
     """
     from hdrvae.core.stats import tensor_stats
     from hdrvae.decode.formatting import collapse_channels_maxpool
-    import os
 
     c = pre.shape[-1]
-    if (os.environ.get("HDRVAE_FUSED_EPILOGUE") == "1"
-            and jax.default_backend() == "tpu" and pre.ndim == 4
+    if (use_fused and jax.default_backend() == "tpu" and pre.ndim == 4
             and (c == 128 or (c % 3 == 0 and c >= 3))):
         return collapse_and_stats_pallas(pre)
     return collapse_channels_maxpool(pre), tensor_stats(pre)

@@ -73,3 +73,35 @@ class TestFusedEpilogue:
         np.testing.assert_allclose(float(stats["mean"]),
                                    float(ref["mean"]), rtol=1e-5)
         np.testing.assert_allclose(float(stats["max"]), float(ref["max"]))
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() != "tpu",
+    reason="Mosaic precision-flag behavior is only observable on real TPU")
+def test_precise_flash_matches_f32_on_tpu(rng):
+    """Guards the parity contract: the kernel's HIGHEST-precision dots must
+    track the XLA f32-HIGHEST reference to ~1e-6 (if a Mosaic/jaxlib
+    upgrade stops honoring the precision flag, this catches it)."""
+    from hdrvae.core.config import Precision
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 64, 64, 512)),
+                           jnp.float32) for _ in range(3))
+    hi = np.asarray(spatial_attention_xla(q, k, v,
+                                          precision=Precision.parity()))
+    pa = np.asarray(spatial_attention_pallas(q, k, v, precise=True))
+    rel = np.abs(pa - hi).max() / np.abs(hi).max()
+    assert rel < 1e-5, rel
+
+
+def test_fused_epilogue_variance_stability(rng):
+    """|mean| >> std used to cancel catastrophically with E[x^2]-mean^2;
+    the Chan combine must track the two-pass reference (review regression)."""
+    from hdrvae.kernels.epilogue import collapse_and_stats_pallas
+    from hdrvae.core.stats import tensor_stats
+    pre = jnp.asarray(10.0 + 1e-3 * rng.standard_normal((1, 32, 32, 128)),
+                      jnp.float32)
+    _, stats = collapse_and_stats_pallas(pre, interpret=True)
+    ref = tensor_stats(pre)
+    np.testing.assert_allclose(float(stats["std"]), float(ref["std"]),
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(stats["mean"]), float(ref["mean"]),
+                               rtol=1e-6)

@@ -189,3 +189,22 @@ def test_shape_bucketing(small_cfg, small_params, rng):
     out = hdr_decode(small_params, latent6, small_cfg, shape_bucket=8)
     assert out.image.shape[1:3] == (6 * small_cfg.spatial_scale,
                                     6 * small_cfg.spatial_scale)
+
+
+def test_batched_decode_matches_batched_forward(small_cfg, small_params,
+                                                rng):
+    """The batch>1 sequential lax.map branch must reproduce the plain
+    batched decoder forward (regression guard for the b>1 code path; the
+    throughput numbers in README ride on it)."""
+    from hdrvae.models.decoder import decoder_apply
+    from hdrvae.decode.pipeline import hdr_epilogue
+    latent = _latent(rng, small_cfg, b=3, h=5, w=6)
+    cfg = HDRDecodeConfig(hdr_mode="mathematical_recovery")
+    result = hdr_decode(small_params, latent, small_cfg, cfg,
+                        Precision.parity())
+    out = decoder_apply(small_params, latent, small_cfg,
+                        precision=Precision.parity())
+    image_ref, _, _ = hdr_epilogue(out.rgb, out.pre_conv_out, cfg)
+    np.testing.assert_allclose(np.asarray(result.image),
+                               np.asarray(image_ref), atol=1e-5, rtol=1e-5)
+    assert result.image.shape[0] == 3
