@@ -84,22 +84,54 @@ class GNTape:
         return entry
 
 
-def _gn_stats(x: jnp.ndarray, num_groups: int, tape: "GNTape | None"):
-    """Per-(B, G) float32 mean/var, honoring a tape override."""
+def _group_onehot(c: int, g: int) -> jnp.ndarray:
+    """[C, G] channel->group indicator (a tiny MXU contraction target)."""
+    grp = jnp.arange(c) // (c // g)
+    return jnp.zeros((c, g), jnp.float32).at[jnp.arange(c), grp].set(1.0)
+
+
+def _gn_affine(x: jnp.ndarray, p: Params, num_groups: int, eps: float,
+               tape: "GNTape | None", precision: Precision):
+    """Lane-friendly GroupNorm core: per-(B, G) stats via a [C, G] one-hot
+    contraction (no 5-D reshape — profiling showed the reshape/copy ops
+    around the reshaped layout cost ~16% of decode time), normalization
+    folded into a per-channel affine.
+
+    Variance: fast mode uses the one-pass E[x^2]-mean^2 identity (one read
+    of x; its cancellation error is far below bf16 storage noise for
+    activation-scale data), parity mode the stable two-pass form.
+
+    Returns (xf32, gamma [B, C], beta [B, C]).
+    """
     b, h, w, c = x.shape
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(b, h, w, g, c // g)
+    cpg = c // g
+    xf = x.astype(jnp.float32)
+    onehot = _group_onehot(c, g)
+    n = h * w * cpg
+
     override = tape.next_override() if tape is not None else None
     if override is not None:
-        mean, var = override
-        mean = mean.reshape(b, 1, 1, g, 1).astype(jnp.float32)
-        var = var.reshape(b, 1, 1, g, 1).astype(jnp.float32)
+        mean = override[0].astype(jnp.float32)   # [B, G]
+        var = override[1].astype(jnp.float32)
     else:
-        mean = jnp.mean(xf, axis=(1, 2, 4), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 4), keepdims=True)
+        mean = jnp.einsum("bhwc,cg->bg", xf, onehot) / n
+        if precision.mode == "parity":
+            grp = jnp.arange(c) // cpg
+            centered = xf - mean[:, grp][:, None, None, :]
+            var = jnp.einsum("bhwc,cg->bg", jnp.square(centered),
+                             onehot) / n
+        else:
+            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xf), onehot) / n
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
         if tape is not None:
-            tape.record(mean.reshape(b, g), var.reshape(b, g))
-    return xf, mean, var
+            tape.record(mean, var)
+
+    rstd = jax.lax.rsqrt(var + eps)              # [B, G]
+    grp = jnp.arange(c) // cpg
+    gamma = p["scale"].astype(jnp.float32) * rstd[:, grp]   # [B, C]
+    beta = p["bias"].astype(jnp.float32) - mean[:, grp] * gamma
+    return xf, gamma, beta
 
 
 def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
@@ -110,10 +142,9 @@ def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
     Statistics are float32 over (H, W, C/G); output is cast to the storage
     dtype (bf16 in fast mode) to halve the HBM round trip.
     """
-    b, h, w, c = x.shape
-    xf, mean, var = _gn_stats(x, num_groups, tape)
-    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    out = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    xf, gamma, beta = _gn_affine(x, p, num_groups, eps, tape,
+                                 precision)
+    out = xf * gamma[:, None, None, :] + beta[:, None, None, :]
     return out.astype(precision.storage_dtype)
 
 
@@ -121,10 +152,9 @@ def group_norm_silu(x: jnp.ndarray, p: Params, *, num_groups: int,
                     eps: float = 1e-6, precision: Precision = Precision(),
                     tape: "GNTape | None" = None) -> jnp.ndarray:
     """Fused GroupNorm + SiLU epilogue (XLA fuses the elementwise tail)."""
-    b, h, w, c = x.shape
-    xf, mean, var = _gn_stats(x, num_groups, tape)
-    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, h, w, c)
-    y = xn * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    xf, gamma, beta = _gn_affine(x, p, num_groups, eps, tape,
+                                 precision)
+    y = xf * gamma[:, None, None, :] + beta[:, None, None, :]
     y = y * jax.nn.sigmoid(y)
     return y.astype(precision.storage_dtype)
 
