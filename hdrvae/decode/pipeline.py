@@ -30,7 +30,6 @@ from hdrvae.core.color import srgb_to_linear
 from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
 from hdrvae.core.stats import hdr_stats, stats_to_host
 from hdrvae.decode.analysis import ConvOutAnalysis
-from hdrvae.decode.formatting import collapse_channels_maxpool
 from hdrvae.decode.modes import apply_mode, build_recovery_maps
 from hdrvae.models.decoder import DecodeOutput, decoder_apply
 
