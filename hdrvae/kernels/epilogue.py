@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_M = 1024  # rows of the flattened [M, C] view per grid step
+_BLOCK_M = 4096  # rows of the flattened [M, C] view per grid step
 
 
 def _epilogue_kernel(pre_ref, collapsed_ref, mean_ref, m2_ref, min_ref,
@@ -69,7 +69,10 @@ def _epilogue_kernel(pre_ref, collapsed_ref, mean_ref, m2_ref, min_ref,
     r = jnp.max(x[:, a:b], axis=1)
     g = jnp.max(x[:, b:c], axis=1)
     bl = jnp.max(x[:, c:d], axis=1)
-    collapsed_ref[...] = jnp.stack([r, g, bl], axis=1).astype(
+    # transposed [3, block_m] store: a 3-LANE minor dim would pad to 128
+    # lanes in the tiled HBM layout (42x write amplification); 3 sublanes
+    # pad only to 8.
+    collapsed_ref[...] = jnp.stack([r, g, bl], axis=0).astype(
         collapsed_ref.dtype)
 
     @pl.when(i == n_blocks - 1)
@@ -109,7 +112,7 @@ def collapse_and_stats_pallas(pre: jnp.ndarray, *, interpret: bool = False
         in_specs=[pl.BlockSpec((block_m, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((block_m, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, block_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -121,7 +124,7 @@ def collapse_and_stats_pallas(pre: jnp.ndarray, *, interpret: bool = False
                          memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((m, 3), pre.dtype),
+            jax.ShapeDtypeStruct((3, m), pre.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -130,7 +133,8 @@ def collapse_and_stats_pallas(pre: jnp.ndarray, *, interpret: bool = False
         scratch_shapes=[pltpu.SMEM((1, 5), jnp.float32)],
         interpret=interpret,
     )
-    collapsed, mean, m2, mn, mx = call(flat)
+    collapsed_t, mean, m2, mn, mx = call(flat)
+    collapsed = collapsed_t.T
     n = jnp.float32(m * c)
     var = m2[0, 0] / jnp.maximum(n - 1.0, 1.0)   # ddof=1, torch.std
     stats = {"min": mn[0, 0], "max": mx[0, 0], "mean": mean[0, 0],
@@ -149,8 +153,15 @@ def collapse_and_stats(pre: jnp.ndarray, *, use_fused: bool = False
     pipeline, and the 3-lane collapsed store wastes the VPU.  XLA already
     fuses the min/max/mean and collapse reads well, so the jnp path is the
     default; the kernel is selected by HDRDecodeConfig.use_fused_epilogue
-    (a static jit argument, so toggling recompiles) and remains groundwork
-    for a future blocked rewrite.
+    (a static jit argument, so toggling recompiles).
+
+    ROOT CAUSE of the slowdown (profiled): the custom call's row-major
+    operand layout constraint back-propagates into the decoder — XLA
+    recompiles the level-0 conv fusions against the constrained layout and
+    five of them balloon from ~6.5 ms to 8.2-35 ms each (~+85 ms), dwarfing
+    anything the kernel saves.  Fixing this requires either a
+    layout-agnostic kernel entry or keeping the whole epilogue inside the
+    XLA fusion domain (the current default).
 
     Fast-mode semantics note: the Pallas call is a fusion barrier, so the
     kernel reads pre_conv_out at its DECLARED bf16 storage dtype; the XLA
