@@ -96,3 +96,36 @@ def test_missing_external(tmp_path):
                                 "vae": ["nope", 0]}}]}
     with pytest.raises(GraphError, match="neither a node id nor"):
         ex.run(wf)
+
+
+def test_shipped_example_workflow_executes(tmp_path, monkeypatch, small_cfg,
+                                           rng):
+    """The workflow_examples file runs END TO END through the graph
+    executor: decode -> upscale (tiny stand-in checkpoint registered under
+    the example's model name) -> EXR export."""
+    torch = pytest.importorskip("torch")
+    from hdrvae.models.rrdbnet import RRDBNetConfig
+    from tests.torch_oracle import TorchRRDBNet
+
+    mdir = tmp_path / "upscale_models"
+    mdir.mkdir()
+    torch.save(TorchRRDBNet(RRDBNetConfig().with_small()).state_dict(),
+               str(mdir / "RealESRGAN_x4plus.pth"))
+    monkeypatch.setenv("HDRVAE_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path / "out"))
+
+    wf = json.load(open("workflow_examples/hdr_decode_export.json"))
+    latent = rng.standard_normal(
+        (1, 4, 4, small_cfg.z_channels)).astype(np.float32) * 2
+    vae = VAE.random_init(seed=2, config=small_cfg)
+    results = GraphExecutor(external_inputs={
+        "latent_source": ({"samples": latent},),
+        "vae_loader": (vae,),
+    }).run(wf, hidden={"PROMPT": {}, "EXTRA_PNGINFO": {"workflow": wf}})
+
+    upscaled = results[2][0]
+    assert upscaled.shape[-1] == 3
+    path = results[3][0]
+    assert os.path.exists(path) and path.endswith(".exr")
+    from hdrvae.io import exr
+    assert exr.read_exr(path).shape[:2] == upscaled.shape[1:3]
