@@ -110,6 +110,24 @@ class HDRDecodeConfig:
     hdr_mode: str = "mathematical_recovery"
     conservative_ev_multiplier: float = 1.0
 
+    # Inner expansion factor of the conservative mode.  The reference node
+    # path never forwards the user multiplier into intelligent_hdr_decode
+    # (`hdr_vae_decode.py:97` passes 4 args; the 5th defaults to 1.0 at
+    # `:1009`), so smart_hdr_expansion always runs with factor 1.0 and the
+    # user's conservative_ev_multiplier only scales the FINAL image
+    # (`:180-182`).  Verified against the actual reference code in
+    # tests/test_reference_fidelity.py.
+    conservative_expansion_factor: float = 1.0
+
+    # Channel collapse used for the fallback (bypass) tier image.
+    # "maxpool" = the HDR-preserving 42/42/42 MAX collapse (what the
+    # reference's `_format_tensor` applies to a 128-channel bypass output,
+    # `hdr_vae_decode.py:226-255`); "first3" = take the first 3 channels
+    # (what `simple_bypass_decode`'s eye(3,C) projection does,
+    # `hdr_vae_decode.py:1324-1329`).  The intelligent path's recovery map
+    # always uses maxpool (`:1042-1053`) regardless of this knob.
+    fallback_collapse: str = "maxpool"
+
     # Acceptance threshold for the intelligent decode result
     # (`hdr_vae_decode.py:106`: hdr_pixels > 0 or max > 1.1).
     accept_max_threshold: float = 1.1

@@ -171,8 +171,12 @@ def apply_mode(mode: str, ldr_linear: jnp.ndarray,
     """Static (host-side) mode dispatch; the mode string is config, not data,
     so each mode compiles to its own minimal fused graph."""
     if mode == "conservative":
+        # NOT the user's conservative_ev_multiplier: the reference node
+        # never forwards it into intelligent_hdr_decode (`:97` vs `:1009`),
+        # so the inner expansion factor is its default 1.0; the user value
+        # scales the final image instead (`hdr_vae_decode.py:180-182`).
         return conservative(ldr_linear, pre_collapsed,
-                            cfg.conservative_ev_multiplier)
+                            cfg.conservative_expansion_factor)
     if mode == "exposure":
         return exposure(ldr_linear, maps.map_recovered, cfg)
     if mode == "adaptive_recovery":

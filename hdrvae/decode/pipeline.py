@@ -45,7 +45,8 @@ class HDRDecodeResult(NamedTuple):
 
 def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
                             pre_stats: Dict[str, jnp.ndarray],
-                            cfg: HDRDecodeConfig
+                            cfg: HDRDecodeConfig,
+                            pre_first3: jnp.ndarray | None = None
                             ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                        ConvOutAnalysis]:
     """Mode math + acceptance select from pre-computed parts.
@@ -54,7 +55,18 @@ def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
     3 channels BEFORE stitching (pointwise, so it commutes with stitching)
     and combine the raw-pre statistics from per-tile partials — at 4K the
     raw stitched map would be a multi-GB tensor.
+
+    ``pre_first3`` carries the first 3 raw pre-conv_out channels for the
+    ``fallback_collapse="first3"`` tier (the reference simple_bypass's
+    eye(3,C) projection, `hdr_vae_decode.py:1324-1329`); omitted, the
+    fallback uses the MAX-pooled map.
     """
+    if cfg.fallback_collapse not in ("maxpool", "first3"):
+        raise ValueError(
+            f"unknown fallback_collapse {cfg.fallback_collapse!r}")
+    if cfg.fallback_collapse == "first3" and pre_first3 is None:
+        raise ValueError("fallback_collapse='first3' needs the raw pre map "
+                         "(unsupported on this execution path)")
     mode = cfg.canonical_mode()
     from hdrvae.core.stats import tensor_stats
     post_stats = tensor_stats(rgb)
@@ -75,7 +87,9 @@ def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
     has_hdr_pixels = jnp.any(intelligent > 1.0)
     accept = jnp.logical_or(has_hdr_pixels,
                             jnp.max(intelligent) > cfg.accept_max_threshold)
-    fallback = pre_collapsed  # == formatted bypass output
+    # The formatted bypass-tier output (`hdr_vae_decode.py:443,1205`).
+    fallback = (pre_first3 if cfg.fallback_collapse == "first3"
+                else pre_collapsed)
     image = jnp.where(accept, intelligent, fallback)
 
     # EV multiplier applies to whichever tier won (`hdr_vae_decode.py:180-182`).
@@ -95,7 +109,10 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
     from hdrvae.kernels.epilogue import collapse_and_stats
     pre_collapsed, pre_stats = collapse_and_stats(
         pre_conv_out, use_fused=cfg.use_fused_epilogue)
-    return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg)
+    pre_first3 = (pre_conv_out[..., :3].astype(jnp.float32)
+                  if cfg.fallback_collapse == "first3" else None)
+    return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg,
+                                   pre_first3)
 
 
 def _hdr_decode_jit(params: Params, latent: jnp.ndarray,

@@ -68,8 +68,12 @@ def reference_pipeline_oracle(rgb, pre, mode, ev_mult=1.0):
         aligned = map_rec - pre_stats["mean"] + 1.0
 
     if mode == "conservative":
+        # expansion factor is ALWAYS 1.0 in the node path: simple_hdr_decode
+        # never forwards the user multiplier into intelligent_hdr_decode
+        # (`hdr_vae_decode.py:97` vs `:1009`); ev_mult scales the final
+        # image below (`:180-182`).
         mask = pre_c > 1.0
-        out = np.where(mask, ldr + (pre_c - 1) * ev_mult * ldr, ldr)
+        out = np.where(mask, ldr + (pre_c - 1) * 1.0 * ldr, ldr)
     elif mode == "exposure":
         out = ldr * np.power(2.0, np.log2(np.clip(map_rec, 0.001, None)))
     elif mode == "adaptive_recovery":

@@ -140,6 +140,12 @@ def torch_decoder_from_jax(params, cfg: DecoderConfig) -> TorchDecoder:
     model.load_state_dict({k: torch.from_numpy(v.copy())
                            for k, v in sd.items()})
     model.eval()
+    # Frozen like a deployed ComfyUI VAE.  The reference's simple_bypass
+    # clones tensors under torch.inference_mode() and runs blocks in worker
+    # THREADS (inference mode is thread-local, `hdr_vae_decode.py:1258-1294`);
+    # with grad-requiring weights autograd would try to save those inference
+    # tensors and error out.
+    model.requires_grad_(False)
     return model
 
 
