@@ -117,7 +117,17 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
 
 def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
                     decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
-                    precision: Precision):
+                    precision: Precision,
+                    valid_hw: Tuple[int, int] | None = None):
+    tape = None
+    if valid_hw is not None and valid_hw != latent.shape[1:3]:
+        # Shape-bucketed decode: the latent is zero-padded to a bucket
+        # size; the PadMask tape keeps the pad region out of every GN
+        # statistic, attention softmax, and conv halo, making the bucketed
+        # decode EXACT (not approximate) for the valid region.
+        from hdrvae.models.layers import PadMask
+        tape = PadMask(latent.shape[1], latent.shape[2], *valid_hw)
+
     if latent.shape[0] > 1:
         # Decode batch entries SEQUENTIALLY: XLA:TPU convs at these shapes
         # run ~2.2x slower per image with batch >= 2 (measured 219 vs
@@ -127,13 +137,21 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
         # frames).
         def one(z):
             o = decoder_apply(params, z[None], decoder_cfg,
-                              precision=precision)
+                              precision=precision, tape=tape)
             return o.rgb[0], o.pre_conv_out[0]
         rgb, pre = jax.lax.map(one, latent)
         out = DecodeOutput(rgb=rgb, pre_conv_out=pre)
     else:
         out = decoder_apply(params, latent, decoder_cfg,
-                            precision=precision)
+                            precision=precision, tape=tape)
+    if valid_hw is not None and valid_hw != latent.shape[1:3]:
+        # Crop BEFORE the epilogue so its global reductions (pre stats,
+        # recovery-map min/max, acceptance) never see pad pixels.
+        s = decoder_cfg.spatial_scale
+        out = DecodeOutput(
+            rgb=out.rgb[:, :valid_hw[0] * s, :valid_hw[1] * s],
+            pre_conv_out=out.pre_conv_out[:, :valid_hw[0] * s,
+                                          :valid_hw[1] * s])
     image, used_fallback, analysis = hdr_epilogue(out.rgb, out.pre_conv_out,
                                                   cfg)
     stats = {
@@ -147,9 +165,11 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
-                                             "precision"))
-def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision):
-    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision)
+                                             "precision", "valid_hw"))
+def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision,
+                         valid_hw=None):
+    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision,
+                           valid_hw)
 
 
 def hdr_decode(params: Params, latent: jnp.ndarray,
@@ -164,13 +184,13 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
       latent: [B, h, w, z_channels] NHWC (or [B, z, h, w] NCHW, detected and
         transposed for API compatibility with torch-layout callers).
       decoder_cfg / cfg / precision: static configs (hashable dataclasses).
-      shape_bucket: when > 0, pad the latent H/W up to multiples of this
-        value (edge padding) and crop the output — bounding the number of
-        compiled shapes for arbitrary-resolution serving (SURVEY.md
-        section 7 hard-parts, "recompilation storms").  NOTE: padding
-        participates in GroupNorm statistics, so bucketed output differs
-        slightly from the unpadded decode; 0 (default) compiles exact
-        shapes.
+      shape_bucket: when > 0, zero-pad the latent H/W up to multiples of
+        this value and crop the output — bounding the number of compiled
+        shapes for arbitrary-resolution serving (SURVEY.md section 7
+        hard-parts, "recompilation storms").  The pad region is masked out
+        of every GroupNorm statistic, attention softmax, and conv halo
+        (models.layers.PadMask), so the bucketed decode is EXACT — it
+        equals the unpadded decode to float noise.
 
     Returns an :class:`HDRDecodeResult`; ``stats`` remain device arrays.
     """
@@ -186,21 +206,17 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                 f"(expected NHWC or NCHW with z_channels={zc})")
 
     orig_h, orig_w = latent.shape[1], latent.shape[2]
+    valid_hw = None
     if shape_bucket > 0:
         pad_h = -orig_h % shape_bucket
         pad_w = -orig_w % shape_bucket
         if pad_h or pad_w:
             latent = jnp.pad(latent, ((0, 0), (0, pad_h), (0, pad_w),
-                                      (0, 0)), mode="edge")
+                                      (0, 0)))
+            valid_hw = (orig_h, orig_w)
 
     image, standard, stats, used_fallback = _hdr_decode_compiled(
-        params, latent, decoder_cfg, cfg, precision)
-
-    if shape_bucket > 0 and (latent.shape[1] != orig_h
-                             or latent.shape[2] != orig_w):
-        s = decoder_cfg.spatial_scale
-        image = image[:, :orig_h * s, :orig_w * s]
-        standard = standard[:, :orig_h * s, :orig_w * s]
+        params, latent, decoder_cfg, cfg, precision, valid_hw)
     return HDRDecodeResult(image=image, standard=standard, stats=stats,
                            used_fallback=used_fallback)
 

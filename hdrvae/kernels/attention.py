@@ -39,10 +39,14 @@ def _matmul_precision(precision: Precision):
 
 
 def spatial_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                          precision: Precision = Precision()) -> jnp.ndarray:
+                          precision: Precision = Precision(),
+                          key_valid: jnp.ndarray | None = None
+                          ) -> jnp.ndarray:
     """Single-head attention over flattened spatial dims.
 
-    q, k, v: [B, H, W, C] -> output [B, H, W, C].
+    q, k, v: [B, H, W, C] -> output [B, H, W, C].  ``key_valid`` ([H, W]
+    bool) masks invalid keys out of the softmax (shape-bucketed pad
+    exclusion).
     """
     b, h, w, c = q.shape
     n = h * w
@@ -52,6 +56,9 @@ def spatial_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     vf = v.reshape(b, n, c).astype(jnp.float32)
     logits = jnp.einsum("bqc,bkc->bqk", qf * scale, kf,
                         precision=_matmul_precision(precision))
+    if key_valid is not None:
+        bias = jnp.where(key_valid.reshape(n), 0.0, -1e12)
+        logits = logits + bias[None, None, :]
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bqk,bkc->bqc", weights, vf,
                      precision=_matmul_precision(precision))
@@ -149,15 +156,18 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              *, block_q: int = _BLOCK_Q,
                              block_k: int = _BLOCK_K,
                              precise: bool = False,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             key_valid: jnp.ndarray | None = None
+                             ) -> jnp.ndarray:
     """Flash attention over flattened spatial dims; [B,H,W,C] -> [B,H,W,C].
 
-    N is padded up to a block multiple.  Padded keys are neutralized by an
-    extra bias feature: Q gains a constant-one channel and K a channel that
-    is 0 for real keys and a large negative constant for padded keys, so
-    padded scores underflow to zero weight after softmax.  The softmax scale
-    stays the true ``C**-0.5`` (passed explicitly; the extra channel does not
-    change it).
+    N is padded up to a block multiple.  Padded keys — and keys masked by
+    ``key_valid`` ([H, W] bool, shape-bucketed pad exclusion) — are
+    neutralized by an extra bias feature: Q gains a constant-one channel
+    and K a channel that is 0 for live keys and a large negative constant
+    for dead ones, so dead scores underflow to zero weight after softmax.
+    The softmax scale stays the true ``C**-0.5`` (passed explicitly; the
+    extra channel does not change it).
     """
     b, h, w, c = q.shape
     n = h * w
@@ -166,6 +176,7 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_padded = -(-n // block_q) * block_q
     n_pad = n_padded - n
     scale = c ** -0.5
+    need_flag = n_pad > 0 or key_valid is not None
 
     def single(qi, ki, vi):
         # precise mode streams f32 blocks; fast mode keeps the conv output
@@ -174,13 +185,17 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         qf = qi.reshape(n, c).astype(dtype)
         kf = ki.reshape(n, c).astype(dtype)
         vf = vi.reshape(n, c).astype(dtype)
-        if n_pad:
+        if need_flag:
+            if key_valid is not None:
+                live = jnp.where(key_valid.reshape(n), 0.0, -1e12)
+            else:
+                live = jnp.zeros((n,), jnp.float32)
+            flag = jnp.concatenate([
+                live.astype(dtype),
+                jnp.full((n_pad,), -1e12, dtype)])[:, None]
             qf = jnp.pad(qf, ((0, n_pad), (0, 0)))
             ones = jnp.ones((n_padded, 1), dtype)
             qf = jnp.concatenate([qf, ones], axis=1)
-            flag = jnp.concatenate([
-                jnp.zeros((n, 1), dtype),
-                jnp.full((n_pad, 1), -1e12, dtype)], axis=0)
             kf = jnp.concatenate([jnp.pad(kf, ((0, n_pad), (0, 0))), flag],
                                  axis=1)
             vf = jnp.pad(vf, ((0, n_pad), (0, 0)))
@@ -198,7 +213,8 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                      precision: Precision = Precision()) -> jnp.ndarray:
+                      precision: Precision = Precision(),
+                      key_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU for large grids, XLA otherwise.
 
     The flash kernel is ~20-30x faster than the XLA einsum path (which
@@ -212,5 +228,7 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if (on_tpu and n >= _PALLAS_MIN_TOKENS and q.shape[-1] % 128 == 0
             and n % _BLOCK_Q == 0):
         return spatial_attention_pallas(
-            q, k, v, precise=precision.mode == "parity")
-    return spatial_attention_xla(q, k, v, precision=precision)
+            q, k, v, precise=precision.mode == "parity",
+            key_valid=key_valid)
+    return spatial_attention_xla(q, k, v, precision=precision,
+                                 key_valid=key_valid)

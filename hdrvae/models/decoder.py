@@ -18,6 +18,7 @@ build must not do (SURVEY.md section 5, long-context row).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -53,7 +54,12 @@ def resnet_block(x: jnp.ndarray, p: Params, *, num_groups: int,
     h = conv2d(h, p["conv2"], precision=precision)
     if "nin_shortcut" in p:
         x = conv2d(x, p["nin_shortcut"], precision=precision)
-    return x + h
+    out = x + h
+    if tape is not None and hasattr(tape, "mask_output"):
+        # shape-bucketed exactness: conv biases leak into the pad region;
+        # re-zero so the next spatial op sees SAME-style zeros
+        out = tape.mask_output(out)
+    return out
 
 
 def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
@@ -69,7 +75,10 @@ def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
     q = conv2d(h, p["q"], precision=precision)
     k = conv2d(h, p["k"], precision=precision)
     v = conv2d(h, p["v"], precision=precision)
-    h = spatial_attention(q, k, v, precision=precision)
+    key_valid = (tape.key_valid(x) if tape is not None
+                 and hasattr(tape, "key_valid") else None)
+    h = spatial_attention(q, k, v, precision=precision,
+                          key_valid=key_valid)
     h = conv2d(h, p["proj_out"], precision=precision)
     return x + h
 
@@ -79,23 +88,31 @@ def attn_block(x: jnp.ndarray, p: Params, *, num_groups: int,
 # ---------------------------------------------------------------------------
 
 
-def decoder_apply(params: Params, z: jnp.ndarray,
-                  cfg: DecoderConfig = DecoderConfig(), *,
-                  precision: Precision = Precision(),
-                  apply_conv_out: bool = True,
-                  preprocess_latent: bool = True,
-                  postprocess_output: bool = True,
-                  tape=None) -> DecodeOutput:
-    """Decode a latent ``z`` [B, h, w, z_channels] (NHWC).
+def decoder_head(params: Params, z: jnp.ndarray,
+                 cfg: DecoderConfig = DecoderConfig(), *,
+                 precision: Precision = Precision(),
+                 preprocess_latent: bool = True,
+                 tail_levels: int = 0,
+                 tape=None) -> jnp.ndarray:
+    """conv_in + mid (incl. GLOBAL attention) + up levels above
+    ``tail_levels``, run whole-image.
 
-    Returns both the standard image and the pre-conv_out feature map from ONE
-    forward.  ``apply_conv_out=False`` is the declarative form of the
-    reference's whole bypass subsystem ("decode without the final layer",
-    `hdr_vae_decode.py:814-815,1320-1321`).
+    The head is the non-translation-local part of the decoder: mid-block
+    attention sees every latent pixel, so no spatial tiling can be exact
+    through it — but it runs at LATENT resolution, where the whole image is
+    cheap.  Everything downstream (:func:`decoder_tail`) is conv/GN-only
+    and shards spatially (hdrvae.sharding.mesh slab executor).  Output
+    resolution: latent x 2^(num_levels - max(tail_levels, 1)) when
+    tail_levels >= 1 (one 2x upsample per head level except level 0).
     """
     if preprocess_latent:
         # diffusers/ComfyUI latent scaling for Flux.1.
         z = z / cfg.scale_factor + cfg.shift_factor
+    if tape is not None and hasattr(tape, "mask_output"):
+        # shape-bucketed exactness: the shift_factor writes into the pad
+        # region; conv_in must see zeros there (== SAME padding of the
+        # unpadded decode)
+        z = tape.mask_output(z)
 
     x = conv2d(z, params["conv_in"], precision=precision)
 
@@ -110,18 +127,62 @@ def decoder_apply(params: Params, z: jnp.ndarray,
 
     # Up path: highest multiplier first (matches AutoencoderKL's
     # reversed(range(num_resolutions)) traversal).
-    for level in reversed(range(cfg.num_levels)):
-        up = params["up"][level]
-        for j in range(cfg.num_res_blocks + 1):
-            x = resnet_block(x, up["block"][j], num_groups=cfg.num_groups,
-                             precision=precision, tape=tape)
+    for level in reversed(range(tail_levels, cfg.num_levels)):
+        x = _up_level(params["up"][level], x, level, cfg, precision, tape)
+    return x
+
+
+def _up_level(up: Params, x: jnp.ndarray, level: int, cfg: DecoderConfig,
+              precision: Precision, tape) -> jnp.ndarray:
+    for j in range(cfg.num_res_blocks + 1):
+        x = resnet_block(x, up["block"][j], num_groups=cfg.num_groups,
+                         precision=precision, tape=tape)
+    if level != 0:
+        # NOTE: the subpixel decomposition (layers.upsample_conv_2x,
+        # 2.25x fewer MACs) measured SLOWER on v5e (121 vs 97 ms
+        # decoder at 1024^2) — four 2x2 convs + interleave lose to
+        # XLA's single well-tiled 3x3; keeping the plain form.
+        x = nearest_upsample_2x(x)
+        x = conv2d(x, up["upsample"], precision=precision)
+    return x
+
+
+def tail_receptive_radius(cfg: DecoderConfig, tail_levels: int) -> int:
+    """Receptive-field radius of :func:`decoder_tail` in TAIL-ENTRY pixels.
+
+    Each 3x3 conv at resolution f x entry adds radius 1/f; each upsample
+    doubles f.  A slab halo of this size makes halo-crop tiling EXACT for
+    the entire tail conv stack (the conv half of SURVEY.md section 7's
+    overlap-tiling hard part; GroupNorm's global statistics are the other
+    half, handled by cross-slab reduction in the mesh executor).
+    """
+    rf = 0.0
+    f = 1
+    for level in reversed(range(tail_levels)):
+        rf += 2 * (cfg.num_res_blocks + 1) / f
         if level != 0:
-            # NOTE: the subpixel decomposition (layers.upsample_conv_2x,
-            # 2.25x fewer MACs) measured SLOWER on v5e (121 vs 97 ms
-            # decoder at 1024^2) — four 2x2 convs + interleave lose to
-            # XLA's single well-tiled 3x3; keeping the plain form.
-            x = nearest_upsample_2x(x)
-            x = conv2d(x, up["upsample"], precision=precision)
+            f *= 2
+            rf += 1.0 / f  # the upsample conv runs at the doubled resolution
+    rf += 1.0 / f  # conv_out
+    return max(1, int(math.ceil(rf)))
+
+
+def decoder_tail(params: Params, x: jnp.ndarray,
+                 cfg: DecoderConfig = DecoderConfig(), *,
+                 precision: Precision = Precision(),
+                 tail_levels: int = 0,
+                 apply_conv_out: bool = True,
+                 postprocess_output: bool = True,
+                 tape=None) -> DecodeOutput:
+    """Up levels ``tail_levels - 1 .. 0`` + norm_out/SiLU (+ conv_out) on a
+    :func:`decoder_head` output (or a spatial slab of one).
+
+    Purely translation-local except GroupNorm statistics, so the sharded
+    slab executor runs it on row slabs with GN stats reduced across the
+    mesh — exact whole-image statistics from per-slab partials.
+    """
+    for level in reversed(range(tail_levels)):
+        x = _up_level(params["up"][level], x, level, cfg, precision, tape)
 
     x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups,
                         precision=precision, tape=tape)
@@ -144,6 +205,32 @@ def decoder_apply(params: Params, z: jnp.ndarray,
         rgb = rgb.astype(jnp.float32)
 
     return DecodeOutput(rgb=rgb, pre_conv_out=pre_conv_out)
+
+
+def decoder_apply(params: Params, z: jnp.ndarray,
+                  cfg: DecoderConfig = DecoderConfig(), *,
+                  precision: Precision = Precision(),
+                  apply_conv_out: bool = True,
+                  preprocess_latent: bool = True,
+                  postprocess_output: bool = True,
+                  tape=None) -> DecodeOutput:
+    """Decode a latent ``z`` [B, h, w, z_channels] (NHWC).
+
+    Returns both the standard image and the pre-conv_out feature map from ONE
+    forward.  ``apply_conv_out=False`` is the declarative form of the
+    reference's whole bypass subsystem ("decode without the final layer",
+    `hdr_vae_decode.py:814-815,1320-1321`).
+
+    Composition of :func:`decoder_head` and :func:`decoder_tail` with every
+    up level in the head — the identical op sequence to a monolithic
+    forward.
+    """
+    x = decoder_head(params, z, cfg, precision=precision,
+                     preprocess_latent=preprocess_latent, tail_levels=0,
+                     tape=tape)
+    return decoder_tail(params, x, cfg, precision=precision, tail_levels=0,
+                        apply_conv_out=apply_conv_out,
+                        postprocess_output=postprocess_output, tape=tape)
 
 
 # ---------------------------------------------------------------------------

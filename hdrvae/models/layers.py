@@ -84,6 +84,62 @@ class GNTape:
         return entry
 
 
+class PadMask:
+    """Makes a zero-padded (shape-bucketed) decode EXACT: the pad region is
+    excluded from GroupNorm statistics and re-zeroed after every layer that
+    could write into it, so every conv sees the same implicit zeros at the
+    valid boundary that SAME padding gives the unpadded decode, and nothing
+    from the pad region ever bleeds into valid pixels.
+
+    Duck-typed GN "tape" (``reduce_stats`` hook in :func:`_gn_affine`,
+    ``mask_output`` consumed by the norm/resnet layers, ``key_valid`` by the
+    attention block).  ``base_h/w`` are the PADDED dims at the tape's entry
+    resolution (the latent for ``decoder_apply``); ``valid_h/w`` the real
+    dims.  All ints are static, so the tape is jit-trace-stable.
+    """
+
+    def __init__(self, base_h: int, base_w: int, valid_h: int,
+                 valid_w: int):
+        self.base_h, self.base_w = base_h, base_w
+        self.valid_h, self.valid_w = valid_h, valid_w
+
+    def _f(self, w: int) -> int:
+        assert w % self.base_w == 0, (w, self.base_w)
+        return w // self.base_w
+
+    def _mask2d(self, h: int, w: int) -> jnp.ndarray:
+        f = self._f(w)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        return (rows < self.valid_h * f) & (cols < self.valid_w * f)
+
+    def mask_output(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        return x * self._mask2d(h, w)[None, :, :, None].astype(x.dtype)
+
+    def key_valid(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[H, W] bool validity map for attention keys at x's resolution."""
+        return self._mask2d(x.shape[1], x.shape[2])
+
+    def reduce_stats(self, xf: jnp.ndarray, onehot: jnp.ndarray, cpg: int,
+                     precision: Precision):
+        b, h, w, c = xf.shape
+        f = self._f(w)
+        mask = self._mask2d(h, w)[None, :, :, None].astype(jnp.float32)
+        n_valid = (self.valid_h * f) * (self.valid_w * f) * cpg
+        xm = xf * mask
+        mean = jnp.einsum("bhwc,cg->bg", xm, onehot) / n_valid
+        if precision.mode == "parity":
+            grp = jnp.arange(c) // cpg
+            centered = (xf - mean[:, grp][:, None, None, :]) * mask
+            var = jnp.einsum("bhwc,cg->bg", jnp.square(centered),
+                             onehot) / n_valid
+        else:
+            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot) / n_valid
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        return mean, var
+
+
 def _group_onehot(c: int, g: int) -> jnp.ndarray:
     """[C, G] channel->group indicator (a tiny MXU contraction target)."""
     grp = jnp.arange(c) // (c // g)
@@ -110,8 +166,15 @@ def _gn_affine(x: jnp.ndarray, p: Params, num_groups: int, eps: float,
     onehot = _group_onehot(c, g)
     n = h * w * cpg
 
-    override = tape.next_override() if tape is not None else None
-    if override is not None:
+    reducer = tape if hasattr(tape, "reduce_stats") else None
+    override = (tape.next_override()
+                if tape is not None and reducer is None else None)
+    if reducer is not None:
+        # A cross-shard statistics reducer (duck-typed; see
+        # sharding.mesh.SlabGNReducer): per-shard masked partial sums
+        # psum-reduced over the mesh == exact whole-image GN statistics.
+        mean, var = reducer.reduce_stats(xf, onehot, cpg, precision)
+    elif override is not None:
         mean = override[0].astype(jnp.float32)   # [B, G]
         var = override[1].astype(jnp.float32)
     else:
@@ -145,6 +208,8 @@ def group_norm(x: jnp.ndarray, p: Params, *, num_groups: int,
     xf, gamma, beta = _gn_affine(x, p, num_groups, eps, tape,
                                  precision)
     out = xf * gamma[:, None, None, :] + beta[:, None, None, :]
+    if tape is not None and hasattr(tape, "mask_output"):
+        out = tape.mask_output(out)  # keep the pad region at exact zero
     return out.astype(precision.storage_dtype)
 
 
@@ -156,6 +221,8 @@ def group_norm_silu(x: jnp.ndarray, p: Params, *, num_groups: int,
                                  precision)
     y = xf * gamma[:, None, None, :] + beta[:, None, None, :]
     y = y * jax.nn.sigmoid(y)
+    if tape is not None and hasattr(tape, "mask_output"):
+        y = tape.mask_output(y)  # keep the pad region at exact zero
     return y.astype(precision.storage_dtype)
 
 

@@ -17,19 +17,22 @@ warranted, SURVEY.md section 5 parallelism row).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig,
                                 Precision)
 from hdrvae.decode.formatting import collapse_channels_maxpool
 from hdrvae.decode.pipeline import hdr_epilogue_from_parts
-from hdrvae.models.decoder import decoder_apply
+from hdrvae.models.decoder import (decoder_apply, decoder_head,
+                                   decoder_tail, tail_receptive_radius)
 from hdrvae.tiling.tiled import TilePlan, blend_tiles, extract_tiles, \
     plan_tiles
 
@@ -200,18 +203,224 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
     return image, rgb, used_fallback
 
 
-def _downsample_latent(latent: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Area-average downsample (pads to a factor multiple first)."""
-    if factor <= 1:
-        return latent
-    b, h, w, c = latent.shape
-    ph, pw = -h % factor, -w % factor
-    if ph or pw:
-        latent = jnp.pad(latent, ((0, 0), (0, ph), (0, pw), (0, 0)),
-                         mode="edge")
-    b, h, w, c = latent.shape
-    return latent.reshape(b, h // factor, factor, w // factor, factor,
-                          c).mean(axis=(2, 4))
+# ---------------------------------------------------------------------------
+# Slab-sharded EXACT decode (head whole-image, tail on row slabs + GN psum)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabPlan:
+    """Static row-slab geometry at tail-entry resolution: n equal-shaped
+    slabs whose OWNED row intervals partition [0, entry_h); each slab is
+    extracted with a ``halo`` >= the tail's receptive radius so halo-crop
+    is exact for the conv stack."""
+
+    entry_h: int
+    halo: int
+    slab_h: int
+    starts: Tuple[int, ...]                # slab top row (incl. halo)
+    owned: Tuple[Tuple[int, int], ...]     # global owned row interval
+
+
+def plan_slabs(entry_h: int, n: int, halo: int) -> SlabPlan:
+    cuts = [round(i * entry_h / n) for i in range(n + 1)]
+    widest = max(cuts[i + 1] - cuts[i] for i in range(n))
+    slab_h = min(entry_h, widest + 2 * halo)
+    starts = tuple(min(max(cuts[i] - halo, 0), entry_h - slab_h)
+                   for i in range(n))
+    owned = tuple((cuts[i], cuts[i + 1]) for i in range(n))
+    return SlabPlan(entry_h, halo, slab_h, starts, owned)
+
+
+class SlabGNReducer:
+    """Exact whole-image GroupNorm statistics under slab sharding.
+
+    Duck-typed GN "tape" (hdrvae.models.layers._gn_affine looks for
+    ``reduce_stats``): each device computes partial sums over the rows it
+    OWNS (halo rows masked out so no pixel is counted twice) and a psum
+    over the mesh axis reconstructs the whole-image mean/var — the
+    per-tile-partials answer to GroupNorm's global statistics (SURVEY.md
+    section 7 hard-parts; replaces the extra whole-image stats forward).
+
+    The layer's resolution multiple is inferred from the width (slabs span
+    the full image width, so ``w == entry_w * f`` exactly).
+    """
+
+    def __init__(self, axis_name: str, entry_h: int, entry_w: int,
+                 top, bot):
+        self.axis_name = axis_name
+        self.entry_h = entry_h
+        self.entry_w = entry_w
+        self.top = top      # traced: this device's owned LOCAL row bounds
+        self.bot = bot      # (at entry resolution)
+
+    def _row_mask(self, h: int, f: int) -> jnp.ndarray:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+        return ((rows >= self.top * f)
+                & (rows < self.bot * f)).astype(jnp.float32)
+
+    def reduce_stats(self, xf: jnp.ndarray, onehot: jnp.ndarray, cpg: int,
+                     precision: Precision):
+        b, h, w, c = xf.shape
+        f = w // self.entry_w
+        mask = self._row_mask(h, f)[None, :, None, None]
+        n_global = (self.entry_h * f) * w * cpg
+        xm = xf * mask
+        mean = jax.lax.psum(jnp.einsum("bhwc,cg->bg", xm, onehot),
+                            self.axis_name) / n_global
+        if precision.mode == "parity":
+            grp = jnp.arange(c) // cpg
+            centered = (xf - mean[:, grp][:, None, None, :]) * mask
+            var = jax.lax.psum(
+                jnp.einsum("bhwc,cg->bg", jnp.square(centered), onehot),
+                self.axis_name) / n_global
+        else:
+            sq = jax.lax.psum(
+                jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot),
+                self.axis_name) / n_global
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        return mean, var
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("decoder_cfg", "cfg", "precision",
+                                    "mesh", "tail_levels", "halo"))
+def _slab_decode_step(params: Params, latent: jnp.ndarray,
+                      decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
+                      precision: Precision, mesh: Mesh, tail_levels: int,
+                      halo: int):
+    axis_name = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    # Head: conv_in + mid (global attention RUNS, whole-image — beating the
+    # reference's attention-skip hack `hdr_vae_decode.py:514` on its own
+    # ground) + coarse up levels, all at cheap low resolution.
+    x = decoder_head(params, latent, decoder_cfg, precision=precision,
+                     tail_levels=tail_levels)
+
+    entry_h, entry_w = x.shape[1], x.shape[2]
+    plan = plan_slabs(entry_h, n, halo)
+    fo = 2 ** max(tail_levels - 1, 0)      # tail output resolution multiple
+
+    slabs = jnp.stack([x[:, s:s + plan.slab_h] for s in plan.starts], 0)
+    slabs = jax.lax.with_sharding_constraint(
+        slabs, NamedSharding(mesh, P(axis_name)))
+    bounds = jnp.asarray([[o0 - s, o1 - s]
+                          for (o0, o1), s in zip(plan.owned, plan.starts)],
+                         jnp.int32)
+
+    want_first3 = cfg.fallback_collapse == "first3"
+
+    def tail_one(p, slab, bnd):
+        slab, bnd = slab[0], bnd[0]
+        reducer = SlabGNReducer(axis_name, entry_h, entry_w, bnd[0], bnd[1])
+        out = decoder_tail(p, slab, decoder_cfg, precision=precision,
+                           tail_levels=tail_levels, tape=reducer)
+        pre_f = out.pre_conv_out.astype(jnp.float32)
+        b, ho, wo, c = pre_f.shape
+        mask = reducer._row_mask(ho, fo)[None, :, None, None]
+        n_pre = b * (entry_h * fo) * wo * c
+        masked = pre_f * mask
+        s1 = jax.lax.psum(jnp.sum(masked), axis_name)
+        s2 = jax.lax.psum(jnp.sum(jnp.square(masked)), axis_name)
+        big = jnp.asarray(jnp.inf, jnp.float32)
+        mn = jax.lax.pmin(jnp.min(jnp.where(mask > 0, pre_f, big)),
+                          axis_name)
+        mx = jax.lax.pmax(jnp.max(jnp.where(mask > 0, pre_f, -big)),
+                          axis_name)
+        mean = s1 / n_pre
+        # one-pass variance; only logged (modes use min/max/mean), ddof=1
+        var = jnp.maximum(s2 / n_pre - jnp.square(mean), 0.0)
+        var = var * n_pre / max(n_pre - 1.0, 1.0)
+        pre_stats = {"min": mn, "max": mx, "mean": mean,
+                     "std": jnp.sqrt(var)}
+        pre_c = collapse_channels_maxpool(pre_f)
+        pre3 = pre_f[..., :3] if want_first3 else pre_c[..., :0]
+        return out.rgb[None], pre_c[None], pre3[None], pre_stats
+
+    rgb_s, prec_s, pre3_s, pre_stats = shard_map(
+        tail_one, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
+        check_vma=False)(params, slabs, bounds)
+
+    def stitch(t):
+        pieces = [t[i][:, (o0 - s) * fo:(o1 - s) * fo]
+                  for i, ((o0, o1), s) in enumerate(zip(plan.owned,
+                                                        plan.starts))]
+        return jnp.concatenate(pieces, axis=1)
+
+    rgb = stitch(rgb_s)
+    pre_c = stitch(prec_s)
+    pre3 = stitch(pre3_s) if want_first3 else None
+
+    image, used_fallback, analysis = hdr_epilogue_from_parts(
+        rgb, pre_c, pre_stats, cfg, pre3)
+    from hdrvae.core.stats import hdr_stats
+    stats = {
+        "input": hdr_stats(latent),
+        "pre": analysis.pre_stats,
+        "post": analysis.post_stats,
+        "norm_kind": analysis.norm_kind,
+        "output": hdr_stats(image),
+    }
+    return image, rgb, stats, used_fallback
+
+
+def sharded_slab_decode(params: Params, latent: jnp.ndarray,
+                        decoder_cfg: DecoderConfig = DecoderConfig(),
+                        cfg: HDRDecodeConfig = HDRDecodeConfig(),
+                        *, mesh: Optional[Mesh] = None,
+                        tail_levels: Optional[int] = None,
+                        halo: Optional[int] = None,
+                        precision: Precision = Precision()):
+    """EXACT sharded decode: head whole-image, tail on row slabs.
+
+    The answer to tiled-decode fidelity (SURVEY.md section 7 hard parts;
+    BASELINE.json config 5): the non-local parts (mid attention) run
+    whole-image at latent resolution where they are cheap; the memory-heavy
+    fine levels run on row slabs sharded over the mesh, with
+
+      - conv exactness from a halo >= the tail receptive radius
+        (models.decoder.tail_receptive_radius), and
+      - GroupNorm exactness from cross-slab statistic reduction
+        (SlabGNReducer psum) — NO extra whole-image stats forward.
+
+    Per-device peak activation memory scales ~1/n_devices for the tail,
+    which is where the full-resolution memory lives.  On a 1-device mesh
+    this degenerates to the plain whole-image decode (no halo waste).
+
+    Returns an ``HDRDecodeResult`` (same contract as ``hdr_decode``).
+    """
+    from hdrvae.decode.pipeline import HDRDecodeResult
+    zc = decoder_cfg.z_channels
+    if latent.ndim != 4:
+        raise ValueError(f"latent must be 4D, got shape {latent.shape}")
+    if latent.shape[-1] != zc and latent.shape[1] == zc:
+        latent = jnp.transpose(latent, (0, 2, 3, 1))  # NCHW -> NHWC
+    if mesh is None:
+        mesh = make_mesh()
+    if tail_levels is None:
+        # Fine levels hold the memory; two tail levels keep the whole-image
+        # head at <= 1/16 of output area while sharding ~94% of the FLOPs
+        # for the Flux topology.
+        tail_levels = min(2, decoder_cfg.num_levels)
+    if not 0 <= tail_levels <= decoder_cfg.num_levels:
+        raise ValueError(f"tail_levels {tail_levels} out of range")
+    if halo is None:
+        halo = tail_receptive_radius(decoder_cfg, tail_levels)
+
+    replicated = NamedSharding(mesh, P())
+    first_leaf = jax.tree_util.tree_leaves(params)[0]
+    if getattr(first_leaf, "sharding", None) != replicated:
+        params = jax.device_put(params, replicated)
+    latent = jax.device_put(latent, replicated)
+
+    image, rgb, stats, used_fallback = _slab_decode_step(
+        params, latent, decoder_cfg, cfg, precision, mesh, tail_levels,
+        halo)
+    return HDRDecodeResult(image=image, standard=rgb, stats=stats,
+                           used_fallback=used_fallback)
 
 
 def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
@@ -220,7 +429,6 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
                          *, mesh: Optional[Mesh] = None,
                          latent_tile: int = 64, latent_overlap: int = 8,
                          norm_stats: str = "global",
-                         stats_downsample: int = 1,
                          precision: Precision = Precision()) -> jnp.ndarray:
     """Overlap-tiled HDR decode sharded across a device mesh.
 
@@ -228,21 +436,25 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
     latent space (x8 in pixels; defaults 64/8 -> 512px tiles, 64px halo,
     matching the reference's pixel-space tiling constants).
 
+    NOTE: for sharded DECODE prefer :func:`sharded_slab_decode` — exact
+    through attention AND GroupNorm with no extra stats pass.  This tile-grid
+    executor remains for square-tile workloads (it is the shape the
+    upscaler shards in) and as the reference-semantics tiling.
+
     Seam strategy is halo-crop (exact for the conv stack) plus GroupNorm
     statistics control via ``norm_stats``:
-      - "global" (default, stats_downsample=1): one whole-image decode
-        collects a GN tape that every tile replays — tiles share EXACT
-        whole-image statistics and the residual seam error is only the
-        tile-local attention (~0.6%).  Costs one extra non-tiled forward,
-        so it parallelizes decode without reducing peak memory.
+      - "global" (default): one whole-image decode collects a GN tape that
+        every tile replays — tiles share EXACT whole-image statistics and
+        the residual seam error is only the tile-local attention (~0.6%).
+        Costs one extra non-tiled forward, so it parallelizes decode
+        without reducing peak memory.
       - "per_tile": each tile normalizes with its own stats — the
         memory-bounded mode for images whose whole-image activations would
         not fit HBM; larger (documented) seam error.
-      - stats_downsample > 1 computes the tape from a downsampled whole
-        decode: cheaper stats pass, EXPERIMENTAL — decoder activations are
-        not scale-invariant, so injected variances can be badly off
-        (measured on random weights); validate on real checkpoints before
-        relying on it.
+    (The experimental ``stats_downsample`` knob was REMOVED: downsampled
+    stats injection produced garbage on random weights — decoder
+    activations are not scale-invariant — and could not be validated
+    without a real checkpoint.)
     """
     if norm_stats not in ("global", "per_tile"):
         raise ValueError(f"norm_stats must be 'global' or 'per_tile', "
@@ -267,8 +479,7 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
         tiles, NamedSharding(mesh, P(axis_name)))
 
     global_stats = norm_stats == "global"
-    stats_latent = (_downsample_latent(latent, stats_downsample)
-                    if global_stats else jnp.zeros((), jnp.float32))
+    stats_latent = latent if global_stats else jnp.zeros((), jnp.float32)
 
     image, rgb, used_fallback = _sharded_decode_step(
         params, tiles, stats_latent, decoder_cfg, cfg, precision, plan,

@@ -31,6 +31,37 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_key_valid_mask(self, rng):
+        """Masked keys (shape-bucketed pad exclusion) drop out of the
+        softmax identically in the flag-channel Pallas path and the XLA
+        bias path — both must equal plain attention over only the valid
+        keys."""
+        h, w, c = 16, 16, 128
+        q, k, v = (jnp.asarray(rng.standard_normal((1, h, w, c)),
+                               jnp.float32) for _ in range(3))
+        valid_h, valid_w = 11, 13
+        rows = jnp.arange(h)[:, None]
+        cols = jnp.arange(w)[None, :]
+        key_valid = (rows < valid_h) & (cols < valid_w)
+
+        # ground truth: attention computed over ONLY the valid keys
+        kv_idx = np.nonzero(np.asarray(key_valid).reshape(-1))[0]
+        n = h * w
+        qf = np.asarray(q).reshape(n, c)
+        kf = np.asarray(k).reshape(n, c)[kv_idx]
+        vf = np.asarray(v).reshape(n, c)[kv_idx]
+        s = (qf * c ** -0.5) @ kf.T
+        p = np.exp(s - s.max(axis=1, keepdims=True))
+        truth = (p / p.sum(axis=1, keepdims=True)) @ vf
+
+        xla = spatial_attention_xla(q, k, v, key_valid=key_valid)
+        np.testing.assert_allclose(np.asarray(xla).reshape(n, c), truth,
+                                   atol=2e-5, rtol=2e-5)
+        pal = spatial_attention_pallas(q, k, v, block_q=64, block_k=64,
+                                       interpret=True, key_valid=key_valid)
+        np.testing.assert_allclose(np.asarray(pal).reshape(n, c), truth,
+                                   atol=2e-5, rtol=2e-5)
+
     def test_extreme_logits_stable(self, rng):
         """Online softmax must stay finite with large score magnitudes."""
         q = jnp.asarray(rng.standard_normal((1, 8, 16, 128)) * 30,
