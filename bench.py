@@ -1,12 +1,19 @@
-"""Benchmark harness — prints ONE JSON line with the tracked metric.
+"""Benchmark harness — prints ONE JSON line with the tracked metrics.
 
-Metric (BASELINE.md): HDR decode throughput in megapixels/sec at 1024x1024
-output (128x128 Flux.1 latent -> full decode + fused HDR epilogue), on
-whatever accelerator is available (the driver runs this on one real TPU
-chip).  Baseline: the reference GPU node's derived 0.024 MP/s
+Headline metric (BASELINE.md): HDR decode throughput in megapixels/sec at
+1024x1024 output (128x128 Flux.1 latent -> full decode + fused HDR
+epilogue), on whatever accelerator is available (the driver runs this on
+one real TPU chip).  Baseline: the reference GPU node's derived 0.024 MP/s
 (`README.md:262`: ~41 s for a 0.999 MP image).
 
+The single output line carries the headline metric plus an
+``extra_metrics`` list covering BASELINE.json's other configs: 2048**2
+whole-image, 2048**2 sharded slab decode (config 5's exact path), and the
+export-inclusive pipeline (decode -> linear EXR on disk, config 5 end to
+end).
+
 Usage: python bench.py [--size 1024] [--runs 5] [--precision fast|parity]
+                       [--quick] [--full] [--batch N] [--tiled]
 """
 
 from __future__ import annotations
@@ -14,28 +21,63 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import tempfile
 import time
 
 REFERENCE_MP_PER_S = 0.024  # BASELINE.md derived throughput
 
 
+def _time_loop(step, x0, sync, runs: int) -> float:
+    """Average seconds/step over one chained loop (data-dependency chained;
+    a single host fetch at the end — per-call block_until_ready costs a
+    readiness RPC on remote backends and distorts per-step numbers)."""
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(runs):
+        x = step(x)
+    sync(x)
+    return (time.perf_counter() - t0) / runs
+
+
+def bench_step(step, x0, sync, runs: int, warmup: int):
+    """Returns (best_s, mean_s, warmup_s): two independent timed loops so
+    best/mean are real statistics, not aliases (the round-1 harness
+    recorded a vestigial times=[best])."""
+    t0 = time.perf_counter()
+    x = x0
+    for _ in range(max(1, warmup)):
+        x = step(x)
+    sync(x)
+    warmup_s = time.perf_counter() - t0
+
+    loops = [_time_loop(step, x0, sync, runs) for _ in range(2)]
+    return min(loops), sum(loops) / len(loops), warmup_s
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=1024,
-                        help="output image edge in pixels")
+                        help="headline output image edge in pixels")
     parser.add_argument("--runs", type=int, default=5)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--precision", choices=("fast", "parity"),
                         default="fast")
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--tiled", action="store_true",
-                        help="benchmark the sharded/tiled decode path")
+                        help="headline uses the sharded slab decode path")
+    parser.add_argument("--quick", action="store_true",
+                        help="headline metric only (skip extra rows)")
+    parser.add_argument("--big-size", type=int, default=2048,
+                        help="edge for the extra (2048-class) rows")
+    parser.add_argument("--full", action="store_true",
+                        help="also run batch-4 and tile-grid rows")
     parser.add_argument("--extra", action="store_true",
-                        help="also print secondary metrics as extra lines")
+                        help="print per-row detail to stderr")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from hdrvae.core.runtime import setup
     setup()  # persistent compilation cache
@@ -43,76 +85,110 @@ def main() -> int:
     from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
     from hdrvae.decode.pipeline import _hdr_decode_compiled
     from hdrvae.models.decoder import init_decoder
+    from hdrvae.sharding.mesh import (make_mesh, sharded_slab_decode,
+                                      sharded_tiled_decode)
 
     decoder_cfg = DecoderConfig()
     cfg = HDRDecodeConfig()
     precision = (Precision.fast() if args.precision == "fast"
                  else Precision.parity())
-
-    latent_edge = args.size // decoder_cfg.spatial_scale
     params = init_decoder(jax.random.PRNGKey(0), decoder_cfg)
-    latent = jax.random.normal(
-        jax.random.PRNGKey(1), (args.batch, latent_edge, latent_edge,
-                                decoder_cfg.z_channels), jnp.float32)
+    mesh = make_mesh()
 
-    if args.tiled:
-        from hdrvae.sharding.mesh import make_mesh, sharded_tiled_decode
-        mesh = make_mesh()
-
-        def step(x):
-            img = sharded_tiled_decode(
-                params, x, decoder_cfg, cfg, mesh=mesh,
-                norm_stats="per_tile", precision=precision)
-            return x + img.mean() * 1e-6
-    else:
-        def step(x):
-            image, rgb, stats, fb = _hdr_decode_compiled(
-                params, x, decoder_cfg, cfg, precision)
-            return x + image.mean() * 1e-6
-
-    # Timing: chain steps through a data dependency and sync once with a
-    # host fetch — per-call block_until_ready costs a readiness RPC on
-    # remote backends and distorts per-step numbers.
-    import numpy as np
+    def latent_for(size: int, batch: int = 1):
+        edge = size // decoder_cfg.spatial_scale
+        return jax.random.normal(
+            jax.random.PRNGKey(1),
+            (batch, edge, edge, decoder_cfg.z_channels), jnp.float32)
 
     def sync(x):
         np.asarray(x.ravel()[0])
 
-    t0 = time.perf_counter()
-    x = latent
-    for _ in range(max(1, args.warmup)):
-        x = step(x)
-    sync(x)
-    compile_s = time.perf_counter() - t0
+    def whole_step(x):
+        image, rgb, stats, fb = _hdr_decode_compiled(
+            params, x, decoder_cfg, cfg, precision)
+        return x + image.mean() * 1e-6
 
-    t0 = time.perf_counter()
-    for _ in range(args.runs):
-        x = step(x)
-    sync(x)
-    best = (time.perf_counter() - t0) / args.runs
-    times = [best]
-    megapixels = args.batch * (args.size * args.size) / 1e6
-    mp_per_s = megapixels / best
+    def slab_step(x):
+        result = sharded_slab_decode(params, x, decoder_cfg, cfg,
+                                     mesh=mesh, precision=precision)
+        return x + result.image.mean() * 1e-6
 
-    result = {
-        "metric": f"hdr_decode_mp_per_s_{args.size}"
-                  + ("_tiled" if args.tiled else "")
-                  + (f"_b{args.batch}" if args.batch > 1 else ""),
-        "value": round(mp_per_s, 3),
-        "unit": "MP/s",
-        "vs_baseline": round(mp_per_s / REFERENCE_MP_PER_S, 1),
-    }
+    def tile_grid_step(x):
+        img = sharded_tiled_decode(params, x, decoder_cfg, cfg, mesh=mesh,
+                                   norm_stats="per_tile",
+                                   precision=precision)
+        return x + img.mean() * 1e-6
+
+    detail = {"device": str(jax.devices()[0]), "precision": args.precision,
+              "n_devices": mesh.devices.size}
+
+    def run_row(name, step, size, batch=1, runs=None):
+        best, mean, warm = bench_step(step, latent_for(size, batch), sync,
+                                      runs or args.runs, args.warmup)
+        mp = batch * size * size / 1e6
+        row = {"metric": name, "value": round(mp / best, 3), "unit": "MP/s",
+               "vs_baseline": round(mp / best / REFERENCE_MP_PER_S, 1)}
+        if args.extra:
+            print(json.dumps({**detail, "metric": name,
+                              "best_s": round(best, 4),
+                              "mean_s": round(mean, 4),
+                              "warmup_s": round(warm, 1)}),
+                  file=sys.stderr)
+        return row
+
+    headline_step = slab_step if args.tiled else whole_step
+    headline_name = (f"hdr_decode_mp_per_s_{args.size}"
+                     + ("_tiled" if args.tiled else "")
+                     + (f"_b{args.batch}" if args.batch > 1 else ""))
+    if args.batch > 1:
+        headline_step = whole_step
+    result = run_row(headline_name, headline_step, args.size, args.batch)
+
+    extra_rows = []
+    if not args.quick:
+        big = args.big_size
+        extra_rows.append(run_row(f"hdr_decode_mp_per_s_{big}", whole_step,
+                                  big, runs=3))
+        extra_rows.append(run_row(f"hdr_decode_mp_per_s_{big}_slab",
+                                  slab_step, big, runs=3))
+
+        # Config 5 end to end: decode -> linear EXR on disk (+ verify).
+        from hdrvae.core.config import ExportConfig
+        from hdrvae.io.export import export_linear
+        tmpdir = tempfile.mkdtemp(prefix="hdrvae-bench-")
+        lat_big = latent_for(big)
+
+        def export_step(x):
+            image, rgb, stats, fb = _hdr_decode_compiled(
+                params, x, decoder_cfg, cfg, precision)
+            res = export_linear(
+                np.asarray(image),
+                ExportConfig(filename_prefix="bench", output_path=tmpdir,
+                             bit_depth="32bit", compression="zip"),
+                default_output_dir=tmpdir)
+            assert res.error is None, res.error
+            return x
+
+        best, mean, warm = bench_step(export_step, lat_big,
+                                      lambda x: None, runs=2, warmup=1)
+        mp = big * big / 1e6
+        extra_rows.append({"metric": f"hdr_decode_export_mp_per_s_{big}",
+                           "value": round(mp / best, 3), "unit": "MP/s",
+                           "vs_baseline": round(
+                               mp / best / REFERENCE_MP_PER_S, 1)})
+
+        if args.full:
+            extra_rows.append(run_row(f"hdr_decode_mp_per_s_{args.size}_b4",
+                                      whole_step, args.size, batch=4,
+                                      runs=2))
+            extra_rows.append(run_row(
+                f"hdr_decode_mp_per_s_{big}_tile_grid", tile_grid_step,
+                big, runs=2))
+
+    if extra_rows:
+        result["extra_metrics"] = extra_rows
     print(json.dumps(result))
-
-    if args.extra:
-        extra = {
-            "device": str(jax.devices()[0]),
-            "precision": args.precision,
-            "best_s": round(best, 4),
-            "mean_s": round(sum(times) / len(times), 4),
-            "warmup_s": round(compile_s, 1),
-        }
-        print(json.dumps(extra), file=sys.stderr)
     return 0
 
 

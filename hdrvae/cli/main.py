@@ -99,16 +99,26 @@ def cmd_decode(args) -> int:
         rng = np.random.default_rng(args.seed)
         edge = args.size // cfg.spatial_scale
         latent = rng.standard_normal(
-            (1, edge, edge, cfg.z_channels)).astype(np.float32)
+            (args.batch, edge, edge, cfg.z_channels)).astype(np.float32)
     if latent.ndim == 3:
         latent = latent[None]
 
     precision = Precision.parity() if args.parity else Precision.fast()
-    result = hdr_decode(vae.params, jnp.asarray(latent), cfg,
-                        HDRDecodeConfig(
-                            hdr_mode=args.mode,
-                            conservative_ev_multiplier=args.ev_multiplier),
-                        precision)
+    hdr_cfg = HDRDecodeConfig(
+        hdr_mode=args.mode,
+        conservative_ev_multiplier=args.ev_multiplier)
+    if args.tiled:
+        # BASELINE.json config 5 from one command: sharded decode over the
+        # device mesh (exact slab path: whole-image mid attention + GN
+        # stats psum-reduced across slabs) -> linear EXR.
+        from hdrvae.sharding.mesh import make_mesh, sharded_slab_decode
+        mesh = make_mesh(num_devices=args.mesh)
+        result = sharded_slab_decode(vae.params, jnp.asarray(latent), cfg,
+                                     hdr_cfg, mesh=mesh,
+                                     precision=precision)
+    else:
+        result = hdr_decode(vae.params, jnp.asarray(latent), cfg, hdr_cfg,
+                            precision)
     print(json.dumps(decode_summary(result)))
     _export(np.asarray(result.image), args)
     return 0
@@ -265,6 +275,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--parity", action="store_true",
                    help="full float32 numerics (slower)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="frames when generating a random latent")
+    p.add_argument("--tiled", action="store_true",
+                   help="sharded slab decode over the device mesh "
+                        "(BASELINE.json config 5)")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="device count for --tiled (default: all)")
     _add_export_args(p)
     p.set_defaults(func=cmd_decode)
 
