@@ -13,7 +13,7 @@ __version__ = "0.1.0"
 
 try:
     from hdrvae.api.nodes import (HDRUpscaleWithModel, HDRVAEDecode,
-                                  LinearEXRExport)
+                                  LinearEXRExport, PreviewImage, VAEDecode)
     _NODES_AVAILABLE = True
 except Exception as _e:  # pragma: no cover - import-robustness fallback
     import logging
@@ -34,18 +34,25 @@ except Exception as _e:  # pragma: no cover - import-robustness fallback
     HDRVAEDecode = DummyNode
     LinearEXRExport = DummyNode
     HDRUpscaleWithModel = DummyNode
+    VAEDecode = DummyNode
+    PreviewImage = DummyNode
     _NODES_AVAILABLE = False
 
 NODE_CLASS_MAPPINGS = {
     "HDRVAEDecode": HDRVAEDecode,
     "LinearEXRExport": LinearEXRExport,
     "HDRUpscaleWithModel": HDRUpscaleWithModel,
+    # host-framework builtins the reference's workflows assume
+    "VAEDecode": VAEDecode,
+    "PreviewImage": PreviewImage,
 }
 
 NODE_DISPLAY_NAME_MAPPINGS = {
     "HDRVAEDecode": "HDR VAE Decode",
     "LinearEXRExport": "Linear EXR Export",
     "HDRUpscaleWithModel": "HDR Upscale with Model",
+    "VAEDecode": "VAE Decode",
+    "PreviewImage": "Preview Image",
 }
 
 __all__ = ["NODE_CLASS_MAPPINGS", "NODE_DISPLAY_NAME_MAPPINGS",

@@ -26,6 +26,83 @@ class GraphError(RuntimeError):
     pass
 
 
+def is_comfyui_format(workflow: Mapping[str, Any]) -> bool:
+    """ComfyUI UI-export format: a top-level ``links`` array and per-node
+    ``inputs`` given as a LIST of {name, link} dicts (the reference ships
+    `workflow_examples/HDR_VAE_DECODE.json` in this shape)."""
+    if "links" not in workflow or "nodes" not in workflow:
+        return False
+    for node in workflow["nodes"]:
+        ins = node.get("inputs")
+        if isinstance(ins, list):
+            return True
+        if isinstance(ins, dict):
+            return False
+    return True  # links array + no dict-style inputs anywhere
+
+
+def convert_comfyui_workflow(workflow: Mapping[str, Any],
+                             registry: Mapping[str, type]
+                             ) -> Dict[str, Any]:
+    """Convert a ComfyUI UI-export graph to the executor's internal shape.
+
+    - ``links`` rows ``[link_id, src_node, src_slot, dst_node, dst_slot,
+      type]`` become per-input ``[src_node_id, src_slot]`` references.
+    - Node types NOT in the registry (UNETLoader, KSampler, CLIP encoders,
+      ...) are dropped from the executable graph; links sourced from them
+      are rewritten to external-input references keyed by the source
+      node's TYPE (or ``type:id`` when a type appears more than once), so
+      callers supply e.g. ``{"KSampler": ({"samples": latent},),
+      "VAELoader": (vae,)}``.
+    - Positional ``widgets_values`` are adapted per node class: classes may
+      define ``adapt_widgets(list) -> dict`` to accept LEGACY signatures
+      (the reference's example carries the old 4-widget HDRVAEDecode and
+      6-widget LinearEXRExport forms, SURVEY.md section 6 caveat).
+    """
+    links = {row[0]: (row[1], row[2]) for row in workflow.get("links", [])
+             if row is not None}
+    known = [n for n in workflow["nodes"] if n["type"] in registry]
+    unknown = {n["id"]: n for n in workflow["nodes"]
+               if n["type"] not in registry}
+
+    type_counts: Dict[str, int] = {}
+    for n in unknown.values():
+        type_counts[n["type"]] = type_counts.get(n["type"], 0) + 1
+
+    def external_key(node_id) -> str:
+        node = unknown[node_id]
+        if type_counts[node["type"]] > 1:
+            return f"{node['type']}:{node_id}"
+        return node["type"]
+
+    out_nodes = []
+    for node in known:
+        inputs: Dict[str, Any] = {}
+        for inp in node.get("inputs") or []:
+            link_id = inp.get("link")
+            if link_id is None or link_id not in links:
+                continue
+            src, slot = links[link_id]
+            if src in unknown:
+                inputs[inp["name"]] = [external_key(src), slot]
+            else:
+                inputs[inp["name"]] = [src, slot]
+        converted = {"id": node["id"], "type": node["type"],
+                     "inputs": inputs}
+        widgets = node.get("widgets_values")
+        if isinstance(widgets, list):
+            cls = registry[node["type"]]
+            adapt = getattr(cls, "adapt_widgets", None)
+            converted["widgets_values"] = (adapt(widgets) if adapt
+                                           else widgets)
+        elif widgets is not None:
+            converted["widgets_values"] = widgets
+        out_nodes.append(converted)
+
+    return {"nodes": out_nodes,
+            "external_keys": sorted({external_key(i) for i in unknown})}
+
+
 def _input_names_in_order(node_cls) -> List[str]:
     """Socket/widget names in INPUT_TYPES declaration order (required then
     optional), excluding hidden."""
@@ -54,6 +131,8 @@ class GraphExecutor:
 
     def run(self, workflow: Mapping[str, Any],
             hidden: Optional[Dict[str, Any]] = None) -> Dict[Any, Tuple]:
+        if is_comfyui_format(workflow):
+            workflow = convert_comfyui_workflow(workflow, self.registry)
         nodes = {n["id"]: n for n in workflow["nodes"]}
         results: Dict[Any, Tuple] = {}
         in_progress: set = set()

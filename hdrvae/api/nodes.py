@@ -71,6 +71,21 @@ class HDRVAEDecode:
     FUNCTION = "simple_hdr_decode"
     CATEGORY = "latent"
 
+    @classmethod
+    def adapt_widgets(cls, widgets: list) -> Dict[str, Any]:
+        """Map a positional widget list to kwargs, including the LEGACY
+        4-widget signature shipped in the reference's example workflow
+        (`workflow_examples/HDR_VAE_DECODE.json` widgets
+        ``['conservative', 50, 1, False]`` = the old
+        (hdr_mode, max_range, scale_factor, enable_negatives) params,
+        SURVEY.md section 6 caveat).  scale_factor maps onto today's
+        conservative_ev_multiplier; max_range/enable_negatives are gone."""
+        if len(widgets) >= 4:
+            return {"hdr_mode": widgets[0],
+                    "conservative_ev_multiplier": float(widgets[2])}
+        names = ("hdr_mode", "conservative_ev_multiplier")
+        return dict(zip(names, widgets))
+
     def simple_hdr_decode(self, samples: Dict[str, Any], vae: VAE,
                           hdr_mode: str = "mathematical_recovery",
                           conservative_ev_multiplier: float = 1.0
@@ -142,6 +157,26 @@ class LinearEXRExport:
     CATEGORY = "image"
     OUTPUT_NODE = True
 
+    @classmethod
+    def adapt_widgets(cls, widgets: list) -> Dict[str, Any]:
+        """Positional widgets -> kwargs.  The reference's example workflow
+        carries the LEGACY 6-widget signature
+        ``['image', '/Test', 1, 'exr', '32bit', 'zip']`` =
+        (filename_prefix, output_path, versioning, format, bit_depth,
+        compression) — detected by the string in slot 1 (today slot 1 is
+        the boolean ``versioning``)."""
+        if len(widgets) >= 6 and isinstance(widgets[1], str):
+            return {"filename_prefix": widgets[0],
+                    "output_path": widgets[1],
+                    "versioning": bool(widgets[2]),
+                    "format": widgets[3],
+                    "bit_depth": widgets[4],
+                    "compression": widgets[5]}
+        names = ("filename_prefix", "versioning", "frame_sequence",
+                 "start_frame", "frame_pad", "output_path", "format",
+                 "bit_depth", "compression", "save_workflow")
+        return dict(zip(names, widgets))
+
     def export_linear_exr(self, hdr_image, filename_prefix: str = "HDR_VAE",
                           output_path: str = "", start_frame: int = 1,
                           frame_pad: int = 4, versioning: bool = True,
@@ -163,6 +198,52 @@ class LinearEXRExport:
             default_output_dir=folders.get_output_directory(),
             prompt=prompt, extra_pnginfo=extra_pnginfo)
         return export_node_return(result)
+
+
+class VAEDecode:
+    """Standard (clamping) VAE decode — the host-framework builtin the
+    reference workflow wires NEXT TO HDRVAEDecode for comparison
+    (`workflow_examples/HDR_VAE_DECODE.json` node 10).  Provided so the
+    reference's graphs run here without a host framework; this is the
+    decode whose [0, 1] clamp destroys HDR (`README.md:41-60`)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"samples": ("LATENT",), "vae": ("VAE",)}}
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "decode"
+    CATEGORY = "latent"
+
+    def decode(self, samples: Dict[str, Any], vae: VAE
+               ) -> Tuple[np.ndarray]:
+        import jax.numpy as jnp
+        latent = jnp.asarray(_to_numpy(samples["samples"]), jnp.float32)
+        result = hdr_decode(vae.params, latent, vae.config,
+                            HDRDecodeConfig(), vae.precision)
+        return (np.asarray(result.standard),)
+
+
+class PreviewImage:
+    """UI-less stand-in for the host framework's preview node: logs the
+    image's HDR health stats (the reference's manual test oracle,
+    `README.md:332`) and produces no outputs."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {"required": {"images": ("IMAGE",)}}
+
+    RETURN_TYPES = ()
+    FUNCTION = "preview"
+    CATEGORY = "image"
+    OUTPUT_NODE = True
+
+    def preview(self, images) -> Tuple:
+        img = _to_numpy(images)
+        logger.info("PreviewImage: shape=%s range=[%.4f, %.4f] "
+                    "hdr_pixels=%d", img.shape, img.min(), img.max(),
+                    int((img > 1.0).sum()))
+        return ()
 
 
 class HDRUpscaleWithModel:

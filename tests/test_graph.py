@@ -98,6 +98,52 @@ def test_missing_external(tmp_path):
         ex.run(wf)
 
 
+REF_WORKFLOW = "/root/reference/workflow_examples/HDR_VAE_DECODE.json"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_WORKFLOW),
+                    reason="reference checkout not present")
+def test_reference_comfyui_workflow_executes(tmp_path, monkeypatch,
+                                             small_cfg, rng):
+    """The reference's SHIPPED ComfyUI-format workflow (links array, legacy
+    4-widget HDRVAEDecode / 6-widget LinearEXRExport signatures) parses and
+    its HDR subgraph runs end to end: the sampler/loader nodes become
+    external inputs, HDRVAEDecode decodes, LinearEXRExport writes
+    output/Test/image_v001.exr (VERDICT round-1 item 8)."""
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path))
+    wf = json.load(open(REF_WORKFLOW))
+
+    from hdrvae.api.graph import convert_comfyui_workflow, is_comfyui_format
+    import hdrvae
+    assert is_comfyui_format(wf)
+    converted = convert_comfyui_workflow(wf, hdrvae.NODE_CLASS_MAPPINGS)
+    # loaders/sampler surfaced as named external inputs
+    assert "KSampler" in converted["external_keys"]
+    assert "VAELoader" in converted["external_keys"]
+
+    latent = rng.standard_normal(
+        (1, 4, 4, small_cfg.z_channels)).astype(np.float32) * 2
+    vae = VAE.random_init(seed=4, config=small_cfg)
+    results = GraphExecutor(external_inputs={
+        "KSampler": ({"samples": latent},),
+        "VAELoader": (vae,),
+    }).run(wf)
+
+    scale = small_cfg.spatial_scale
+    hdr_image = results[45][0]          # HDRVAEDecode node id in the file
+    assert hdr_image.shape == (1, 4 * scale, 4 * scale, 3)
+    builtin = results[10][0]            # builtin VAEDecode comparison node
+    assert builtin.shape == hdr_image.shape
+    assert builtin.max() <= 1.0         # the clamped decode
+    path = results[47][0]               # LinearEXRExport node id
+    # legacy widgets ['image', '/Test', 1, 'exr', '32bit', 'zip'] =
+    # prefix, output subdir, versioning on
+    assert path.endswith(os.path.join("Test", "image_v001.exr")), path
+    assert os.path.exists(path)
+    from hdrvae.io import exr
+    assert exr.read_exr(path).shape == (4 * scale, 4 * scale, 3)
+
+
 def test_shipped_example_workflow_executes(tmp_path, monkeypatch, small_cfg,
                                            rng):
     """The workflow_examples file runs END TO END through the graph
