@@ -40,10 +40,14 @@ def median_blur(x: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
     For k=3 this stacks 9 shifted views and takes the middle order statistic
     — a fully vectorized, XLA-fusible formulation (no data-dependent control
     flow), replacing kornia ``median_blur`` (`hdr_upscale_with_model.py:206`).
+
+    Borders use ZERO padding: kornia extracts windows with
+    ``F.conv2d(..., padding=_compute_zero_padding(k))``, so border medians
+    include implicit zeros — replicated for behavior parity (round 1 used
+    reflect, a silent deviation).
     """
     pad = kernel_size // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                 mode="reflect")
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     h, w = x.shape[1], x.shape[2]
     windows = jnp.stack(
         [xp[:, dy:dy + h, dx:dx + w]

@@ -99,8 +99,162 @@ def _install_stubs():
         sys.modules["pyexr"] = pyexr
 
 
+def _install_upscale_stubs():
+    """Additional injection for `hdr_upscale_with_model.py`'s imports:
+    comfy (model_management + utils), spandrel, torchvision.gaussian_blur,
+    kornia.color/filters.  Each stub implements the third-party library's
+    PUBLISHED semantics (cited inline) — the reference's own code runs
+    unmodified on top."""
+    import torch.nn.functional as F
+
+    fp = sys.modules["folder_paths"]
+    fp.get_full_path = lambda kind, name: name   # tests pass full paths
+    fp.get_filename_list = lambda kind: []
+
+    if "comfy" not in sys.modules:
+        comfy = types.ModuleType("comfy")
+        mm = types.ModuleType("comfy.model_management")
+        mm.get_torch_device = lambda: torch.device("cpu")
+        mm.module_size = lambda m: sum(p.numel() * p.element_size()
+                                       for p in m.parameters())
+        mm.free_memory = lambda *a, **k: None
+
+        class _OOM(Exception):
+            pass
+
+        mm.OOM_EXCEPTION = _OOM
+        ut = types.ModuleType("comfy.utils")
+        ut.get_tiled_scale_steps = lambda w, h, tile_x, tile_y, overlap: 1
+
+        class ProgressBar:
+            def __init__(self, total):
+                self.total = total
+
+            def update(self, n=1):
+                pass
+
+        ut.ProgressBar = ProgressBar
+
+        def tiled_scale(samples, function, tile_x=512, tile_y=512,
+                        overlap=64, upscale_amount=4, pbar=None):
+            b, c, h, w = samples.shape
+            if h <= tile_y and w <= tile_x:
+                # single tile == a plain model call in comfy's tiled_scale;
+                # fidelity tests use small images so the stub never has to
+                # reproduce comfy's feather blending
+                return function(samples)
+            raise NotImplementedError("stub is single-tile only")
+
+        ut.tiled_scale = tiled_scale
+
+        def common_upscale(samples, width, height, upscale_method, crop):
+            # comfy.utils.common_upscale delegates plain modes to
+            # F.interpolate(samples, size=(h, w), mode=...)
+            return F.interpolate(samples, size=(height, width),
+                                 mode=upscale_method)
+
+        ut.common_upscale = common_upscale
+        comfy.model_management = mm
+        comfy.utils = ut
+        sys.modules["comfy"] = comfy
+        sys.modules["comfy.model_management"] = mm
+        sys.modules["comfy.utils"] = ut
+
+    if "spandrel" not in sys.modules:
+        spandrel = types.ModuleType("spandrel")
+
+        class _Arch:
+            def __init__(self, name):
+                self.name = name
+
+        class _Descriptor:
+            def __init__(self, model, name, scale):
+                self.model = model
+                self.architecture = _Arch(name)
+                self.scale = scale
+
+        class ModelLoader:
+            def load_from_file(self, path):
+                from hdrvae.models.rrdbnet import RRDBNetConfig
+                from tests.torch_oracle import TorchRRDBNet
+                cfg = RRDBNetConfig().with_small()
+                model = TorchRRDBNet(cfg)
+                model.load_state_dict(
+                    torch.load(path, weights_only=True))
+                model.eval()
+                model.requires_grad_(False)
+                return _Descriptor(model, "RealESRGAN",
+                                   2 ** cfg.num_upsamples)
+
+        spandrel.ModelLoader = ModelLoader
+        spandrel.ImageModelDescriptor = _Descriptor
+        sys.modules["spandrel"] = spandrel
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        tf = types.ModuleType("torchvision.transforms.functional")
+
+        def gaussian_blur(img, kernel_size, sigma):
+            # torchvision semantics: integer-sampled normalized gaussian,
+            # separable conv, reflect padding
+            ks = (kernel_size if isinstance(kernel_size, int)
+                  else kernel_size[0])
+            sig = sigma if isinstance(sigma, (int, float)) else sigma[0]
+            half = (ks - 1) * 0.5
+            xs = torch.linspace(-half, half, steps=ks)
+            k1 = torch.exp(-0.5 * (xs / sig) ** 2)
+            k1 = k1 / k1.sum()
+            kern = torch.outer(k1, k1)[None, None]
+            c = img.shape[-3]
+            imgp = F.pad(img, (ks // 2,) * 4, mode="reflect")
+            return F.conv2d(imgp, kern.expand(c, 1, ks, ks), groups=c)
+
+        tf.gaussian_blur = gaussian_blur
+        tv.transforms = tr
+        tr.functional = tf
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+        sys.modules["torchvision.transforms.functional"] = tf
+
+    if "kornia.color" not in sys.modules:
+        color = types.ModuleType("kornia.color")
+
+        def rgb_to_ycbcr(image):
+            # kornia BT.601: cb = (b-y)*0.564 + 0.5, cr = (r-y)*0.713 + 0.5
+            r, g, b = image[..., 0, :, :], image[..., 1, :, :], \
+                image[..., 2, :, :]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = (b - y) * 0.564 + 0.5
+            cr = (r - y) * 0.713 + 0.5
+            return torch.stack([y, cb, cr], -3)
+
+        color.rgb_to_ycbcr = rgb_to_ycbcr
+        filters = types.ModuleType("kornia.filters")
+
+        def median_blur(inp, kernel_size):
+            # kornia extracts windows via conv2d(padding=(k-1)//2) ==
+            # implicit ZERO padding, then takes the median
+            k = (kernel_size if isinstance(kernel_size, int)
+                 else kernel_size[0])
+            pad = k // 2
+            xp = F.pad(inp, (pad,) * 4)
+            patches = xp.unfold(2, k, 1).unfold(3, k, 1)
+            flat = patches.reshape(*inp.shape, k * k)
+            return flat.median(dim=-1).values
+
+        filters.median_blur = median_blur
+        kornia = sys.modules["kornia"]
+        kornia.color = color
+        kornia.filters = filters
+        sys.modules["kornia.color"] = color
+        sys.modules["kornia.filters"] = filters
+
+
 def _load_ref_module(stem):
     _install_stubs()
+    if stem == "hdr_upscale_with_model":
+        _install_upscale_stubs()
     name = f"ref_{stem}"
     if name in sys.modules:
         return sys.modules[name]
@@ -331,3 +485,59 @@ def test_exr_export_fidelity_vs_reference(ref_hdr, ref_exr, fid_params,
     # dominated by the decode-path difference
     tol = 1e-3 * scale if bit_depth == "32bit" else 2e-3 * scale
     assert err <= tol, f"EXR pixels: max-abs {err:.3e} (scale {scale:.2f})"
+
+
+# ---------------------------------------------------------------------------
+# 4. The upscaler node (HDRUpscaleWithModel) end to end
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("small_blur,local_fix", [
+    (False, False),
+    (True, False),
+    (False, True),
+])
+def test_upscaler_fidelity_vs_reference(tmp_path, small_blur, local_fix):
+    """`hdr_upscale_with_model.py` run UNMODIFIED (spandrel/comfy/kornia/
+    torchvision injected with their published semantics) on the same
+    RRDBNet weights as hdrvae's upscaler: two-pass atanh reversal, YCbCr
+    luma/chroma recombination, Y clamp + median, gaussian pre-blur,
+    local_fix dark-area blend."""
+    ref_up = _load_ref_module("hdr_upscale_with_model")
+    from hdrvae.core.config import TilingConfig, UpscaleConfig
+    from hdrvae.models.rrdbnet import RRDBNetConfig, load_upscale_model
+    from hdrvae.upscale.pipeline import hdr_upscale
+    from tests.torch_oracle import TorchRRDBNet
+    import jax.numpy as jnp
+
+    model = TorchRRDBNet(RRDBNetConfig().with_small())
+    ckpt = str(tmp_path / "RealESRGAN_small.pth")
+    torch.save(model.state_dict(), ckpt)
+
+    rng = np.random.default_rng(21)
+    # HDR-ish input: mostly [0, 1] with highlights above and a few
+    # negatives (the decode pipeline's actual output statistics)
+    image = rng.standard_normal((1, 20, 24, 3)).astype(np.float32)
+    image = np.abs(image) * 0.6
+    image[0, 3:6, 4:8] *= 6.0      # highlight patch
+    image[0, 10, 10] = -0.2        # signed range survives the pipeline
+
+    node = ref_up.HDRUpscaleWithModel()
+    (ref_out,) = node.upscale(torch.from_numpy(image.copy()), ckpt,
+                              small_blur, local_fix, "bilinear")
+    ref_img = ref_out.detach().numpy()
+
+    params, model_cfg, arch = load_upscale_model(ckpt)
+    cfg = UpscaleConfig(small_blur=small_blur, local_fix=local_fix,
+                        upscale_method="bilinear",
+                        tiling=TilingConfig(tile=512, overlap=64))
+    result = hdr_upscale(params, jnp.asarray(image), model_cfg, cfg,
+                         architecture=arch)
+    got = np.asarray(result.image)
+    assert got.shape == ref_img.shape
+
+    scale = max(1.0, float(np.abs(ref_img).max()))
+    err = _max_abs(got, ref_img)
+    assert err <= 1e-3 * scale, (
+        f"upscaler small_blur={small_blur} local_fix={local_fix}: "
+        f"max-abs {err:.3e} (scale {scale:.2f})")

@@ -186,7 +186,8 @@ class TestFiltersAndResize:
     def test_median_matches_manual(self, rng):
         x = rng.standard_normal((1, 7, 8, 1)).astype(np.float32)
         out = np.asarray(median_blur(jnp.asarray(x), 3))
-        xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        # zero padding: kornia's conv2d-unfold semantics
+        xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         for i in range(7):
             for j in range(8):
                 window = xp[0, i:i + 3, j:j + 3, 0]
