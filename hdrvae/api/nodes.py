@@ -193,10 +193,17 @@ class LinearEXRExport:
                            output_path=output_path, format=format,
                            bit_depth=bit_depth, compression=compression,
                            save_workflow=save_workflow)
+        image = _to_numpy(hdr_image)
+        pbar = None
+        if image.ndim == 4 and image.shape[0] > 1:
+            # per-frame progress, like the reference's ProgressBar
+            # (`linear_exr_export.py:313-319`)
+            from hdrvae.utils.progress import ProgressBar
+            pbar = ProgressBar(image.shape[0], desc="export ")
         result = export_linear(
-            _to_numpy(hdr_image), cfg,
+            image, cfg,
             default_output_dir=folders.get_output_directory(),
-            prompt=prompt, extra_pnginfo=extra_pnginfo)
+            prompt=prompt, extra_pnginfo=extra_pnginfo, pbar=pbar)
         return export_node_return(result)
 
 
@@ -290,6 +297,12 @@ class HDRUpscaleWithModel:
             img = img[None]
         cfg = UpscaleConfig(small_blur=small_blur, local_fix=local_fix,
                             upscale_method=upscale_method)
+        # per-tile progress across both passes, like the reference's
+        # ProgressBar (`hdr_upscale_with_model.py:122-125`)
+        from hdrvae.upscale.pipeline import upscale_progress_total
+        from hdrvae.utils.progress import ProgressBar
+        pbar = ProgressBar(upscale_progress_total(img, model_cfg, cfg),
+                           desc="upscale ")
         result = hdr_upscale(params, img, model_cfg, cfg,
-                             architecture=arch)
+                             architecture=arch, pbar=pbar)
         return (np.asarray(result.image),)

@@ -116,12 +116,14 @@ def export_linear(hdr_image: np.ndarray,
                   cfg: ExportConfig = ExportConfig(),
                   *, default_output_dir: str = "output",
                   prompt: Optional[dict] = None,
-                  extra_pnginfo: Optional[dict] = None) -> ExportResult:
+                  extra_pnginfo: Optional[dict] = None,
+                  pbar=None) -> ExportResult:
     """Export a float image batch to EXR/HDR files.
 
     hdr_image: (H, W, 3) or (B, H, W, 3) float array (values outside [0, 1]
     preserved).  Returns an ExportResult; on failure ``error`` is set and no
-    exception escapes (node contract).
+    exception escapes (node contract).  ``pbar`` (``update(n)`` protocol)
+    is advanced once per frame (`linear_exr_export.py:313-353`).
     """
     result = ExportResult()
     try:
@@ -173,6 +175,8 @@ def export_linear(hdr_image: np.ndarray,
             if i == 0 and cfg.save_workflow:
                 _write_sidecar(filepath, prompt, extra_pnginfo)
             result.filepaths.append(filepath)
+            if pbar is not None:
+                pbar.update(1)
 
         if result.filepaths:
             result.verify_stats = verify_save(result.filepaths[-1])

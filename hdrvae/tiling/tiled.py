@@ -135,20 +135,42 @@ def blend_tiles(tiles: jnp.ndarray, plan: TilePlan, *, scale: int = 1,
 
 def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
                 *, tile: int = 512, overlap: int = 64, scale: int = 1,
-                mode: str = "feather") -> jnp.ndarray:
+                mode: str = "feather", pbar=None) -> jnp.ndarray:
     """Apply ``fn`` tile-by-tile over [B, H, W, C] with seam handling.
 
     ``fn`` maps [B, th, tw, C] -> [B, s*th, s*tw, C'].  Tiles run through
     ``lax.map`` so only one tile's activations are live at a time — the
     static-shape replacement for the reference's OOM-halving loop.  (The
     mesh-parallel stacked-tile form lives in hdrvae.sharding.mesh.)
+
+    ``pbar`` (object with ``update(n)``) enables per-tile progress, the
+    reference's ProgressBar surface (`hdr_upscale_with_model.py:125`); the
+    tile loop then runs host-side (``fn`` should be jitted), trading the
+    single fused program for reportability — exactly the reference's
+    execution shape.
     """
     plan = plan_tiles(x.shape[1], x.shape[2], tile, overlap)
     tiles = extract_tiles(x, plan)
     if plan.num_tiles == 1:
-        return fn(tiles[0])
-    out = jax.lax.map(fn, tiles)
+        out = fn(tiles[0])
+        if pbar is not None:
+            pbar.update(1)
+        return out
+    if pbar is not None:
+        outs = []
+        for i in range(plan.num_tiles):
+            outs.append(fn(tiles[i]))
+            pbar.update(1)
+        out = jnp.stack(outs, axis=0)
+    else:
+        out = jax.lax.map(fn, tiles)
     return blend_tiles(out, plan, scale=scale, mode=mode)
+
+
+def num_tiles(height: int, width: int, tile: int, overlap: int) -> int:
+    """Tile count of the plan (for sizing progress bars up front —
+    the reference's get_tiled_scale_steps equivalent)."""
+    return plan_tiles(height, width, tile, overlap).num_tiles
 
 
 # ---------------------------------------------------------------------------

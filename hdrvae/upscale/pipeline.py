@@ -53,17 +53,8 @@ class UpscaleResult(NamedTuple):
     clamped: jnp.ndarray        # pass-2 result
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "cfg",
-                                             "architecture", "precision"))
-def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
-              cfg: UpscaleConfig, architecture: str,
-              precision: Precision) -> jnp.ndarray:
-    reversal = get_reversal_fn(architecture)
-
-    def model_with_reversal(tile: jnp.ndarray) -> jnp.ndarray:
-        out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
-        return reversal(out)
-
+def _select_pass_tile(x: jnp.ndarray, model_cfg: RRDBNetConfig,
+                      cfg: UpscaleConfig, precision: Precision) -> int:
     tile = cfg.tiling.tile
     if cfg.tiling.hbm_budget_bytes is not None:
         # Static tile planning from the memory budget (replaces the
@@ -78,10 +69,49 @@ def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
             x.shape[1], x.shape[2], bytes_per_pixel=float(bpp),
             hbm_budget_bytes=cfg.tiling.hbm_budget_bytes, preferred=tile,
             min_tile=cfg.tiling.min_tile)
+    return tile
 
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "architecture",
+                                             "precision"))
+def _tile_forward(params: Params, tile: jnp.ndarray,
+                  model_cfg: RRDBNetConfig, architecture: str,
+                  precision: Precision) -> jnp.ndarray:
+    """One tile through the model + inverse activation (the reference's
+    forward hook `hdr_upscale_with_model.py:79-107` as composition)."""
+    out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
+    return get_reversal_fn(architecture)(out)
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "cfg",
+                                             "architecture", "precision"))
+def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
+              cfg: UpscaleConfig, architecture: str,
+              precision: Precision) -> jnp.ndarray:
+    reversal = get_reversal_fn(architecture)
+
+    def model_with_reversal(tile: jnp.ndarray) -> jnp.ndarray:
+        out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
+        return reversal(out)
+
+    tile = _select_pass_tile(x, model_cfg, cfg, precision)
     return tiled_apply(model_with_reversal, x, tile=tile,
                        overlap=cfg.tiling.overlap, scale=model_cfg.scale,
                        mode="feather")
+
+
+def _run_pass_progress(params: Params, x: jnp.ndarray,
+                       model_cfg: RRDBNetConfig, cfg: UpscaleConfig,
+                       architecture: str, precision: Precision,
+                       pbar) -> jnp.ndarray:
+    """Pass with per-tile progress: host tile loop around the jitted
+    per-tile forward (the reference's execution shape)."""
+    tile = _select_pass_tile(x, model_cfg, cfg, precision)
+    return tiled_apply(
+        lambda t: _tile_forward(params, t, model_cfg, architecture,
+                                precision),
+        x, tile=tile, overlap=cfg.tiling.overlap, scale=model_cfg.scale,
+        mode="feather", pbar=pbar)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -105,17 +135,35 @@ def _recombine(unclamped: jnp.ndarray, clamped: jnp.ndarray,
     return s_final
 
 
+def upscale_progress_total(image: jnp.ndarray, model_cfg: RRDBNetConfig,
+                           cfg: UpscaleConfig,
+                           precision: Precision = Precision()) -> int:
+    """Total progress steps of :func:`hdr_upscale` (2 passes x tiles) —
+    the reference's get_tiled_scale_steps sizing
+    (`hdr_upscale_with_model.py:122-125`)."""
+    from hdrvae.tiling.tiled import num_tiles
+    tile = _select_pass_tile(image, model_cfg, cfg, precision)
+    return 2 * num_tiles(image.shape[1], image.shape[2], tile,
+                         cfg.tiling.overlap)
+
+
 def hdr_upscale(params: Params, image: jnp.ndarray,
                 model_cfg: RRDBNetConfig,
                 cfg: UpscaleConfig = UpscaleConfig(), *,
                 architecture: str = "ESRGAN",
-                precision: Precision = Precision()) -> UpscaleResult:
+                precision: Precision = Precision(),
+                pbar=None) -> UpscaleResult:
     """Upscale an HDR float image [B, H, W, 3] (NHWC).
 
     The model forward + inverse activation runs tiled (tile/overlap from
     ``cfg.tiling``, reference defaults 512/64); recombination happens on the
     stitched full-resolution tensors, exactly as the reference composes
     full-image YCbCr after tiled_scale.
+
+    ``pbar`` (``update(n)`` protocol; size it with
+    :func:`upscale_progress_total`) enables per-tile progress — the passes
+    then run as host tile loops around the jitted per-tile forward instead
+    of one fused program per pass.
     """
     if image.ndim != 4 or image.shape[-1] != 3:
         raise ValueError(f"expected [B, H, W, 3] image, got {image.shape}")
@@ -126,12 +174,18 @@ def hdr_upscale(params: Params, image: jnp.ndarray,
         in_filtered = gaussian_blur(image, kernel_size=3, sigma=0.1)
 
     # pass 1: full HDR range; pass 2: color-stable clamped input
-    s_unclamped = _run_pass(params, in_filtered, model_cfg, cfg,
-                            architecture, precision)
-    s_clamped = _run_pass(params,
-                          jnp.clip(in_filtered, cfg.color_stable_min,
-                                   cfg.color_stable_max),
-                          model_cfg, cfg, architecture, precision)
+    clamped_in = jnp.clip(in_filtered, cfg.color_stable_min,
+                          cfg.color_stable_max)
+    if pbar is not None:
+        s_unclamped = _run_pass_progress(params, in_filtered, model_cfg,
+                                         cfg, architecture, precision, pbar)
+        s_clamped = _run_pass_progress(params, clamped_in, model_cfg, cfg,
+                                       architecture, precision, pbar)
+    else:
+        s_unclamped = _run_pass(params, in_filtered, model_cfg, cfg,
+                                architecture, precision)
+        s_clamped = _run_pass(params, clamped_in, model_cfg, cfg,
+                              architecture, precision)
 
     s_final = _recombine(s_unclamped, s_clamped, in_filtered, cfg)
     return UpscaleResult(image=s_final.astype(jnp.float32),
