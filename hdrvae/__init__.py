@@ -38,11 +38,18 @@ except Exception as _e:  # pragma: no cover - import-robustness fallback
     PreviewImage = DummyNode
     _NODES_AVAILABLE = False
 
+# The plugin contract: exactly the three HDR nodes, as in the reference
+# pack's registry (`__init__.py:43-53`).  Host-framework builtins the
+# reference's shipped workflows assume (VAEDecode, PreviewImage) live in a
+# separate mapping so loading this pack into a real ComfyUI never shadows
+# the host's own implementations; the graph executor merges both.
 NODE_CLASS_MAPPINGS = {
     "HDRVAEDecode": HDRVAEDecode,
     "LinearEXRExport": LinearEXRExport,
     "HDRUpscaleWithModel": HDRUpscaleWithModel,
-    # host-framework builtins the reference's workflows assume
+}
+
+BUILTIN_NODE_MAPPINGS = {
     "VAEDecode": VAEDecode,
     "PreviewImage": PreviewImage,
 }
@@ -51,9 +58,7 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "HDRVAEDecode": "HDR VAE Decode",
     "LinearEXRExport": "Linear EXR Export",
     "HDRUpscaleWithModel": "HDR Upscale with Model",
-    "VAEDecode": "VAE Decode",
-    "PreviewImage": "Preview Image",
 }
 
-__all__ = ["NODE_CLASS_MAPPINGS", "NODE_DISPLAY_NAME_MAPPINGS",
-           "__version__"]
+__all__ = ["NODE_CLASS_MAPPINGS", "BUILTIN_NODE_MAPPINGS",
+           "NODE_DISPLAY_NAME_MAPPINGS", "__version__"]

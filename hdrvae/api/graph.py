@@ -124,7 +124,8 @@ class GraphExecutor:
                  external_inputs: Optional[Dict[str, Any]] = None):
         if registry is None:
             import hdrvae
-            registry = hdrvae.NODE_CLASS_MAPPINGS
+            registry = {**hdrvae.NODE_CLASS_MAPPINGS,
+                        **hdrvae.BUILTIN_NODE_MAPPINGS}
         self.registry = dict(registry)
         # named external sources referenced as ["name", idx] links
         self.external = dict(external_inputs or {})

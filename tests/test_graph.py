@@ -116,7 +116,8 @@ def test_reference_comfyui_workflow_executes(tmp_path, monkeypatch,
     from hdrvae.api.graph import convert_comfyui_workflow, is_comfyui_format
     import hdrvae
     assert is_comfyui_format(wf)
-    converted = convert_comfyui_workflow(wf, hdrvae.NODE_CLASS_MAPPINGS)
+    converted = convert_comfyui_workflow(
+        wf, {**hdrvae.NODE_CLASS_MAPPINGS, **hdrvae.BUILTIN_NODE_MAPPINGS})
     # loaders/sampler surfaced as named external inputs
     assert "KSampler" in converted["external_keys"]
     assert "VAELoader" in converted["external_keys"]
