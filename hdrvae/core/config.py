@@ -184,6 +184,12 @@ class Precision:
     storage_dtype: jnp.dtype = jnp.float32
     # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST.
     mode: str = "parity"
+    # Up-stack executor: "pallas" runs the decoder's up path as fused
+    # Pallas kernels (models.pallas_tail) — requires fast mode, batch 1,
+    # TPU; "xla" uses the XLA layers; "auto" currently means "xla" (the
+    # kernel chain is correct but not yet faster end-to-end — see
+    # PERF_NOTES.md section 3; flips to the kernel path once it wins).
+    upstack: str = "auto"
 
     @classmethod
     def fast(cls) -> "Precision":

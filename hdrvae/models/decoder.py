@@ -25,8 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from hdrvae.core.config import DecoderConfig, Precision
-from hdrvae.models.layers import (conv2d, group_norm_silu, init_conv2d,
-                                  init_group_norm, nearest_upsample_2x)
+from hdrvae.models.layers import (GNTape, conv2d, group_norm_silu,
+                                  init_conv2d, init_group_norm,
+                                  nearest_upsample_2x)
 from hdrvae.kernels.attention import spatial_attention
 
 Params = Dict[str, Any]
@@ -224,7 +225,28 @@ def decoder_apply(params: Params, z: jnp.ndarray,
     Composition of :func:`decoder_head` and :func:`decoder_tail` with every
     up level in the head — the identical op sequence to a monolithic
     forward.
+
+    With ``precision.upstack == "pallas"`` (TPU, fast mode, batch 1), the
+    up path runs as the fused Pallas kernel chain (models.pallas_tail)
+    instead of the XLA layers: same math, no GN reduce->broadcast chains
+    left in the XLA graph.  Opt-in until it beats the XLA path end-to-end
+    (PERF_NOTES.md section 3).
     """
+    from hdrvae.models.pallas_tail import pallas_forward, upstack_supported
+    if upstack_supported(precision, z.shape[0], tape, width=z.shape[2]):
+        pre, moments = pallas_forward(params, z, cfg, precision=precision,
+                                      preprocess_latent=preprocess_latent)
+        inject = GNTape("inject", [(moments[0][None], moments[1][None])])
+        return decoder_tail(params, pre[None], cfg, precision=precision,
+                            tail_levels=0, apply_conv_out=apply_conv_out,
+                            postprocess_output=postprocess_output,
+                            tape=inject)
+    if precision.upstack == "pallas":
+        raise ValueError(
+            "precision.upstack='pallas' requires fast mode, batch 1, no "
+            f"tape, and a TPU backend (got mode={precision.mode!r}, "
+            f"batch={z.shape[0]}, tape={tape!r}, "
+            f"backend={jax.default_backend()!r})")
     x = decoder_head(params, z, cfg, precision=precision,
                      preprocess_latent=preprocess_latent, tail_levels=0,
                      tape=tape)

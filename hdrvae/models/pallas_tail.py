@@ -1,0 +1,218 @@
+"""The decoder up-stack as a chain of fused Pallas kernels.
+
+Replaces the XLA conv emitters for the decoder's up path (the ~80% of
+decode FLOPs below the mid block) with `kernels.conv3x3.fused_conv3x3`:
+each kernel applies the GroupNorm affine + SiLU prologue, runs the 3x3
+conv as nine MXU contractions, adds the ResNet residual (optionally
+through the nin_shortcut projection), and emits the per-group (sum, sumsq)
+of its output — the statistics the NEXT layer's GroupNorm needs.  Between
+kernels only scalar-sized [G] moment math and the nearest-upsample remain
+in XLA, so no XLA conv fusion ever borders a Pallas custom call (the
+round-1 layout-trap condition, `kernels/epilogue.py:158-171`) and the
+GroupNorm reduce->broadcast chains that destroy XLA's batched conv
+layouts (PERF_NOTES.md section 1) disappear from the XLA graph entirely.
+
+Numerics match the XLA fast path (`models.layers._gn_affine` fast mode):
+float32 statistics via the one-pass E[x^2]-mean^2 identity over the
+bf16-stored activations, float32 conv accumulation, bf16 storage.
+Measured on 1x v5e: the standalone kernels run 1.1-1.65x faster than
+XLA's convs at the decoder's shapes (see kernels/conv3x3.py).
+
+Reference parity: this computes the same function as the torch decoder's
+up path (`hdr_vae_decode.py:775-803` traverses it; the network itself is
+ComfyUI's AutoencoderKL) — asserted against `decoder_tail` in
+tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.config import DecoderConfig, Precision
+from hdrvae.kernels.conv3x3 import fused_conv3x3, upsample_conv3x3
+
+Params = Dict[str, Any]
+Moments = Tuple[jnp.ndarray, jnp.ndarray]    # (mean [G], var [G]) float32
+
+_EPS = 1e-6
+
+
+def _entry_moments(x: jnp.ndarray, num_groups: int) -> Moments:
+    """Fast-mode GroupNorm moments of the up-stack entry (the head output):
+    one XLA reduction at the Pallas chain's entry; every later layer's
+    moments come from the kernels' emitted partials."""
+    h, w, c = x.shape
+    gs = c // num_groups
+    xf = x.astype(jnp.float32)
+    grp = jnp.arange(c) // gs
+    onehot = jnp.zeros((c, num_groups), jnp.float32).at[
+        jnp.arange(c), grp].set(1.0)
+    n = h * w * gs
+    mean = jnp.einsum("hwc,cg->g", xf, onehot) / n
+    sq = jnp.einsum("hwc,cg->g", jnp.square(xf), onehot) / n
+    return mean, jnp.maximum(sq - jnp.square(mean), 0.0)
+
+
+def _affine(p: Params, moments: Moments, num_groups: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold GroupNorm normalization + learned scale/bias into one
+    per-channel (gamma, beta) pair (same algebra as layers._gn_affine)."""
+    mean, var = moments
+    c = p["scale"].shape[0]
+    grp = jnp.arange(c) // (c // num_groups)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    gamma = p["scale"].astype(jnp.float32) * rstd[grp]
+    beta = p["bias"].astype(jnp.float32) - mean[grp] * gamma
+    return gamma, beta
+
+
+def _finalize(sums: Tuple[jnp.ndarray, jnp.ndarray], n: int) -> Moments:
+    ssum, ssq = sums
+    mean = ssum / n
+    return mean, jnp.maximum(ssq / n - jnp.square(mean), 0.0)
+
+
+def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
+                  cfg: DecoderConfig, precision: Precision
+                  ) -> Tuple[jnp.ndarray, Moments]:
+    g = cfg.num_groups
+    cdt = precision.compute_dtype
+
+    g1, b1 = _affine(p["norm1"], moments, g)
+    h1, s1 = fused_conv3x3(
+        x, p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
+        gamma=g1, beta=b1, emit_stats=True, num_groups=g,
+        out_dtype=precision.storage_dtype)
+    hh, ww, c1 = h1.shape
+    g2, b2 = _affine(p["norm2"], _finalize(s1, hh * ww * (c1 // g)), g)
+
+    bias2 = p["conv2"]["bias"]
+    res_kernel = None
+    if "nin_shortcut" in p:
+        # 1x1 projection fused into the second conv's epilogue; its bias
+        # folds into the conv bias.
+        res_kernel = p["nin_shortcut"]["kernel"][0, 0].astype(cdt)
+        bias2 = bias2 + p["nin_shortcut"]["bias"]
+    y, s2 = fused_conv3x3(
+        h1, p["conv2"]["kernel"].astype(cdt), bias2,
+        gamma=g2, beta=b2, residual=x, res_kernel=res_kernel,
+        emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype)
+    c2 = y.shape[-1]
+    return y, _finalize(s2, hh * ww * (c2 // g))
+
+
+def upstack_apply(params: Params, x: jnp.ndarray,
+                  cfg: DecoderConfig = DecoderConfig(), *,
+                  precision: Precision = Precision.fast(),
+                  moments: Moments = None
+                  ) -> Tuple[jnp.ndarray, Moments]:
+    """Run every up level on one sample x [H, W, block_in] (a decoder_head
+    output with ``tail_levels == num_levels``).
+
+    Returns the pre-norm_out feature map [H*8, W*8, ch] and the GroupNorm
+    moments of it — feed them to `decoder_tail` (tail_levels=0) through a
+    GNTape("inject") so norm_out reuses the already-reduced statistics.
+    ``moments`` are the GN moments of x if the producer already has them
+    (the Pallas mid-stack emits them); None computes them here.
+    """
+    if moments is None:
+        moments = _entry_moments(x, cfg.num_groups)
+    cdt = precision.compute_dtype
+    for level in reversed(range(cfg.num_levels)):
+        up = params["up"][level]
+        for j in range(cfg.num_res_blocks + 1):
+            x, moments = _resnet_block(x, up["block"][j], moments, cfg,
+                                       precision)
+        if level != 0:
+            # 2x nearest upsample fused into the conv (2x2-phase
+            # decomposition, 2.25x fewer MACs; the upsampled map never
+            # touches HBM).
+            x, sums = upsample_conv3x3(
+                x, up["upsample"]["kernel"].astype(cdt),
+                up["upsample"]["bias"], emit_stats=True,
+                num_groups=cfg.num_groups,
+                out_dtype=precision.storage_dtype)
+            h, w, c = x.shape
+            moments = _finalize(sums, h * w * (c // cfg.num_groups))
+    return x, moments
+
+
+def _attn_block(x: jnp.ndarray, p: Params, moments: Moments,
+                cfg: DecoderConfig, precision: Precision) -> jnp.ndarray:
+    """Mid-block single-head spatial attention with the 1x1 q/k/v/proj
+    convolutions as plain dots — no XLA conv emitter ever borders the
+    Pallas custom calls (round-1 layout trap).  The pre-attention norm is
+    plain GroupNorm (no SiLU), applied from the emitted moments."""
+    from hdrvae.kernels.attention import spatial_attention
+    h_, w_, c = x.shape
+    gamma, beta = _affine(p["norm"], moments, cfg.num_groups)
+    cdt = precision.compute_dtype
+    sdt = precision.storage_dtype
+    hn = (x.astype(jnp.float32) * gamma + beta).astype(sdt)
+    flat = hn.reshape(h_ * w_, c).astype(cdt)
+
+    def proj(name, inp):
+        k = p[name]["kernel"][0, 0].astype(cdt)
+        y = jnp.dot(inp, k, preferred_element_type=jnp.float32)
+        return (y + p[name]["bias"]).astype(sdt).reshape(1, h_, w_, c)
+
+    q = proj("q", flat)
+    k = proj("k", flat)
+    v = proj("v", flat)
+    a = spatial_attention(q, k, v, precision=precision)
+    af = a.reshape(h_ * w_, c).astype(cdt)
+    o = jnp.dot(af, p["proj_out"]["kernel"][0, 0].astype(cdt),
+                preferred_element_type=jnp.float32)
+    o = o + p["proj_out"]["bias"]
+    return (x.astype(jnp.float32) + o.reshape(h_, w_, c)).astype(sdt)
+
+
+def midstack_apply(params: Params, x: jnp.ndarray,
+                   cfg: DecoderConfig = DecoderConfig(), *,
+                   precision: Precision = Precision.fast()
+                   ) -> Tuple[jnp.ndarray, Moments]:
+    """The decoder mid section (block_1, attn_1, block_2) on one sample
+    x [H, W, block_in] (the conv_in output), with the resnet convs as
+    fused Pallas kernels.  XLA's conv emitters schedule these 128x128
+    b=1 shapes poorly (~2.3 ms each where the kernel takes ~0.5 ms).
+    Returns the mid output and its GN moments for the up-stack entry."""
+    moments = _entry_moments(x, cfg.num_groups)
+    mid = params["mid"]
+    x, moments = _resnet_block(x, mid["block_1"], moments, cfg, precision)
+    if cfg.attn_mid:
+        x = _attn_block(x, mid["attn_1"], moments, cfg, precision)
+        moments = _entry_moments(x, cfg.num_groups)
+    return _resnet_block(x, mid["block_2"], moments, cfg, precision)
+
+
+def pallas_forward(params: Params, z: jnp.ndarray,
+                   cfg: DecoderConfig = DecoderConfig(), *,
+                   precision: Precision = Precision.fast(),
+                   preprocess_latent: bool = True
+                   ) -> Tuple[jnp.ndarray, Moments]:
+    """Latent [1, h, w, zc] -> (pre-norm_out features [H, W, ch], GN
+    moments): conv_in (XLA; tiny K), then mid + every up level as the
+    fused kernel chain."""
+    from hdrvae.models.layers import conv2d
+    if preprocess_latent:
+        z = z / cfg.scale_factor + cfg.shift_factor
+    x = conv2d(z, params["conv_in"], precision=precision)[0]
+    x, moments = midstack_apply(params, x, cfg, precision=precision)
+    return upstack_apply(params, x, cfg, precision=precision,
+                         moments=moments)
+
+
+def upstack_supported(precision: Precision, batch: int, tape,
+                      width: int = 0) -> bool:
+    """The Pallas up-stack serves the fast-mode whole-image path; parity
+    mode (f32/HIGHEST, two-pass statistics) and the PadMask/GNTape paths
+    keep the XLA implementation.  ``width`` is the latent width: the
+    kernels' slab DMAs need 8-column alignment (every real latent is
+    128+; tiny test fixtures fall back to XLA)."""
+    return (precision.mode == "fast" and batch == 1 and tape is None
+            and width % 8 == 0 and width > 0
+            and jax.default_backend() == "tpu"
+            and precision.upstack == "pallas")

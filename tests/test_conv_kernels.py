@@ -1,0 +1,178 @@
+"""Pallas up-stack conv kernels vs the XLA layer implementations.
+
+Runs in interpret mode on the CPU backend (tests/conftest.py forces CPU);
+the real-chip numbers live in PERF_NOTES.md.  The float32 cases validate
+the kernel MATH exactly (1e-5); the bf16 case bounds the fast-mode
+rounding difference (the kernel adds the residual in f32 before the
+storage cast, the XLA path after — documented in models/pallas_tail.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from hdrvae.core.config import DecoderConfig, Precision
+from hdrvae.kernels.conv3x3 import conv3x3_pallas, fused_conv3x3
+from hdrvae.models.decoder import decoder_head, decoder_tail, init_decoder
+from hdrvae.models.layers import GNTape
+from hdrvae.models.pallas_tail import upstack_apply
+
+DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _xla_conv(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        x[None].astype(jnp.float32), k.astype(jnp.float32), (1, 1), "SAME",
+        dimension_numbers=DIMS)
+    return y[0] + b
+
+
+def _rand(key, shape, scale=1.0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape,
+                             jnp.float32) * scale
+
+
+class TestConv3x3:
+    @pytest.mark.parametrize("h,w,cin,cout,br,cb", [
+        (16, 24, 8, 8, 4, None),
+        (16, 16, 8, 16, 2, 8),      # cout chunked
+        (12, 40, 16, 8, 4, None),   # unaligned w -> right-pad path
+    ])
+    def test_matches_xla(self, h, w, cin, cout, br, cb):
+        x = _rand(0, (h, w, cin))
+        k = _rand(1, (3, 3, cin, cout), 0.2)
+        b = _rand(2, (cout,))
+        ref = np.asarray(_xla_conv(x, k, b))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(conv3x3_pallas(x, k, b, block_rows=br,
+                                            cout_block=cb))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestFusedConv:
+    def _prologue_ref(self, x, gamma, beta):
+        z = x * gamma + beta
+        return z * jax.nn.sigmoid(z)
+
+    def test_prologue(self):
+        h, w, c = 16, 16, 8
+        x, k, b = _rand(0, (h, w, c)), _rand(1, (3, 3, c, c), 0.2), _rand(2, (c,))
+        gamma, beta = _rand(3, (c,), 0.5), _rand(4, (c,), 0.5)
+        ref = np.asarray(_xla_conv(self._prologue_ref(x, gamma, beta), k, b))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_conv3x3(x, k, b, gamma=gamma, beta=beta,
+                                           num_groups=4, block_rows=4))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_residual_add_and_stats(self):
+        h, w, c, g = 16, 16, 8, 4
+        x, k, b = _rand(0, (h, w, c)), _rand(1, (3, 3, c, c), 0.2), _rand(2, (c,))
+        r = _rand(5, (h, w, c))
+        ref = np.asarray(_xla_conv(x, k, b)) + np.asarray(r)
+        with pltpu.force_tpu_interpret_mode():
+            got, (ssum, ssq) = fused_conv3x3(
+                x, k, b, residual=r, emit_stats=True, num_groups=g,
+                block_rows=4)
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # group partials over channel groups of size c//g
+        grouped = ref.reshape(h * w, g, c // g)
+        np.testing.assert_allclose(np.asarray(ssum),
+                                   grouped.sum(axis=(0, 2)), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ssq),
+                                   np.square(grouped).sum(axis=(0, 2)),
+                                   rtol=1e-5)
+
+    def test_residual_projection(self):
+        h, w, cin, cout = 16, 16, 16, 8
+        x = _rand(0, (h, w, cin))
+        k, b = _rand(1, (3, 3, cin, cout), 0.2), _rand(2, (cout,))
+        rk = _rand(6, (cin, cout), 0.3)
+        ref = np.asarray(_xla_conv(x, k, b)) + np.asarray(x) @ np.asarray(rk)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fused_conv3x3(x, k, b, residual=x,
+                                           res_kernel=rk, num_groups=4,
+                                           block_rows=4))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestUpsampleConv:
+    """Fused 2x-nearest-upsample + conv3x3 (phase decomposition) vs the
+    XLA sequence upsample -> conv."""
+
+    def _ref(self, x, k, b):
+        h, w, c = x.shape
+        up = jnp.broadcast_to(x[:, None, :, None, :], (h, 2, w, 2, c))
+        up = up.reshape(2 * h, 2 * w, c)
+        return np.asarray(_xla_conv(up, k, b))
+
+    # block counts 1, 2, and >2 exercise all three halo-DMA variants
+    @pytest.mark.parametrize("h,w,cin,cout,br,g", [
+        (8, 16, 8, 8, 8, 4),     # n=1
+        (8, 16, 8, 8, 4, 4),     # n=2
+        (16, 16, 16, 8, 4, 4),   # n=4, channel change
+    ])
+    def test_matches_upsample_then_conv(self, h, w, cin, cout, br, g):
+        from hdrvae.kernels.conv3x3 import upsample_conv3x3
+        x = _rand(0, (h, w, cin))
+        k = _rand(1, (3, 3, cin, cout), 0.2)
+        b = _rand(2, (cout,))
+        ref = self._ref(x, k, b)
+        with pltpu.force_tpu_interpret_mode():
+            got, (ssum, ssq) = upsample_conv3x3(
+                x, k, b, emit_stats=True, num_groups=g, block_rows=br)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+        grouped = ref.reshape(4 * h * w, g, cout // g)
+        np.testing.assert_allclose(np.asarray(ssum),
+                                   grouped.sum(axis=(0, 2)), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ssq),
+                                   np.square(grouped).sum(axis=(0, 2)),
+                                   rtol=1e-4)
+
+
+class TestUpstack:
+    """The full Pallas chain (conv_in + mid + up stack) vs the XLA
+    decoder layers."""
+
+    def _run(self, precision, small_cfg, latent_hw=8):
+        from hdrvae.models.pallas_tail import pallas_forward
+        params = init_decoder(jax.random.PRNGKey(0), small_cfg)
+        z = _rand(1, (1, latent_hw, latent_hw, small_cfg.z_channels), 2.0)
+        with pltpu.force_tpu_interpret_mode():
+            pre, mom = pallas_forward(params, z, small_cfg,
+                                      precision=precision)
+        inject = GNTape("inject", [(mom[0][None], mom[1][None])])
+        got = decoder_tail(params, pre[None], small_cfg, precision=precision,
+                           tail_levels=0, tape=inject)
+
+        x = decoder_head(params, z, small_cfg, precision=precision,
+                         tail_levels=0)
+        ref = decoder_tail(params, x, small_cfg, precision=precision,
+                           tail_levels=0)
+        return got, ref
+
+    def test_f32_exact(self, small_cfg):
+        """float32 fast-mode storage: identical math, 1e-5 agreement."""
+        prec = Precision(compute_dtype=jnp.float32,
+                         storage_dtype=jnp.float32, mode="fast")
+        got, ref = self._run(prec, small_cfg)
+        np.testing.assert_allclose(np.asarray(got.rgb, np.float32),
+                                   np.asarray(ref.rgb, np.float32),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got.pre_conv_out, np.float32),
+                                   np.asarray(ref.pre_conv_out, np.float32),
+                                   atol=2e-5)
+
+    def test_bf16_close(self, small_cfg):
+        """bf16 storage: residual-add rounding differs by design; bound it
+        at a few bf16 ulps of the activation scale."""
+        got, ref = self._run(Precision.fast(), small_cfg)
+        rp = np.asarray(ref.pre_conv_out, np.float32)
+        gp = np.asarray(got.pre_conv_out, np.float32)
+        scale = max(np.abs(rp).max(), 1.0)
+        assert np.abs(gp - rp).max() <= 0.02 * scale
+        r = np.asarray(ref.rgb, np.float32)
+        g = np.asarray(got.rgb, np.float32)
+        assert np.abs(g - r).max() <= 0.02
