@@ -184,11 +184,12 @@ class Precision:
     storage_dtype: jnp.dtype = jnp.float32
     # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST.
     mode: str = "parity"
-    # Up-stack executor: "pallas" runs the decoder's up path as fused
-    # Pallas kernels (models.pallas_tail) — requires fast mode, batch 1,
-    # TPU; "xla" uses the XLA layers; "auto" currently means "xla" (the
-    # kernel chain is correct but not yet faster end-to-end — see
-    # PERF_NOTES.md section 3; flips to the kernel path once it wins).
+    # Conv-path executor: "auto" runs the decoder's mid + up path as
+    # fused Pallas kernels (models.pallas_tail) on TPU in fast mode
+    # (batch 1, whole-image; measured 1.15-1.2x the XLA layers, see
+    # PERF_NOTES.md section 3), falling back to the XLA layers
+    # otherwise; "xla" forces the XLA path; "pallas" asserts the kernel
+    # path is used.
     upstack: str = "auto"
 
     @classmethod

@@ -43,9 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for picking the row-block size.  v5e has 16 MiB of VMEM per
-# core; leave headroom for Mosaic's own buffers.
-_VMEM_BUDGET = 13 * 1024 * 1024
+# VMEM budget for picking the row-block size.  v5e has 16 MiB of scoped
+# VMEM per core; the models below account for every large buffer
+# (including the whole-slab register materialization `xs[sl]`), so the
+# budget can sit close to the physical limit.  Calibrated against a
+# compiler-reported 16.5M allocation for a configuration the model put
+# at 15.1M.
+_VMEM_BUDGET = 15 * 1024 * 1024
 
 # Left margin of the in-VMEM slab: data lives at columns [8, 8+W) so the
 # slab DMA's destination offset is a lane-tile multiple while the three
@@ -539,21 +543,24 @@ def pick_block_rows(h: int, w: int, cin: int, cout: int,
     2x slab (double buffer) + resident weights + f32 accumulator +
     2x output block (pipeline).  ``cout_block`` shrinks the accumulator
     and output block to one cout chunk (the (rows, couts) grid variant).
-    The prologue runs in place one slab row at a time, so its f32
-    temporaries are bounded by ~3 row-sized vectors regardless of br; a
-    residual adds its own double-buffered block."""
+    ``slab`` is counted 3x: two DMA slots plus the whole-slab register
+    materialization of `xs[sl]` inside the kernel.  The prologue runs in
+    place one slab row at a time, so its f32 temporaries are bounded by
+    ~2 row-sized vectors regardless of br; a residual adds its own
+    double-buffered block."""
     weights = 9 * cin * cout * itemsize
     wm = w + 2 * _MG
     cb = cout_block or cout
     for br in (32, 16, 8, 4, 2, 1):
         if h % br:
             continue
-        slab = 2 * (br + 2) * wm * cin * itemsize
-        acc = br * w * cb * 4
+        slab = 3 * (br + 2) * wm * cin * itemsize
+        # 2x: the 9-tap accumulation chain keeps (acc + part) live.
+        acc = 2 * br * w * cb * 4
         out = 2 * br * w * cb * itemsize
         total = weights + slab + acc + out
         if prologue:
-            total += 3 * wm * cin * 4
+            total += 2 * wm * cin * 4
         if res_channels:
             total += 2 * br * w * res_channels * itemsize
             total += res_channels * cout * itemsize   # rk (if projected)
@@ -565,17 +572,18 @@ def pick_block_rows(h: int, w: int, cin: int, cout: int,
 def pick_block_rows_upsample(h: int, w: int, cin: int, cout: int,
                              itemsize: int = 2,
                              cout_block: Optional[int] = None) -> int:
-    """VMEM model of `_upsample_conv_kernel`: 2x input slab + 2x phase
-    kernels (streamed per cout chunk) + four f32 phase accumulators +
-    the interleave temporary + 2x (2br, 2w, cb) output blocks."""
+    """VMEM model of `_upsample_conv_kernel`: input slab (2 DMA slots +
+    register materialization) + 2x phase kernels (streamed per cout
+    chunk) + four f32 phase accumulators + the interleave temporary +
+    2x (2br, 2w, cb) output blocks."""
     cb = cout_block or min(cout, 128)
     wm = w + 2 * _MG
     for br in (32, 16, 8, 4, 2, 1):
         if h % br:
             continue
-        slab = 2 * (br + 2) * wm * cin * itemsize
+        slab = 3 * (br + 2) * wm * cin * itemsize
         weights = 2 * 16 * cin * cb * itemsize
-        accs = 4 * br * w * cb * 4
+        accs = 5 * br * w * cb * 4       # 4 phases + live (acc + part)
         interleave = 4 * br * w * cb * 4
         out = 2 * 4 * br * w * cb * itemsize
         if slab + weights + accs + interleave + out <= _VMEM_BUDGET:

@@ -226,10 +226,10 @@ def decoder_apply(params: Params, z: jnp.ndarray,
     up level in the head — the identical op sequence to a monolithic
     forward.
 
-    With ``precision.upstack == "pallas"`` (TPU, fast mode, batch 1), the
-    up path runs as the fused Pallas kernel chain (models.pallas_tail)
-    instead of the XLA layers: same math, no GN reduce->broadcast chains
-    left in the XLA graph.  Opt-in until it beats the XLA path end-to-end
+    On TPU in fast mode at batch 1 (``precision.upstack`` "auto"/
+    "pallas"), the mid + up path runs as the fused Pallas kernel chain
+    (models.pallas_tail) instead of the XLA layers: same math, no GN
+    reduce->broadcast chains left in the XLA graph, 1.15-1.2x faster
     (PERF_NOTES.md section 3).
     """
     from hdrvae.models.pallas_tail import pallas_forward, upstack_supported

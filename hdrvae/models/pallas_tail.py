@@ -215,4 +215,4 @@ def upstack_supported(precision: Precision, batch: int, tape,
     return (precision.mode == "fast" and batch == 1 and tape is None
             and width % 8 == 0 and width > 0
             and jax.default_backend() == "tpu"
-            and precision.upstack == "pallas")
+            and precision.upstack in ("auto", "pallas"))
