@@ -43,11 +43,15 @@ def _resolve_compression(compression: str, have_native: bool) -> str:
 
 
 def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
-              compression: str = "zip", use_native: bool = True) -> None:
+              compression: str = "zip", use_native: bool = True,
+              zip_level: int = 4) -> None:
     """Write a float image (H, W, C) to a scanline EXR.
 
     pixel_type: "half" | "float" (the reference's 16bit/32bit,
     `linear_exr_export.py:155`); compression: none/rle/zip/zips/piz/pxr24.
+    zip_level: zlib level for zip/zips/pxr24 chunks (modern OpenEXR
+    defaults to 4 — near-identical size to zlib's default 6 on
+    delta-filtered pixel data, roughly half the encode time).
     """
     image = np.ascontiguousarray(np.asarray(image, np.float32))
     if image.ndim == 2:
@@ -64,7 +68,7 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
         rc = lib.exr_write(
             path.encode(), image.ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)),
-            h, w, c, ptype, comp_id)
+            h, w, c, ptype, comp_id, zip_level)
         if rc == 0:
             return
         logger.warning("native EXR write returned %d; falling back to "
@@ -72,7 +76,7 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
         # the pure-Python writer has no PIZ: re-resolve for have_native=False
         compression = _resolve_compression(compression, False)
     exr_py.write_exr(path, image, pixel_type=pixel_type,
-                     compression=compression)
+                     compression=compression, zip_level=zip_level)
 
 
 def read_exr(path: str, *, use_native: bool = True) -> np.ndarray:

@@ -456,11 +456,12 @@ def _build_header(w: int, h: int, pixel_type: int, compression_id: int,
 
 
 def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
-              compression: str = "zip") -> None:
+              compression: str = "zip", zip_level: int = 4) -> None:
     """Write an RGB (H, W, 3) or single-channel (H, W) float image.
 
     pixel_type: "half" | "float"; compression: none/rle/zips/zip/pxr24
-    ("piz" must be substituted by the caller — see `hdrvae.io.exr`).
+    ("piz" must be substituted by the caller — see `hdrvae.io.exr`);
+    zip_level: zlib level for zip/zips/pxr24 chunks.
     """
     image = np.asarray(image, np.float32)
     if image.ndim == 2:
@@ -497,14 +498,14 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
         elif comp_id == 1:  # RLE
             data = _rle_encode(_filter_encode(raw))
         elif comp_id in (2, 3):  # ZIPS / ZIP
-            data = zlib.compress(_filter_encode(raw))
+            data = zlib.compress(_filter_encode(raw), zip_level)
         elif comp_id == 5:  # PXR24
             rows = []
             for y in range(y0, y1):
                 for i in order:
                     rows.append((np.asarray(image[y, :, i], np.float32),
                                  ptype))
-            data = zlib.compress(_pxr24_pack_rows(rows))
+            data = zlib.compress(_pxr24_pack_rows(rows), zip_level)
         else:
             raise NotImplementedError(compression)
         if len(data) >= len(raw):

@@ -61,7 +61,8 @@ def load_native() -> Optional[ctypes.CDLL]:
 
         lib.exr_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.exr_write.restype = ctypes.c_int
         lib.exr_read_header.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
