@@ -102,7 +102,8 @@ def _slab_dma(x_hbm, xs, sems, slot, blk, op, *, br, h, w):
 
 
 def _fused_conv_kernel(*refs, br: int, w: int, cb: int, h: int,
-                       prologue: bool, res: str, emit: bool, gs: int):
+                       prologue: bool, res: str, emit: bool, gs: int,
+                       owned: bool = False):
     """General up-stack conv step on a (row_blocks, cout_chunks) grid:
 
       y = conv3x3(silu(x * gamma + beta)) [+ r | + r @ rk] (+ bias)
@@ -126,6 +127,7 @@ def _fused_conv_kernel(*refs, br: int, w: int, cb: int, h: int,
     elif res == "proj":
         r_ref = next(it)                 # [br, w, cr] block (pipelined)
         rk_ref = next(it)                # [cr, cout] resident
+    bounds_ref = next(it) if owned else None   # [1, 2] int32 SMEM
     o_ref = next(it)
     if emit:
         ssum_ref = next(it)              # [n_chunks, gcb] accumulated
@@ -222,15 +224,27 @@ def _fused_conv_kernel(*refs, br: int, w: int, cb: int, h: int,
     o_ref[...] = y
 
     if emit:
-        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs)
+        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs,
+                    bounds_ref=bounds_ref, row_base=i * br)
 
 
-def _emit_stats(y, ssum_ref, ssq_ref, i, co, *, cb: int, gs: int):
+def _emit_stats(y, ssum_ref, ssq_ref, i, co, *, cb: int, gs: int,
+                bounds_ref=None, row_base=None):
     """Accumulate per-group (sum, sumsq) of y [.., .., cb] as STORED
     (post storage-dtype rounding), matching the XLA fast path where GN
-    re-reads the bf16 activation."""
+    re-reads the bf16 activation.  With ``bounds_ref`` ([1, 2] int32 in
+    SMEM: owned [lo, hi) rows at this layer's resolution) only rows this
+    shard OWNS contribute — the per-slab partials of an exact
+    whole-image statistic under slab sharding (halo rows masked so no
+    pixel is counted twice); ``row_base`` is the first output row of
+    this grid step."""
     gcb = cb // gs
     yf = y.astype(jnp.float32)
+    if bounds_ref is not None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, yf.shape, 0) + row_base
+        ok = jnp.logical_and(rows >= bounds_ref[0, 0],
+                             rows < bounds_ref[0, 1])
+        yf = jnp.where(ok, yf, 0.0)
     s1 = jnp.sum(yf, axis=(0, 1)).reshape(1, cb)
     s2 = jnp.sum(jnp.square(yf), axis=(0, 1)).reshape(1, cb)
     onehot = (jax.lax.broadcasted_iota(jnp.int32, (cb, gcb), 0) // gs
@@ -259,7 +273,8 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   num_groups: int = 32,
                   out_dtype=None,
                   block_rows: Optional[int] = None,
-                  cout_block: Optional[int] = None):
+                  cout_block: Optional[int] = None,
+                  owned_rows: Optional[jnp.ndarray] = None):
     """Fused up-stack conv step (see `_fused_conv_kernel`).
 
     x [H, W, Cin] unpadded (SAME padding happens in-kernel); gamma/beta
@@ -267,7 +282,9 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     [H, W, Cout] is added, or projected through ``res_kernel``
     [Cr, Cout] first (the ResNet nin_shortcut — fold its bias into
     ``bias``).  With ``emit_stats`` the call also returns (sum, sumsq)
-    per GroupNorm group of the OUTPUT, shape [G] each.
+    per GroupNorm group of the OUTPUT, shape [G] each; ``owned_rows``
+    (traced int32 [2]: [lo, hi) at this layer's resolution) restricts
+    the emitted statistics to the rows this slab shard owns.
     """
     h, w, cin = x.shape
     assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, x.shape)
@@ -289,9 +306,10 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         res_channels=(residual.shape[-1] if residual is not None else 0))
     assert h % br == 0, (h, br)
 
+    owned = owned_rows is not None
     kern = functools.partial(_fused_conv_kernel, br=br, w=w, cb=cb, h=h,
                              prologue=prologue, res=res, emit=emit_stats,
-                             gs=gs)
+                             gs=gs, owned=owned)
 
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
@@ -319,6 +337,10 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
             pl.BlockSpec((cr, cout), lambda i, co: (0, 0), **vm),
         ]
         operands += [residual, res_kernel]
+    if owned:
+        in_specs.append(pl.BlockSpec((1, 2), lambda i, co: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(owned_rows, jnp.int32).reshape(1, 2))
 
     out_specs = [pl.BlockSpec((br, w, cb), lambda i, co: (i, 0, co), **vm)]
     out_shape = [jax.ShapeDtypeStruct((h, w, cout), out_dtype)]
@@ -379,9 +401,9 @@ def phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
                       ).astype(kernel.dtype)
 
 
-def _upsample_conv_kernel(x_hbm, k_ref, b_ref, o_ref, ssum_ref, ssq_ref,
-                          xs, sems, *, br: int, w: int, cb: int, h: int,
-                          emit: bool, gs: int):
+def _upsample_conv_kernel(x_hbm, k_ref, b_ref, bounds_ref, o_ref,
+                          ssum_ref, ssq_ref, xs, sems, *, br: int,
+                          w: int, cb: int, h: int, emit: bool, gs: int):
     """One grid step of the fused upsample+conv: input rows
     [i*br, i*br+br) -> output rows [2*i*br, 2*i*br+2*br), all four
     phases accumulated from the (at most 9) shifted input patches and
@@ -447,7 +469,8 @@ def _upsample_conv_kernel(x_hbm, k_ref, b_ref, o_ref, ssum_ref, ssq_ref,
     o_ref[...] = y
 
     if emit:
-        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs)
+        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs,
+                    bounds_ref=bounds_ref, row_base=2 * i * br)
 
 
 def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -456,13 +479,16 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      num_groups: int = 32,
                      out_dtype=None,
                      block_rows: Optional[int] = None,
-                     cout_block: Optional[int] = None):
+                     cout_block: Optional[int] = None,
+                     owned_rows: Optional[jnp.ndarray] = None):
     """conv3x3(nearest_upsample_2x(x)) + bias as ONE kernel.
 
     x [H, W, Cin] -> [2H, 2W, Cout].  2.25x fewer MACs than upsampling
     then convolving (16 phase taps over HxW vs 9 taps over 2Hx2W), and
     the upsampled map is never materialized in HBM.  ``kernel`` is the
-    plain [3, 3, Cin, Cout] conv kernel; the phase collapse happens here.
+    plain [3, 3, Cin, Cout] conv kernel; the phase collapse happens
+    here.  ``owned_rows`` ([lo, hi) at OUTPUT resolution) restricts the
+    emitted statistics to the rows this slab shard owns.
     """
     h, w, cin = x.shape
     assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, x.shape)
@@ -481,6 +507,7 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
 
     pk = phase_kernels(kernel)
 
+    owned = owned_rows is not None
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -488,6 +515,11 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      lambda i, co: (0, 0, 0, 0, 0, co), **vm),
         pl.BlockSpec((1, cout), lambda i, co: (0, 0), **vm),
     ]
+    operands = [x, pk, bias.reshape(1, cout)]
+    if owned:
+        in_specs.append(pl.BlockSpec((1, 2), lambda i, co: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(owned_rows, jnp.int32).reshape(1, 2))
     out_specs = [pl.BlockSpec((2 * br, 2 * w, cb),
                               lambda i, co: (i, 0, co), **vm)]
     out_shape = [jax.ShapeDtypeStruct((2 * h, 2 * w, cout), out_dtype)]
@@ -496,13 +528,15 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
         out_shape += [jax.ShapeDtypeStruct((nc, gcb), jnp.float32)] * 2
 
     def kern_wrap(*refs):
-        if emit_stats:
-            x_hbm, k_ref, b_ref, o_ref, ssum, ssq, xs, sems = refs
-        else:
-            x_hbm, k_ref, b_ref, o_ref, xs, sems = refs
-            ssum = ssq = None
+        it = iter(refs)
+        x_hbm, k_ref, b_ref = next(it), next(it), next(it)
+        bounds = next(it) if owned else None
+        o_ref = next(it)
+        ssum = next(it) if emit_stats else None
+        ssq = next(it) if emit_stats else None
+        xs, sems = next(it), next(it)
         return _upsample_conv_kernel(
-            x_hbm, k_ref, b_ref, o_ref, ssum, ssq, xs, sems,
+            x_hbm, k_ref, b_ref, bounds, o_ref, ssum, ssq, xs, sems,
             br=br, w=w, cb=cb, h=h, emit=emit_stats, gs=gs)
 
     call = pl.pallas_call(
@@ -524,7 +558,7 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
             transcendentals=0,
         ),
     )
-    outs = call(x, pk, bias.reshape(1, cout))
+    outs = call(*operands)
     if emit_stats:
         y, ssum, ssq = outs
         return y, (ssum.reshape(cout // gs), ssq.reshape(cout // gs))

@@ -75,19 +75,55 @@ def _finalize(sums: Tuple[jnp.ndarray, jnp.ndarray], n: int) -> Moments:
     return mean, jnp.maximum(ssq / n - jnp.square(mean), 0.0)
 
 
+class _StatScope:
+    """Whole-image statistics: the kernels' emitted (sum, sumsq) cover
+    everything; finalize divides by the local element count."""
+
+    f = 1   # current layer resolution multiple vs the chain entry
+
+    def owned_rows(self):
+        return None
+
+    def finalize(self, sums, h: int, w: int, gsz: int) -> Moments:
+        return _finalize(sums, h * w * gsz)
+
+
+class _SlabStatScope(_StatScope):
+    """Exact whole-image statistics under slab sharding: each kernel
+    emits partials over the rows this shard OWNS (`owned_rows`, scaled
+    to the layer resolution), a psum over the mesh axis reconstructs the
+    global sums, and finalize divides by the GLOBAL element count — the
+    kernel-chain analog of sharding.mesh.SlabGNReducer."""
+
+    def __init__(self, axis_name: str, bounds, entry_h: int):
+        self.axis_name = axis_name
+        self.bounds = jnp.asarray(bounds, jnp.int32)  # traced [2], entry res
+        self.entry_h = entry_h                        # GLOBAL entry rows
+
+    def owned_rows(self):
+        return self.bounds * self.f
+
+    def finalize(self, sums, h: int, w: int, gsz: int) -> Moments:
+        ssum = jax.lax.psum(sums[0], self.axis_name)
+        ssq = jax.lax.psum(sums[1], self.axis_name)
+        return _finalize((ssum, ssq), (self.entry_h * self.f) * w * gsz)
+
+
 def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
-                  cfg: DecoderConfig, precision: Precision
+                  cfg: DecoderConfig, precision: Precision,
+                  scope: _StatScope = None
                   ) -> Tuple[jnp.ndarray, Moments]:
     g = cfg.num_groups
     cdt = precision.compute_dtype
+    scope = scope or _StatScope()
 
     g1, b1 = _affine(p["norm1"], moments, g)
     h1, s1 = fused_conv3x3(
         x, p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
         gamma=g1, beta=b1, emit_stats=True, num_groups=g,
-        out_dtype=precision.storage_dtype)
+        out_dtype=precision.storage_dtype, owned_rows=scope.owned_rows())
     hh, ww, c1 = h1.shape
-    g2, b2 = _affine(p["norm2"], _finalize(s1, hh * ww * (c1 // g)), g)
+    g2, b2 = _affine(p["norm2"], scope.finalize(s1, hh, ww, c1 // g), g)
 
     bias2 = p["conv2"]["bias"]
     res_kernel = None
@@ -99,9 +135,37 @@ def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
     y, s2 = fused_conv3x3(
         h1, p["conv2"]["kernel"].astype(cdt), bias2,
         gamma=g2, beta=b2, residual=x, res_kernel=res_kernel,
-        emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype)
+        emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype,
+        owned_rows=scope.owned_rows())
     c2 = y.shape[-1]
-    return y, _finalize(s2, hh * ww * (c2 // g))
+    return y, scope.finalize(s2, hh, ww, c2 // g)
+
+
+def _levels_apply(params: Params, x: jnp.ndarray,
+                  cfg: DecoderConfig, precision: Precision,
+                  moments: Moments, scope: _StatScope, *,
+                  hi: int, lo: int = 0) -> Tuple[jnp.ndarray, Moments]:
+    """Up levels ``hi - 1 .. lo`` as the fused kernel chain."""
+    cdt = precision.compute_dtype
+    for level in reversed(range(lo, hi)):
+        up = params["up"][level]
+        for j in range(cfg.num_res_blocks + 1):
+            x, moments = _resnet_block(x, up["block"][j], moments, cfg,
+                                       precision, scope)
+        if level != 0:
+            # 2x nearest upsample fused into the conv (2x2-phase
+            # decomposition, 2.25x fewer MACs; the upsampled map never
+            # touches HBM).  Stats are emitted at the doubled resolution.
+            scope.f *= 2
+            x, sums = upsample_conv3x3(
+                x, up["upsample"]["kernel"].astype(cdt),
+                up["upsample"]["bias"], emit_stats=True,
+                num_groups=cfg.num_groups,
+                out_dtype=precision.storage_dtype,
+                owned_rows=scope.owned_rows())
+            h, w, c = x.shape
+            moments = scope.finalize(sums, h, w, c // cfg.num_groups)
+    return x, moments
 
 
 def upstack_apply(params: Params, x: jnp.ndarray,
@@ -120,24 +184,79 @@ def upstack_apply(params: Params, x: jnp.ndarray,
     """
     if moments is None:
         moments = _entry_moments(x, cfg.num_groups)
-    cdt = precision.compute_dtype
-    for level in reversed(range(cfg.num_levels)):
-        up = params["up"][level]
-        for j in range(cfg.num_res_blocks + 1):
-            x, moments = _resnet_block(x, up["block"][j], moments, cfg,
-                                       precision)
-        if level != 0:
-            # 2x nearest upsample fused into the conv (2x2-phase
-            # decomposition, 2.25x fewer MACs; the upsampled map never
-            # touches HBM).
-            x, sums = upsample_conv3x3(
-                x, up["upsample"]["kernel"].astype(cdt),
-                up["upsample"]["bias"], emit_stats=True,
-                num_groups=cfg.num_groups,
-                out_dtype=precision.storage_dtype)
-            h, w, c = x.shape
-            moments = _finalize(sums, h * w * (c // cfg.num_groups))
-    return x, moments
+    return _levels_apply(params, x, cfg, precision, moments, _StatScope(),
+                         hi=cfg.num_levels)
+
+
+def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,
+                       cfg: DecoderConfig = DecoderConfig(), *,
+                       precision: Precision = Precision.fast(),
+                       tail_levels: int,
+                       axis_name: str,
+                       entry_h: int,
+                       moments: Moments = None
+                       ) -> Tuple[jnp.ndarray, Moments]:
+    """The bottom ``tail_levels`` up levels on ONE ROW SLAB of a
+    decoder_head output, inside shard_map, with exact whole-image
+    GroupNorm statistics: every kernel emits (sum, sumsq) partials over
+    only the rows this shard owns (``bounds``, traced int32 [lo, hi) at
+    entry resolution) and a [G]-sized psum over ``axis_name``
+    reconstructs the global moments — the kernel-chain counterpart of
+    sharding.mesh.SlabGNReducer (per-slab partials instead of an extra
+    whole-image stats forward).  ``entry_h`` is the GLOBAL entry height.
+
+    Returns the slab's pre-norm_out features and the GLOBAL moments of
+    the whole-image pre-norm_out map (already psum-reduced; feed through
+    a GNTape("inject") to decoder_tail(tail_levels=0)).  ``moments`` are
+    the global GN moments of the head output if the producer has them
+    (pallas_head emits them); None computes them here with a masked
+    psum."""
+    scope = _SlabStatScope(axis_name, bounds, entry_h)
+    if moments is None:
+        h, w, c = x.shape
+        gs = c // cfg.num_groups
+        rows = jnp.arange(h)
+        lo, hi = scope.bounds[0], scope.bounds[1]
+        mask = ((rows >= lo) & (rows < hi)).astype(
+            jnp.float32)[:, None, None]
+        xf = x.astype(jnp.float32) * mask
+        grp = jnp.arange(c) // gs
+        onehot = jnp.zeros((c, cfg.num_groups), jnp.float32).at[
+            jnp.arange(c), grp].set(1.0)
+        n = entry_h * w * gs
+        mean = jax.lax.psum(jnp.einsum("hwc,cg->g", xf, onehot),
+                            axis_name) / n
+        sq = jax.lax.psum(jnp.einsum("hwc,cg->g", jnp.square(xf), onehot),
+                          axis_name) / n
+        moments = (mean, jnp.maximum(sq - jnp.square(mean), 0.0))
+    return _levels_apply(params, x, cfg, precision, moments, scope,
+                         hi=tail_levels)
+
+
+def pallas_head(params: Params, z: jnp.ndarray,
+                cfg: DecoderConfig = DecoderConfig(), *,
+                precision: Precision = Precision.fast(),
+                tail_levels: int,
+                preprocess_latent: bool = True
+                ) -> Tuple[jnp.ndarray, Moments]:
+    """The slab decode's whole-image head — conv_in + mid + the up
+    levels ABOVE ``tail_levels`` — as the kernel chain, on one sample.
+
+    Running the head through the kernels matters beyond raw speed: with
+    an XLA decoder_head feeding Pallas tail kernels, XLA's layout
+    assignment propagates the custom calls' default-layout constraint
+    back into the head's conv fusions and demotes them to degenerate
+    T(1,128) layouts (measured 184 ms for ONE 1024^2x512 conv — the
+    round-1 layout-trap failure mode at full scale).
+
+    Returns (head output [H, W, C], its global GN moments)."""
+    from hdrvae.models.layers import conv2d
+    if preprocess_latent:
+        z = z / cfg.scale_factor + cfg.shift_factor
+    x = conv2d(z, params["conv_in"], precision=precision)[0]
+    x, moments = midstack_apply(params, x, cfg, precision=precision)
+    return _levels_apply(params, x, cfg, precision, moments, _StatScope(),
+                         hi=cfg.num_levels, lo=tail_levels)
 
 
 def _attn_block(x: jnp.ndarray, p: Params, moments: Moments,

@@ -225,7 +225,10 @@ class SlabPlan:
 def plan_slabs(entry_h: int, n: int, halo: int) -> SlabPlan:
     cuts = [round(i * entry_h / n) for i in range(n + 1)]
     widest = max(cuts[i + 1] - cuts[i] for i in range(n))
-    slab_h = min(entry_h, widest + 2 * halo)
+    # Round the slab height up to a multiple of 8: extra halo rows are
+    # exact (cropped at stitch), and 8-row alignment keeps the Pallas
+    # tail kernels' row-block choices off the br=1 cliff.
+    slab_h = min(entry_h, ((widest + 2 * halo + 7) // 8) * 8)
     starts = tuple(min(max(cuts[i] - halo, 0), entry_h - slab_h)
                    for i in range(n))
     owned = tuple((cuts[i], cuts[i + 1]) for i in range(n))
@@ -292,30 +295,72 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     axis_name = mesh.axis_names[0]
     n = mesh.devices.size
 
+    from hdrvae.models.pallas_tail import (pallas_head, upstack_slab_apply,
+                                           upstack_supported)
+    use_pallas = (tail_levels >= 1 and latent.shape[0] == 1
+                  and upstack_supported(precision, latent.shape[0], None,
+                                        width=latent.shape[2]))
+
     # Head: conv_in + mid (global attention RUNS, whole-image — beating the
     # reference's attention-skip hack `hdr_vae_decode.py:514` on its own
-    # ground) + coarse up levels, all at cheap low resolution.
-    x = decoder_head(params, latent, decoder_cfg, precision=precision,
-                     tail_levels=tail_levels)
+    # ground) + coarse up levels, all at cheap low resolution.  On the
+    # kernel path the whole head runs INSIDE shard_map, redundantly per
+    # device — computationally identical to the XLA path (whose head the
+    # SPMD partitioner replicates anyway), and it keeps every Pallas
+    # custom call out of SPMD partitioning: a Pallas call in the
+    # partitioned region either trips the partitioner (io_callback under
+    # interpret mode) or demotes neighboring conv fusions to degenerate
+    # layouts (pallas_head docstring; measured 184 ms for one conv).
+    if use_pallas:
+        f_head = 2 ** (decoder_cfg.num_levels - tail_levels)
+        entry_h = latent.shape[1] * f_head
+        entry_w = latent.shape[2] * f_head
+    else:
+        x = decoder_head(params, latent, decoder_cfg, precision=precision,
+                         tail_levels=tail_levels)
+        entry_h, entry_w = x.shape[1], x.shape[2]
 
-    entry_h, entry_w = x.shape[1], x.shape[2]
     plan = plan_slabs(entry_h, n, halo)
     fo = 2 ** max(tail_levels - 1, 0)      # tail output resolution multiple
 
-    slabs = jnp.stack([x[:, s:s + plan.slab_h] for s in plan.starts], 0)
-    slabs = jax.lax.with_sharding_constraint(
-        slabs, NamedSharding(mesh, P(axis_name)))
     bounds = jnp.asarray([[o0 - s, o1 - s]
                           for (o0, o1), s in zip(plan.owned, plan.starts)],
                          jnp.int32)
+    starts = jnp.asarray(plan.starts, jnp.int32).reshape(n, 1)
+
+    if not use_pallas:
+        slabs = jnp.stack([x[:, s:s + plan.slab_h] for s in plan.starts], 0)
+        slabs = jax.lax.with_sharding_constraint(
+            slabs, NamedSharding(mesh, P(axis_name)))
 
     want_first3 = cfg.fallback_collapse == "first3"
 
-    def tail_one(p, slab, bnd):
-        slab, bnd = slab[0], bnd[0]
+    def tail_one(p, slab_or_latent, bnd, st):
+        bnd = bnd[0]
         reducer = SlabGNReducer(axis_name, entry_h, entry_w, bnd[0], bnd[1])
-        out = decoder_tail(p, slab, decoder_cfg, precision=precision,
-                           tail_levels=tail_levels, tape=reducer)
+        if use_pallas:
+            # Kernel-chain path: head per device, then this device's slab
+            # with per-slab owned-row stat partials psum'd across the
+            # mesh (models.pallas_tail.upstack_slab_apply) instead of the
+            # XLA layers + SlabGNReducer tape.
+            from hdrvae.models.layers import GNTape
+            xh, head_moments = pallas_head(
+                p, slab_or_latent, decoder_cfg, precision=precision,
+                tail_levels=tail_levels)
+            slab = jax.lax.dynamic_slice_in_dim(xh, st[0, 0], plan.slab_h,
+                                                axis=0)
+            pre, mom = upstack_slab_apply(
+                p, slab, bnd, decoder_cfg, precision=precision,
+                tail_levels=tail_levels, axis_name=axis_name,
+                entry_h=entry_h, moments=head_moments)
+            inject = GNTape("inject", [(mom[0][None], mom[1][None])])
+            out = decoder_tail(p, pre[None], decoder_cfg,
+                               precision=precision, tail_levels=0,
+                               tape=inject)
+        else:
+            out = decoder_tail(p, slab_or_latent[0], decoder_cfg,
+                               precision=precision,
+                               tail_levels=tail_levels, tape=reducer)
         pre_f = out.pre_conv_out.astype(jnp.float32)
         b, ho, wo, c = pre_f.shape
         mask = reducer._row_mask(ho, fo)[None, :, None, None]
@@ -338,11 +383,13 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
         pre3 = pre_f[..., :3] if want_first3 else pre_c[..., :0]
         return out.rgb[None], pre_c[None], pre3[None], pre_stats
 
+    first = latent if use_pallas else slabs
     rgb_s, prec_s, pre3_s, pre_stats = shard_map(
         tail_one, mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name)),
+        in_specs=(P(), P() if use_pallas else P(axis_name), P(axis_name),
+                  P(axis_name)),
         out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
-        check_vma=False)(params, slabs, bounds)
+        check_vma=False)(params, first, bounds, starts)
 
     def stitch(t):
         pieces = [t[i][:, (o0 - s) * fo:(o1 - s) * fo]

@@ -125,6 +125,47 @@ def test_slab_decode_exact_all_tail_levels(small_cfg, small_params, rng,
     assert err < 1e-3, f"slab seam error {err:.2e} (mode={mode})"
 
 
+@pytest.mark.parametrize("tail_levels", [1, None])
+def test_slab_decode_pallas_tail_matches_xla(small_cfg, small_params, rng,
+                                             monkeypatch, tail_levels):
+    """The kernel-chain slab tail (per-slab owned-row stat partials +
+    psum, models.pallas_tail.upstack_slab_apply) computes the same
+    function as the XLA slab tail with the SlabGNReducer tape.  Run in
+    f32 fast mode, where the kernel math is bit-comparable (~1e-5)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import hdrvae.models.pallas_tail as pt
+    from hdrvae.sharding.mesh import sharded_slab_decode
+
+    tail_levels = tail_levels or small_cfg.num_levels
+    # permit the kernel path on the CPU test backend (interpret mode)
+    monkeypatch.setattr(
+        pt, "upstack_supported",
+        lambda precision, batch, tape, width=0: (
+            precision.mode == "fast" and batch == 1 and tape is None
+            and width % 8 == 0 and width > 0
+            and precision.upstack == "pallas"))
+
+    latent = _latent(rng, small_cfg, 16, 16)
+    cfg = HDRDecodeConfig(hdr_mode="conservative")
+    f32fast = Precision(compute_dtype=jnp.float32,
+                        storage_dtype=jnp.float32, mode="fast")
+    import dataclasses
+    xla = sharded_slab_decode(
+        small_params, latent, small_cfg, cfg,
+        mesh=make_mesh(num_devices=4), tail_levels=tail_levels,
+        precision=dataclasses.replace(f32fast, upstack="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        pal = sharded_slab_decode(
+            small_params, latent, small_cfg, cfg,
+            mesh=make_mesh(num_devices=4), tail_levels=tail_levels,
+            precision=dataclasses.replace(f32fast, upstack="pallas"))
+    np.testing.assert_allclose(np.asarray(pal.standard),
+                               np.asarray(xla.standard), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pal.image),
+                               np.asarray(xla.image), atol=5e-4)
+
+
 def test_slab_decode_single_device_degenerates(small_cfg, small_params,
                                                rng):
     """On a 1-device mesh the slab decode IS the whole-image decode (no
