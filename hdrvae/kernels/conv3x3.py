@@ -4,14 +4,18 @@ Motivation (PERF_NOTES.md sections 2-3): XLA:TPU's conv emitters run the
 decoder's large up-stack convs at ~50% MXU with the GroupNorm statistic
 reductions fused into their epilogues; the SAME-padding pre-pads and
 nearest-upsample chains between convs add ~15% of device time in pure
-data movement.  These kernels own the whole up path so that
+data movement.  These kernels own the whole conv path so that
 
   * no XLA conv fusion ever borders a Pallas custom call (the round-1
     layout trap, `kernels/epilogue.py:158-171`): operands/results use
     only default-layout NHWC arrays;
-  * SAME padding happens inside the kernel (aligned 8-column VMEM
-    margins + boundary-row DMAs), so inputs are the raw unpadded
-    activations — no `jnp.pad` copies in the XLA graph;
+  * SAME padding costs nothing: chain activations live in PADDED
+    buffers [H+2, W+16, C] with the interior at rows [1, H+1), columns
+    [8, W+8) and an *uninitialized* border (consumers zero or mask
+    their slab frame), so every halo'd slab DMA is a single
+    always-in-bounds descriptor — no `jnp.pad` copies in the XLA graph
+    and no boundary-variant DMA branching (which cold-compiled 100x
+    slower);
   * the 2x nearest upsample is fused into the following conv as a
     2x2-phase decomposition (2.25x fewer MACs than conv-on-upsampled,
     and the broadcast/reshape materialization disappears);
@@ -20,12 +24,18 @@ data movement.  These kernels own the whole up path so that
     output, so no GN reduce->broadcast chain remains in XLA (the b>=2
     layout pathology of PERF_NOTES.md section 1 never arises).
 
-Decomposition: grid (row_blocks, cout_chunks); each row block DMAs a
-halo'd slab [BR+2, W+16, Cin] from HBM into VMEM (double-buffered, the
-next slab loads while this one multiplies; data at columns [8, 8+W) so
-the destination offset stays sublane-aligned) and accumulates the nine
-(sixteen, for the upsample form) shifted [BR, W, Cin] x [Cin, CB] MXU
-contractions in float32.
+Decomposition: grid (row_blocks, col_blocks, cout_chunks); each (row,
+col) block DMAs a halo'd slab [BR+2, WB+16, Cin] from the padded input
+into VMEM (double-buffered, the next slab loads while this one
+multiplies; stored column s of the slab holds image column
+bj*WB - 8 + s, so every offset stays sublane-aligned) and accumulates
+the nine (sixteen, for the upsample form) shifted [BR, WB, Cin] x
+[Cin, CB] MXU contractions in float32.  Padded outputs are written with
+a manual double-buffered DMA (interior offsets (1, 8) are not
+BlockSpec-expressible); unpadded outputs (chain exits) use BlockSpec.
+Column blocking keeps the working set in VMEM at real row-block sizes
+even at 2048/4096 image widths, where a full-width slab would force
+BR=1.
 
 Reference behavior being replaced: the torch/cuDNN `F.conv2d` +
 `F.interpolate` calls inside the reference's decoder substrate (ComfyUI
@@ -35,7 +45,7 @@ VAE; `hdr_vae_decode.py` delegates to `vae.first_stage_model.decoder`).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,139 +53,155 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for picking the row-block size.  v5e has 16 MiB of scoped
-# VMEM per core; the models below account for every large buffer
-# (including the whole-slab register materialization `xs[sl]`), so the
-# budget can sit close to the physical limit.  Calibrated against a
+# VMEM budget for picking block sizes.  v5e has 16 MiB of scoped VMEM
+# per core; the models below account for every large buffer (including
+# the whole-slab register materialization `xs[sl]`), so the budget can
+# sit close to the physical limit.  Calibrated against a
 # compiler-reported 16.5M allocation for a configuration the model put
 # at 15.1M.
 _VMEM_BUDGET = 15 * 1024 * 1024
 
-# Left margin of the in-VMEM slab: data lives at columns [8, 8+W) so the
-# slab DMA's destination offset is a lane-tile multiple while the three
-# tap alignments read at offsets {7, 8, 9}.
+# Column margin: stored column s of a padded buffer/slab holds image
+# column s - _MG, so every DMA offset is a lane-tile multiple while the
+# three tap alignments read at offsets {7, 8, 9}.
 _MG = 8
 
 
-def _slab_dma(x_hbm, xs, sems, slot, blk, op, *, br, h, w):
-    """Start (op='start') or wait on (op='wait') the async copy of the
-    halo'd row window for block ``blk`` into slab slot ``slot``: rows
-    [blk*br - 1, blk*br + br + 1) clamped to [0, h), written at row
-    offset 1/0 and column offset `_MG` (sublane-aligned).  The missing
-    first/last halo row at the image boundary is NOT written — the
-    caller zeroes the frame row (or masks it in the prologue).  DMA
-    semaphore waits are byte-counted, so the wait rebuilds the exact
-    descriptor the start used (same pl.when branch structure)."""
-    n = h // br
-
-    def run(dma):
-        dma.start() if op == "start" else dma.wait()
-
-    if n == 1:
-        run(pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, h)],
-            xs.at[slot, pl.ds(1, h), pl.ds(_MG, w)],
-            sems.at[slot]))
-        return
-
-    @pl.when(blk == 0)
-    def _first():
-        run(pltpu.make_async_copy(
-            x_hbm.at[pl.ds(0, br + 1)],
-            xs.at[slot, pl.ds(1, br + 1), pl.ds(_MG, w)],
-            sems.at[slot]))
-
-    @pl.when(blk == n - 1)
-    def _last():
-        run(pltpu.make_async_copy(
-            x_hbm.at[pl.ds(h - br - 1, br + 1)],
-            xs.at[slot, pl.ds(0, br + 1), pl.ds(_MG, w)],
-            sems.at[slot]))
-
-    if n > 2:
-        @pl.when(jnp.logical_and(blk > 0, blk < n - 1))
-        def _mid():
-            run(pltpu.make_async_copy(
-                x_hbm.at[pl.ds(blk * br - 1, br + 2)],
-                xs.at[slot, :, pl.ds(_MG, w)],
-                sems.at[slot]))
+def pad_chain_input(x: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] -> the padded chain layout [H+2, W+16, C] (XLA pad;
+    used once per chain entry — everything downstream stays padded)."""
+    return jnp.pad(x, ((1, 1), (_MG, _MG), (0, 0)))
 
 
-def _fused_conv_kernel(*refs, br: int, w: int, cb: int, h: int,
+def _slab_dma(x_hbm, xs, sems, slot, bi, bj, op, *, br, wb):
+    """Start/wait the halo'd slab copy for block (bi, bj) from a PADDED
+    input [H+2, W+16, Cin]: rows [bi*br, bi*br + br + 2) x columns
+    [bj*wb, bj*wb + wb + 16) — always in bounds, one descriptor."""
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(bi * br, br + 2), pl.ds(bj * wb, wb + 2 * _MG)],
+        xs.at[slot],
+        sems.at[slot])
+    dma.start() if op == "start" else dma.wait()
+
+
+def _zero_frames(xs, sl, bi, bj, *, nr, nj, br, wb, cin):
+    """Zero the slab frame rows/columns that fall in the padded border
+    (uninitialized memory) for image-boundary blocks.  Kernels with a
+    prologue skip this: the prologue's jnp.where mask re-zeroes them
+    (select, so stale garbage — even inf/nan — cannot leak)."""
+    wm = wb + 2 * _MG
+
+    @pl.when(bi == 0)
+    def _top():
+        xs[sl, pl.ds(0, 1)] = jnp.zeros((1, wm, cin), xs.dtype)
+
+    @pl.when(bi == nr - 1)
+    def _bot():
+        xs[sl, pl.ds(br + 1, 1)] = jnp.zeros((1, wm, cin), xs.dtype)
+
+    @pl.when(bj == 0)
+    def _left():
+        xs[sl, :, pl.ds(0, _MG)] = jnp.zeros((br + 2, _MG, cin), xs.dtype)
+
+    @pl.when(bj == nj - 1)
+    def _right():
+        xs[sl, :, pl.ds(wb + _MG, _MG)] = jnp.zeros((br + 2, _MG, cin),
+                                                    xs.dtype)
+
+
+def _fused_conv_kernel(*refs, br: int, wb: int, cb: int, h: int, w: int,
                        prologue: bool, res: str, emit: bool, gs: int,
-                       owned: bool = False):
-    """General up-stack conv step on a (row_blocks, cout_chunks) grid:
+                       owned: bool, padded_out: bool, nc: int):
+    """General conv step on a (row, col, cout-chunk) grid:
 
       y = conv3x3(silu(x * gamma + beta)) [+ r | + r @ rk] (+ bias)
 
     optionally emitting per-group (sum, sumsq) of y for the NEXT layer's
     GroupNorm.  The prologue is applied to the raw slab IN PLACE one row
-    at a time (bounded f32 live set) with image-boundary halo rows
+    at a time (bounded f32 live set) with out-of-image rows/columns
     zeroed, so x is stored UNnormalized — exactly the decoder's
-    dataflow, recomputing the halo rows' prologue instead of
-    materializing the normalized map in HBM.
+    dataflow, recomputing the halo's prologue instead of materializing
+    the normalized map in HBM.
     """
     it = iter(refs)
-    x_hbm = next(it)
+    x_hbm = next(it)                     # padded [h+2, w+16, cin], ANY
     w_ref = next(it)
     b_ref = next(it)
     if prologue:
         g_ref = next(it)                 # [1, cin] f32
         bt_ref = next(it)                # [1, cin] f32
-    if res == "add":
-        r_ref = next(it)                 # [br, w, cb] block (pipelined)
-    elif res == "proj":
-        r_ref = next(it)                 # [br, w, cr] block (pipelined)
-        rk_ref = next(it)                # [cr, cout] resident
-    bounds_ref = next(it) if owned else None   # [1, 2] int32 SMEM
-    o_ref = next(it)
+    r_hbm = next(it) if res != "none" else None   # padded residual, ANY
+    rk_ref = next(it) if res == "proj" else None  # [cr, cout] resident
+    bounds_ref = next(it) if owned else None      # [1, 2] int32 SMEM
+    o_ref = next(it)                     # ANY (padded) or VMEM block
     if emit:
         ssum_ref = next(it)              # [n_chunks, gcb] accumulated
         ssq_ref = next(it)
     xs = next(it)
     sems = next(it)
+    if res != "none":
+        rs = next(it)                    # (2, br, wb, cr) residual slots
+        rsems = next(it)
+    if padded_out:
+        os_ = next(it)                   # (2, br, wb, cb) output slots
+        osems = next(it)
 
-    i = pl.program_id(0)
-    co = pl.program_id(1)
-    n = pl.num_programs(0)
-    sl = i % 2
-    _, _, wm, cin = xs.shape             # wm = w + 2*_MG
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    co = pl.program_id(2)
+    nr = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    bid = bi * nj + bj
+    step = bid * nc + co
+    total = nr * nj * nc
+    sl = bid % 2
+    _, _, wm, cin = xs.shape             # wm = wb + 2*_MG
 
-    @pl.when(jnp.logical_and(i == 0, co == 0))
+    def res_dma(slot, rbi, rbj, op):
+        cr = rs.shape[-1]
+        dma = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(1 + rbi * br, br),
+                     pl.ds(_MG + rbj * wb, wb), pl.ds(0, cr)],
+            rs.at[slot], rsems.at[slot])
+        dma.start() if op == "start" else dma.wait()
+
+    @pl.when(jnp.logical_and(bid == 0, co == 0))
     def _warmup():
-        # Zero both slots' column margins once; DMAs never write them.
-        xs[0, :, pl.ds(0, _MG)] = jnp.zeros((br + 2, _MG, cin), xs.dtype)
-        xs[0, :, pl.ds(_MG + w, _MG)] = jnp.zeros((br + 2, _MG, cin),
-                                                  xs.dtype)
-        xs[1, :, pl.ds(0, _MG)] = jnp.zeros((br + 2, _MG, cin), xs.dtype)
-        xs[1, :, pl.ds(_MG + w, _MG)] = jnp.zeros((br + 2, _MG, cin),
-                                                  xs.dtype)
-        _slab_dma(x_hbm, xs, sems, 0, 0, "start", br=br, h=h, w=w)
+        _slab_dma(x_hbm, xs, sems, 0, 0, 0, "start", br=br, wb=wb)
+        if res != "none":
+            res_dma(0, 0, 0, "start")
 
     @pl.when(co == 0)
     def _sync():
-        _slab_dma(x_hbm, xs, sems, sl, i, "wait", br=br, h=h, w=w)
+        _slab_dma(x_hbm, xs, sems, sl, bi, bj, "wait", br=br, wb=wb)
+        if res != "none":
+            res_dma(sl, bi, bj, "wait")
 
-        @pl.when(i + 1 < n)
+        @pl.when(bid + 1 < nr * nj)
         def _prefetch():
-            _slab_dma(x_hbm, xs, sems, (i + 1) % 2, i + 1, "start",
-                      br=br, h=h, w=w)
+            nbj = jnp.where(bj + 1 < nj, bj + 1, 0)
+            nbi = jnp.where(bj + 1 < nj, bi, bi + 1)
+            _slab_dma(x_hbm, xs, sems, (bid + 1) % 2, nbi, nbj, "start",
+                      br=br, wb=wb)
+            if res != "none":
+                res_dma((bid + 1) % 2, nbi, nbj, "start")
 
         if prologue:
             # Normalize the slab IN PLACE, one row at a time: the f32
             # temporaries stay [1, wm, cin]-sized (Mosaic materializes
             # whole-vector elementwise chains, so a slab-sized f32 chain
             # would cost 2x the slab in VMEM and force tiny row blocks),
-            # and the work happens once per row block instead of once
-            # per (row, cout-chunk) grid step.  Image-boundary halo rows
-            # AND the zero column margins are re-zeroed via the mask:
-            # silu(gamma*0 + beta) != 0, so without it the prologue
-            # would leak silu(beta) into the border taps.
-            cols = jax.lax.broadcasted_iota(jnp.int32, (1, wm, cin), 1)
-            colmask = jnp.logical_and(cols >= _MG, cols < _MG + w)
+            # and the work happens once per block instead of once per
+            # (block, cout-chunk) grid step.  Out-of-image rows/columns
+            # (the padded border) are zeroed via the mask: stale border
+            # memory and silu(gamma*0 + beta) != 0 must not leak into
+            # the taps.
+            cols = (jax.lax.broadcasted_iota(jnp.int32, (1, wm, cin), 1)
+                    + (bj * wb - _MG))
+            colmask = jnp.logical_and(cols >= 0, cols < w)
 
             def _row(r, _):
-                grow = i * br - 1 + r
+                grow = bi * br - 1 + r
                 rowok = jnp.logical_and(grow >= 0, grow < h)
                 xr = xs[sl, pl.ds(r, 1)]          # [1, wm, cin]
                 z = (xr.astype(jnp.float32) * g_ref[0][None, None, :]
@@ -188,47 +214,76 @@ def _fused_conv_kernel(*refs, br: int, w: int, cb: int, h: int,
 
             jax.lax.fori_loop(0, br + 2, _row, 0, unroll=False)
         else:
-            # Zero the frame row the boundary DMAs don't write.
-            @pl.when(i == 0)
-            def _top():
-                xs[sl, pl.ds(0, 1)] = jnp.zeros((1, wm, cin), xs.dtype)
-
-            @pl.when(i == n - 1)
-            def _bot():
-                xs[sl, pl.ds(br + 1, 1)] = jnp.zeros((1, wm, cin),
-                                                     xs.dtype)
+            _zero_frames(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb,
+                         cin=cin)
 
     slab = xs[sl]                         # [br+2, wm, cin]
     acc = None
     for di in range(3):
         for dj in range(3):
-            patch = slab[di:di + br, _MG - 1 + dj:_MG - 1 + dj + w, :]
+            patch = slab[di:di + br, _MG - 1 + dj:_MG - 1 + dj + wb, :]
             part = jax.lax.dot_general(
                 patch, w_ref[di, dj, :, pl.ds(co * cb, cb)],
                 dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                              # [br, w, cb]
+            )                              # [br, wb, cb]
             acc = part if acc is None else acc + part
 
     acc = acc + b_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
     if res == "add":
-        acc = acc + r_ref[...].astype(jnp.float32)
+        acc = acc + rs[sl, :, :, pl.ds(co * cb, cb)].astype(jnp.float32)
     elif res == "proj":
         acc = acc + jax.lax.dot_general(
-            r_ref[...], rk_ref[:, pl.ds(co * cb, cb)],
+            rs[sl], rk_ref[:, pl.ds(co * cb, cb)],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    y = acc.astype(o_ref.dtype)
-    o_ref[...] = y
+    if padded_out:
+        oslot = step % 2
+
+        @pl.when(step >= 2)
+        def _free():
+            # Reclaim the slot written 2 steps ago (byte-counted wait;
+            # identical transfer size every step).
+            _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                     br=br, wb=wb, cb=cb)
+
+        y = acc.astype(os_.dtype)
+        os_[oslot] = y
+        _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "start",
+                 br=br, wb=wb, cb=cb)
+
+        @pl.when(step == total - 1)
+        def _drain():
+            _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                     br=br, wb=wb, cb=cb)
+            if total >= 2:
+                _out_dma(o_ref, os_, osems, 1 - oslot, bi, bj, co,
+                         "wait", br=br, wb=wb, cb=cb)
+    else:
+        y = acc.astype(o_ref.dtype)
+        o_ref[...] = y
 
     if emit:
-        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs,
-                    bounds_ref=bounds_ref, row_base=i * br)
+        _emit_stats(y, ssum_ref, ssq_ref, bid, co, cb=cb, gs=gs,
+                    bounds_ref=bounds_ref, row_base=bi * br)
 
 
-def _emit_stats(y, ssum_ref, ssq_ref, i, co, *, cb: int, gs: int,
+def _out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb):
+    """Manual write of one output block into the padded output's
+    interior: rows [1 + bi*br, +br), columns [8 + bj*wb, +wb) (both
+    offsets legal: rows are the major dim, 8 + bj*wb is lane-aligned),
+    channels [co*cb, +cb)."""
+    dma = pltpu.make_async_copy(
+        os_.at[slot],
+        o_hbm.at[pl.ds(1 + bi * br, br), pl.ds(_MG + bj * wb, wb),
+                 pl.ds(co * cb, cb)],
+        osems.at[slot])
+    dma.start() if op == "start" else dma.wait()
+
+
+def _emit_stats(y, ssum_ref, ssq_ref, bid, co, *, cb: int, gs: int,
                 bounds_ref=None, row_base=None):
     """Accumulate per-group (sum, sumsq) of y [.., .., cb] as STORED
     (post storage-dtype rounding), matching the XLA fast path where GN
@@ -237,7 +292,7 @@ def _emit_stats(y, ssum_ref, ssq_ref, i, co, *, cb: int, gs: int,
     shard OWNS contribute — the per-slab partials of an exact
     whole-image statistic under slab sharding (halo rows masked so no
     pixel is counted twice); ``row_base`` is the first output row of
-    this grid step."""
+    this grid step, ``bid`` the linear (row, col) block id."""
     gcb = cb // gs
     yf = y.astype(jnp.float32)
     if bounds_ref is not None:
@@ -253,12 +308,12 @@ def _emit_stats(y, ssum_ref, ssq_ref, i, co, *, cb: int, gs: int,
     g1 = jnp.dot(s1, onehot, preferred_element_type=jnp.float32)
     g2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)
 
-    @pl.when(i == 0)
+    @pl.when(bid == 0)
     def _init():
         ssum_ref[co, :] = g1[0]
         ssq_ref[co, :] = g2[0]
 
-    @pl.when(i > 0)
+    @pl.when(bid > 0)
     def _acc():
         ssum_ref[co, :] += g1[0]
         ssq_ref[co, :] += g2[0]
@@ -273,20 +328,30 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   num_groups: int = 32,
                   out_dtype=None,
                   block_rows: Optional[int] = None,
+                  block_cols: Optional[int] = None,
                   cout_block: Optional[int] = None,
-                  owned_rows: Optional[jnp.ndarray] = None):
+                  owned_rows: Optional[jnp.ndarray] = None,
+                  x_padded: bool = False,
+                  residual_padded: bool = False,
+                  padded_out: bool = False):
     """Fused up-stack conv step (see `_fused_conv_kernel`).
 
-    x [H, W, Cin] unpadded (SAME padding happens in-kernel); gamma/beta
-    [Cin] f32 enable the GroupNorm-apply + SiLU prologue; residual
-    [H, W, Cout] is added, or projected through ``res_kernel``
-    [Cr, Cout] first (the ResNet nin_shortcut — fold its bias into
-    ``bias``).  With ``emit_stats`` the call also returns (sum, sumsq)
-    per GroupNorm group of the OUTPUT, shape [G] each; ``owned_rows``
-    (traced int32 [2]: [lo, hi) at this layer's resolution) restricts
-    the emitted statistics to the rows this slab shard owns.
+    x [H, W, Cin] — or, with ``x_padded``, the chain layout
+    [H+2, W+16, Cin] (`pad_chain_input`); gamma/beta [Cin] f32 enable
+    the GroupNorm-apply + SiLU prologue; residual [H, W, Cout] (padded
+    iff ``residual_padded``) is added, or projected through
+    ``res_kernel`` [Cr, Cout] first (the ResNet nin_shortcut — fold its
+    bias into ``bias``).  With ``emit_stats`` the call also returns
+    (sum, sumsq) per GroupNorm group of the OUTPUT, shape [G] each;
+    ``owned_rows`` (traced int32 [2]: [lo, hi) at this layer's
+    resolution) restricts the emitted statistics to the rows this slab
+    shard owns.  With ``padded_out`` the result uses the chain layout
+    with an UNINITIALIZED border (only feed it to other chain kernels).
     """
-    h, w, cin = x.shape
+    if not x_padded:
+        x = pad_chain_input(x)
+    hp, wp, cin = x.shape
+    h, w = hp - 2, wp - 2 * _MG
     assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, x.shape)
     assert w % 8 == 0, w
     cout = kernel.shape[-1]
@@ -294,75 +359,95 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     prologue = gamma is not None
     res = "none" if residual is None else (
         "proj" if res_kernel is not None else "add")
+    if residual is not None and not residual_padded:
+        residual = pad_chain_input(residual)
     gs = cout // num_groups if emit_stats else 1
     cb = cout_block or min(cout, 128)
     assert cout % cb == 0 and cb % gs == 0, (cout, cb, gs)
     nc = cout // cb
     gcb = cb // gs
 
-    br = block_rows or pick_block_rows(
-        h, w, cin, cout, x.dtype.itemsize, cout_block=cb,
-        prologue=prologue,
-        res_channels=(residual.shape[-1] if residual is not None else 0))
-    assert h % br == 0, (h, br)
+    if block_rows:
+        br, wb = block_rows, block_cols or w
+    else:
+        br, wb = pick_blocks(
+            h, w, cin, cout, x.dtype.itemsize, cout_block=cb,
+            prologue=prologue,
+            res_channels=(residual.shape[-1] if residual is not None
+                          else 0))
+    assert h % br == 0 and w % wb == 0 and wb % 8 == 0, (h, br, w, wb)
+    nj = w // wb
+    cr = residual.shape[-1] if residual is not None else 0
 
     owned = owned_rows is not None
-    kern = functools.partial(_fused_conv_kernel, br=br, w=w, cb=cb, h=h,
-                             prologue=prologue, res=res, emit=emit_stats,
-                             gs=gs, owned=owned)
+    kern = functools.partial(_fused_conv_kernel, br=br, wb=wb, cb=cb,
+                             h=h, w=w, prologue=prologue, res=res,
+                             emit=emit_stats, gs=gs, owned=owned,
+                             padded_out=padded_out, nc=nc)
 
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((3, 3, cin, cout), lambda i, co: (0, 0, 0, 0), **vm),
-        pl.BlockSpec((1, cout), lambda i, co: (0, 0), **vm),
+        pl.BlockSpec((3, 3, cin, cout), lambda i, j, co: (0, 0, 0, 0),
+                     **vm),
+        pl.BlockSpec((1, cout), lambda i, j, co: (0, 0), **vm),
     ]
     operands = [x, kernel, bias.reshape(1, cout)]
     if prologue:
-        in_specs += [pl.BlockSpec((1, cin), lambda i, co: (0, 0), **vm),
-                     pl.BlockSpec((1, cin), lambda i, co: (0, 0), **vm)]
+        in_specs += [pl.BlockSpec((1, cin), lambda i, j, co: (0, 0), **vm),
+                     pl.BlockSpec((1, cin), lambda i, j, co: (0, 0), **vm)]
         operands += [gamma.astype(jnp.float32).reshape(1, cin),
                      beta.astype(jnp.float32).reshape(1, cin)]
-    if res == "add":
-        assert residual.shape == (h, w, cout), residual.shape
-        in_specs.append(pl.BlockSpec((br, w, cb), lambda i, co: (i, 0, co),
-                                     **vm))
+    if res != "none":
+        assert residual.shape == (h + 2, w + 2 * _MG, cr), residual.shape
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(residual)
-    elif res == "proj":
-        cr = residual.shape[-1]
-        assert residual.shape == (h, w, cr), residual.shape
+    if res == "proj":
         assert res_kernel.shape == (cr, cout), res_kernel.shape
-        in_specs += [
-            pl.BlockSpec((br, w, cr), lambda i, co: (i, 0, 0), **vm),
-            pl.BlockSpec((cr, cout), lambda i, co: (0, 0), **vm),
-        ]
-        operands += [residual, res_kernel]
+        in_specs.append(pl.BlockSpec((cr, cout), lambda i, j, co: (0, 0),
+                                     **vm))
+        operands.append(res_kernel)
     if owned:
-        in_specs.append(pl.BlockSpec((1, 2), lambda i, co: (0, 0),
+        in_specs.append(pl.BlockSpec((1, 2), lambda i, j, co: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(owned_rows, jnp.int32).reshape(1, 2))
 
-    out_specs = [pl.BlockSpec((br, w, cb), lambda i, co: (i, 0, co), **vm)]
-    out_shape = [jax.ShapeDtypeStruct((h, w, cout), out_dtype)]
+    if padded_out:
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [jax.ShapeDtypeStruct((h + 2, w + 2 * _MG, cout),
+                                          out_dtype)]
+    else:
+        out_specs = [pl.BlockSpec((br, wb, cb),
+                                  lambda i, j, co: (i, j, co), **vm)]
+        out_shape = [jax.ShapeDtypeStruct((h, w, cout), out_dtype)]
     if emit_stats:
-        out_specs += [pl.BlockSpec((nc, gcb), lambda i, co: (0, 0), **vm)] * 2
+        out_specs += [pl.BlockSpec((nc, gcb), lambda i, j, co: (0, 0),
+                                   **vm)] * 2
         out_shape += [jax.ShapeDtypeStruct((nc, gcb), jnp.float32)] * 2
+
+    scratch = [
+        pltpu.VMEM((2, br + 2, wb + 2 * _MG, cin), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if res != "none":
+        scratch += [pltpu.VMEM((2, br, wb, cr), residual.dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+    if padded_out:
+        scratch += [pltpu.VMEM((2, br, wb, cb), out_dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
 
     call = pl.pallas_call(
         kern,
-        name=(f"fconv_{h}x{w}_{cin}to{cout}_br{br}_{res}"
+        name=(f"fconv_{h}x{w}_{cin}to{cout}_br{br}w{wb}_{res}"
               + ("_gn" if prologue else "") + ("_st" if emit_stats else "")),
-        grid=(h // br, nc),
+        grid=(h // br, nj, nc),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, br + 2, w + 2 * _MG, cin), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * h * w * cin * cout * 9
-            + (2 * h * w * residual.shape[-1] * cout if res == "proj" else 0),
+            + (2 * h * w * cr * cout if res == "proj" else 0),
             bytes_accessed=(h * w * cin + 2 * h * w * cout)
             * x.dtype.itemsize + 9 * cin * cout * kernel.dtype.itemsize,
             transcendentals=h * w * cin if prologue else 0,
@@ -401,45 +486,54 @@ def phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
                       ).astype(kernel.dtype)
 
 
-def _upsample_conv_kernel(x_hbm, k_ref, b_ref, bounds_ref, o_ref,
-                          ssum_ref, ssq_ref, xs, sems, *, br: int,
-                          w: int, cb: int, h: int, emit: bool, gs: int):
-    """One grid step of the fused upsample+conv: input rows
-    [i*br, i*br+br) -> output rows [2*i*br, 2*i*br+2*br), all four
-    phases accumulated from the (at most 9) shifted input patches and
-    interleaved in-register."""
-    i = pl.program_id(0)
-    co = pl.program_id(1)
-    n = pl.num_programs(0)
-    sl = i % 2
+def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
+                          w: int, emit: bool, gs: int, owned: bool,
+                          padded_out: bool, nc: int):
+    """One grid step of the fused upsample+conv: input block
+    (bi, bj) -> output rows [2*bi*br, +2*br) x cols [2*bj*wb, +2*wb),
+    all four phases accumulated from the (at most 9) shifted input
+    patches and interleaved in-register."""
+    it = iter(refs)
+    x_hbm = next(it)
+    k_ref = next(it)
+    b_ref = next(it)
+    bounds_ref = next(it) if owned else None
+    o_ref = next(it)
+    ssum_ref = next(it) if emit else None
+    ssq_ref = next(it) if emit else None
+    xs = next(it)
+    sems = next(it)
+    if padded_out:
+        os_ = next(it)
+        osems = next(it)
+
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    co = pl.program_id(2)
+    nr = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    bid = bi * nj + bj
+    step = bid * nc + co
+    total = nr * nj * nc
+    sl = bid % 2
     _, _, wm, cin = xs.shape
 
-    @pl.when(jnp.logical_and(i == 0, co == 0))
+    @pl.when(jnp.logical_and(bid == 0, co == 0))
     def _warmup():
-        xs[0, :, pl.ds(0, _MG)] = jnp.zeros((br + 2, _MG, cin), xs.dtype)
-        xs[0, :, pl.ds(_MG + w, _MG)] = jnp.zeros((br + 2, _MG, cin),
-                                                  xs.dtype)
-        xs[1, :, pl.ds(0, _MG)] = jnp.zeros((br + 2, _MG, cin), xs.dtype)
-        xs[1, :, pl.ds(_MG + w, _MG)] = jnp.zeros((br + 2, _MG, cin),
-                                                  xs.dtype)
-        _slab_dma(x_hbm, xs, sems, 0, 0, "start", br=br, h=h, w=w)
+        _slab_dma(x_hbm, xs, sems, 0, 0, 0, "start", br=br, wb=wb)
 
     @pl.when(co == 0)
     def _sync():
-        _slab_dma(x_hbm, xs, sems, sl, i, "wait", br=br, h=h, w=w)
+        _slab_dma(x_hbm, xs, sems, sl, bi, bj, "wait", br=br, wb=wb)
 
-        @pl.when(i + 1 < n)
+        @pl.when(bid + 1 < nr * nj)
         def _prefetch():
-            _slab_dma(x_hbm, xs, sems, (i + 1) % 2, i + 1, "start",
-                      br=br, h=h, w=w)
+            nbj = jnp.where(bj + 1 < nj, bj + 1, 0)
+            nbi = jnp.where(bj + 1 < nj, bi, bi + 1)
+            _slab_dma(x_hbm, xs, sems, (bid + 1) % 2, nbi, nbj, "start",
+                      br=br, wb=wb)
 
-        @pl.when(i == 0)
-        def _top():
-            xs[sl, pl.ds(0, 1)] = jnp.zeros((1, wm, cin), xs.dtype)
-
-        @pl.when(i == n - 1)
-        def _bot():
-            xs[sl, pl.ds(br + 1, 1)] = jnp.zeros((1, wm, cin), xs.dtype)
+        _zero_frames(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb, cin=cin)
 
     slab = xs[sl]
     bias = b_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
@@ -451,26 +545,58 @@ def _upsample_conv_kernel(x_hbm, k_ref, b_ref, bounds_ref, o_ref,
             for u in range(2):
                 for v in range(2):
                     patch = slab[a + u:a + u + br,
-                                 _MG - 1 + b + v:_MG - 1 + b + v + w, :]
+                                 _MG - 1 + b + v:_MG - 1 + b + v + wb, :]
                     part = jax.lax.dot_general(
                         patch, k_ref[a, b, u, v],
                         dimension_numbers=(((2,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )                      # [br, w, cb]
+                    )                      # [br, wb, cb]
                     acc = part if acc is None else acc + part
             row_ph.append(acc + bias)
         phases.append(row_ph)
 
     # Interleave: out[2i+a, 2j+b] = phases[a][b][i, j].
-    t0 = jnp.stack([phases[0][0], phases[0][1]], axis=2)  # [br, w, 2, cb]
+    t0 = jnp.stack([phases[0][0], phases[0][1]], axis=2)  # [br, wb, 2, cb]
     t1 = jnp.stack([phases[1][0], phases[1][1]], axis=2)
-    z = jnp.stack([t0, t1], axis=1)                       # [br, 2, w, 2, cb]
-    y = z.reshape(2 * br, 2 * w, cb).astype(o_ref.dtype)
-    o_ref[...] = y
+    z = jnp.stack([t0, t1], axis=1)                      # [br, 2, wb, 2, cb]
+    y32 = z.reshape(2 * br, 2 * wb, cb)
+
+    if padded_out:
+        oslot = step % 2
+
+        @pl.when(step >= 2)
+        def _free():
+            _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                        br=br, wb=wb, cb=cb)
+
+        y = y32.astype(os_.dtype)
+        os_[oslot] = y
+        _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "start",
+                    br=br, wb=wb, cb=cb)
+
+        @pl.when(step == total - 1)
+        def _drain():
+            _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                        br=br, wb=wb, cb=cb)
+            if total >= 2:
+                _up_out_dma(o_ref, os_, osems, 1 - oslot, bi, bj, co,
+                            "wait", br=br, wb=wb, cb=cb)
+    else:
+        y = y32.astype(o_ref.dtype)
+        o_ref[...] = y
 
     if emit:
-        _emit_stats(y, ssum_ref, ssq_ref, i, co, cb=cb, gs=gs,
-                    bounds_ref=bounds_ref, row_base=2 * i * br)
+        _emit_stats(y, ssum_ref, ssq_ref, bid, co, cb=cb, gs=gs,
+                    bounds_ref=bounds_ref, row_base=2 * bi * br)
+
+
+def _up_out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb):
+    dma = pltpu.make_async_copy(
+        os_.at[slot],
+        o_hbm.at[pl.ds(1 + 2 * bi * br, 2 * br),
+                 pl.ds(_MG + 2 * bj * wb, 2 * wb), pl.ds(co * cb, cb)],
+        osems.at[slot])
+    dma.start() if op == "start" else dma.wait()
 
 
 def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
@@ -479,18 +605,26 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      num_groups: int = 32,
                      out_dtype=None,
                      block_rows: Optional[int] = None,
+                     block_cols: Optional[int] = None,
                      cout_block: Optional[int] = None,
-                     owned_rows: Optional[jnp.ndarray] = None):
+                     owned_rows: Optional[jnp.ndarray] = None,
+                     x_padded: bool = False,
+                     padded_out: bool = False):
     """conv3x3(nearest_upsample_2x(x)) + bias as ONE kernel.
 
-    x [H, W, Cin] -> [2H, 2W, Cout].  2.25x fewer MACs than upsampling
-    then convolving (16 phase taps over HxW vs 9 taps over 2Hx2W), and
-    the upsampled map is never materialized in HBM.  ``kernel`` is the
-    plain [3, 3, Cin, Cout] conv kernel; the phase collapse happens
-    here.  ``owned_rows`` ([lo, hi) at OUTPUT resolution) restricts the
-    emitted statistics to the rows this slab shard owns.
+    x [H, W, Cin] (or the padded chain layout with ``x_padded``) ->
+    [2H, 2W, Cout] (padded chain layout with ``padded_out``).  2.25x
+    fewer MACs than upsampling then convolving (16 phase taps over HxW
+    vs 9 taps over 2Hx2W), and the upsampled map is never materialized
+    in HBM.  ``kernel`` is the plain [3, 3, Cin, Cout] conv kernel; the
+    phase collapse happens here.  ``owned_rows`` ([lo, hi) at OUTPUT
+    resolution) restricts the emitted statistics to the rows this slab
+    shard owns.
     """
-    h, w, cin = x.shape
+    if not x_padded:
+        x = pad_chain_input(x)
+    hp, wp, cin = x.shape
+    h, w = hp - 2, wp - 2 * _MG
     assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, x.shape)
     assert w % 8 == 0, w
     cout = kernel.shape[-1]
@@ -501,56 +635,62 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     nc = cout // cb
     gcb = cb // gs
 
-    br = block_rows or pick_block_rows_upsample(
-        h, w, cin, cout, x.dtype.itemsize, cout_block=cb)
-    assert h % br == 0, (h, br)
+    if block_rows:
+        br, wb = block_rows, block_cols or w
+    else:
+        br, wb = pick_blocks_upsample(h, w, cin, cout, x.dtype.itemsize,
+                                      cout_block=cb)
+    assert h % br == 0 and w % wb == 0 and wb % 8 == 0, (h, br, w, wb)
+    nj = w // wb
 
     pk = phase_kernels(kernel)
 
     owned = owned_rows is not None
+    kern = functools.partial(_upsample_conv_kernel, br=br, wb=wb, cb=cb,
+                             h=h, w=w, emit=emit_stats, gs=gs,
+                             owned=owned, padded_out=padded_out, nc=nc)
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((2, 2, 2, 2, cin, cb),
-                     lambda i, co: (0, 0, 0, 0, 0, co), **vm),
-        pl.BlockSpec((1, cout), lambda i, co: (0, 0), **vm),
+                     lambda i, j, co: (0, 0, 0, 0, 0, co), **vm),
+        pl.BlockSpec((1, cout), lambda i, j, co: (0, 0), **vm),
     ]
     operands = [x, pk, bias.reshape(1, cout)]
     if owned:
-        in_specs.append(pl.BlockSpec((1, 2), lambda i, co: (0, 0),
+        in_specs.append(pl.BlockSpec((1, 2), lambda i, j, co: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(owned_rows, jnp.int32).reshape(1, 2))
-    out_specs = [pl.BlockSpec((2 * br, 2 * w, cb),
-                              lambda i, co: (i, 0, co), **vm)]
-    out_shape = [jax.ShapeDtypeStruct((2 * h, 2 * w, cout), out_dtype)]
+    if padded_out:
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [jax.ShapeDtypeStruct(
+            (2 * h + 2, 2 * w + 2 * _MG, cout), out_dtype)]
+    else:
+        out_specs = [pl.BlockSpec((2 * br, 2 * wb, cb),
+                                  lambda i, j, co: (i, j, co), **vm)]
+        out_shape = [jax.ShapeDtypeStruct((2 * h, 2 * w, cout), out_dtype)]
     if emit_stats:
-        out_specs += [pl.BlockSpec((nc, gcb), lambda i, co: (0, 0), **vm)] * 2
+        out_specs += [pl.BlockSpec((nc, gcb), lambda i, j, co: (0, 0),
+                                   **vm)] * 2
         out_shape += [jax.ShapeDtypeStruct((nc, gcb), jnp.float32)] * 2
 
-    def kern_wrap(*refs):
-        it = iter(refs)
-        x_hbm, k_ref, b_ref = next(it), next(it), next(it)
-        bounds = next(it) if owned else None
-        o_ref = next(it)
-        ssum = next(it) if emit_stats else None
-        ssq = next(it) if emit_stats else None
-        xs, sems = next(it), next(it)
-        return _upsample_conv_kernel(
-            x_hbm, k_ref, b_ref, bounds, o_ref, ssum, ssq, xs, sems,
-            br=br, w=w, cb=cb, h=h, emit=emit_stats, gs=gs)
+    scratch = [
+        pltpu.VMEM((2, br + 2, wb + 2 * _MG, cin), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if padded_out:
+        scratch += [pltpu.VMEM((2, 2 * br, 2 * wb, cb), out_dtype),
+                    pltpu.SemaphoreType.DMA((2,))]
 
     call = pl.pallas_call(
-        kern_wrap,
-        name=f"upconv_{h}x{w}_{cin}to{cout}_br{br}"
+        kern,
+        name=f"upconv_{h}x{w}_{cin}to{cout}_br{br}w{wb}"
              + ("_st" if emit_stats else ""),
-        grid=(h // br, nc),
+        grid=(h // br, nj, nc),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((2, br + 2, w + 2 * _MG, cin), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * h * w * cin * cout * 16,
             bytes_accessed=(h * w * cin + 2 * 4 * h * w * cout)
@@ -570,59 +710,98 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def pick_block_rows(h: int, w: int, cin: int, cout: int,
-                    itemsize: int = 2, cout_block: Optional[int] = None,
-                    prologue: bool = False, res_channels: int = 0) -> int:
-    """Largest row-block (divisor of h) whose working set fits VMEM:
-    2x slab (double buffer) + resident weights + f32 accumulator +
-    2x output block (pipeline).  ``cout_block`` shrinks the accumulator
-    and output block to one cout chunk (the (rows, couts) grid variant).
-    ``slab`` is counted 3x: two DMA slots plus the whole-slab register
-    materialization of `xs[sl]` inside the kernel.  The prologue runs in
-    place one slab row at a time, so its f32 temporaries are bounded by
-    ~2 row-sized vectors regardless of br; a residual adds its own
-    double-buffered block."""
+def _col_candidates(w: int):
+    """Column-block widths to consider: w, w/2, w/4, ... down to 256
+    (or w itself when narrower), all multiples of 8."""
+    out = []
+    wb = w
+    while wb >= 8:
+        if wb % 8 == 0:
+            out.append(wb)
+        if wb <= 256:
+            break
+        wb //= 2
+    return out or [w]
+
+
+def _best_blocks(h: int, w: int, fits) -> Tuple[int, int]:
+    """Largest-efficiency (br, wb) with ``fits(br, wb)`` true; the
+    efficiency metric is useful-block fraction br*wb / ((br+2)*(wb+16))
+    — i.e. minimize halo re-read."""
+    best = None
+    for wb in _col_candidates(w):
+        for br in (32, 16, 8, 4, 2, 1):
+            if h % br:
+                continue
+            if fits(br, wb):
+                eff = (br * wb) / ((br + 2) * (wb + 2 * _MG))
+                if best is None or eff > best[0]:
+                    best = (eff, br, wb)
+                break
+    if best is None:
+        return 1, _col_candidates(w)[-1]
+    return best[1], best[2]
+
+
+def pick_blocks(h: int, w: int, cin: int, cout: int,
+                itemsize: int = 2, cout_block: Optional[int] = None,
+                prologue: bool = False, res_channels: int = 0
+                ) -> Tuple[int, int]:
+    """(row, col) block whose working set fits VMEM: slab (2 DMA slots +
+    the whole-slab register materialization of `xs[sl]`) + resident
+    weights + the live f32 (acc + part) pair + 2x output block
+    (pipeline).  The prologue runs in place one slab row at a time, so
+    its f32 temporaries are bounded by ~2 row-sized vectors regardless
+    of br; a residual adds its own double-buffered block."""
     weights = 9 * cin * cout * itemsize
-    wm = w + 2 * _MG
     cb = cout_block or cout
-    for br in (32, 16, 8, 4, 2, 1):
-        if h % br:
-            continue
+
+    def fits(br, wb):
+        wm = wb + 2 * _MG
         slab = 3 * (br + 2) * wm * cin * itemsize
-        # 2x: the 9-tap accumulation chain keeps (acc + part) live.
-        acc = 2 * br * w * cb * 4
-        out = 2 * br * w * cb * itemsize
-        total = weights + slab + acc + out
+        acc = 2 * br * wb * cb * 4
+        ycast = br * wb * cb * itemsize        # y in storage dtype
+        out = 2 * br * wb * cb * itemsize
+        total = weights + slab + acc + ycast + out
         if prologue:
             total += 2 * wm * cin * 4
         if res_channels:
-            total += 2 * br * w * res_channels * itemsize
+            total += 2 * br * wb * res_channels * itemsize
             total += res_channels * cout * itemsize   # rk (if projected)
-        if total <= _VMEM_BUDGET:
-            return br
-    return 1
+        return total <= _VMEM_BUDGET
+
+    return _best_blocks(h, w, fits)
 
 
-def pick_block_rows_upsample(h: int, w: int, cin: int, cout: int,
-                             itemsize: int = 2,
-                             cout_block: Optional[int] = None) -> int:
+def pick_blocks_upsample(h: int, w: int, cin: int, cout: int,
+                         itemsize: int = 2,
+                         cout_block: Optional[int] = None
+                         ) -> Tuple[int, int]:
     """VMEM model of `_upsample_conv_kernel`: input slab (2 DMA slots +
     register materialization) + 2x phase kernels (streamed per cout
-    chunk) + four f32 phase accumulators + the interleave temporary +
-    2x (2br, 2w, cb) output blocks."""
+    chunk) + four f32 phase accumulators (+ the live part) + the
+    interleave temporary + 2x (2br, 2wb, cb) output blocks."""
     cb = cout_block or min(cout, 128)
-    wm = w + 2 * _MG
-    for br in (32, 16, 8, 4, 2, 1):
-        if h % br:
-            continue
+
+    def fits(br, wb):
+        wm = wb + 2 * _MG
         slab = 3 * (br + 2) * wm * cin * itemsize
         weights = 2 * 16 * cin * cb * itemsize
-        accs = 5 * br * w * cb * 4       # 4 phases + live (acc + part)
-        interleave = 4 * br * w * cb * 4
-        out = 2 * 4 * br * w * cb * itemsize
-        if slab + weights + accs + interleave + out <= _VMEM_BUDGET:
-            return br
-    return 1
+        accs = 5 * br * wb * cb * 4
+        interleave = 4 * br * wb * cb * 4
+        ycast = 4 * br * wb * cb * itemsize    # y in storage dtype
+        out = 2 * 4 * br * wb * cb * itemsize
+        return (slab + weights + accs + interleave + ycast + out
+                <= _VMEM_BUDGET)
+
+    return _best_blocks(h, w, fits)
+
+
+# Back-compat alias (round-2 notes referenced this).
+def pick_block_rows(h, w, cin, cout, itemsize=2, cout_block=None,
+                    prologue=False, res_channels=0):
+    return pick_blocks(h, w, cin, cout, itemsize, cout_block=cout_block,
+                       prologue=prologue, res_channels=res_channels)[0]
 
 
 def conv3x3_pallas(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,

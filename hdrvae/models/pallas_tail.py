@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from hdrvae.core.config import DecoderConfig, Precision
-from hdrvae.kernels.conv3x3 import fused_conv3x3, upsample_conv3x3
+from hdrvae.kernels.conv3x3 import (fused_conv3x3, pad_chain_input,
+                                    upsample_conv3x3, _MG)
 
 Params = Dict[str, Any]
 Moments = Tuple[jnp.ndarray, jnp.ndarray]    # (mean [G], var [G]) float32
@@ -111,18 +112,26 @@ class _SlabStatScope(_StatScope):
 
 def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
                   cfg: DecoderConfig, precision: Precision,
-                  scope: _StatScope = None
+                  scope: _StatScope = None, *,
+                  padded_in: bool = False, padded_out: bool = False
                   ) -> Tuple[jnp.ndarray, Moments]:
+    """One ResNet block as two fused kernels.  ``padded_in/out`` select
+    the padded chain layout (kernels.conv3x3 module docstring); the
+    intermediate conv1 output always stays padded (conv2 consumes it
+    directly)."""
     g = cfg.num_groups
     cdt = precision.compute_dtype
     scope = scope or _StatScope()
+    hh = x.shape[0] - (2 if padded_in else 0)
+    ww = x.shape[1] - (2 * _MG if padded_in else 0)
 
     g1, b1 = _affine(p["norm1"], moments, g)
     h1, s1 = fused_conv3x3(
         x, p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
         gamma=g1, beta=b1, emit_stats=True, num_groups=g,
-        out_dtype=precision.storage_dtype, owned_rows=scope.owned_rows())
-    hh, ww, c1 = h1.shape
+        out_dtype=precision.storage_dtype, owned_rows=scope.owned_rows(),
+        x_padded=padded_in, padded_out=True)
+    c1 = h1.shape[-1]
     g2, b2 = _affine(p["norm2"], scope.finalize(s1, hh, ww, c1 // g), g)
 
     bias2 = p["conv2"]["bias"]
@@ -136,7 +145,8 @@ def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
         h1, p["conv2"]["kernel"].astype(cdt), bias2,
         gamma=g2, beta=b2, residual=x, res_kernel=res_kernel,
         emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype,
-        owned_rows=scope.owned_rows())
+        owned_rows=scope.owned_rows(), x_padded=True,
+        residual_padded=padded_in, padded_out=padded_out)
     c2 = y.shape[-1]
     return y, scope.finalize(s2, hh, ww, c2 // g)
 
@@ -144,27 +154,43 @@ def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
 def _levels_apply(params: Params, x: jnp.ndarray,
                   cfg: DecoderConfig, precision: Precision,
                   moments: Moments, scope: _StatScope, *,
-                  hi: int, lo: int = 0) -> Tuple[jnp.ndarray, Moments]:
-    """Up levels ``hi - 1 .. lo`` as the fused kernel chain."""
+                  hi: int, lo: int = 0,
+                  padded_in: bool = False, padded_out: bool = False
+                  ) -> Tuple[jnp.ndarray, Moments]:
+    """Up levels ``hi - 1 .. lo`` as the fused kernel chain.
+
+    Activations stay in the padded chain layout between kernels (ONE
+    XLA pad at entry when ``padded_in`` is False; the final kernel
+    writes unpadded when ``padded_out`` is False)."""
     cdt = precision.compute_dtype
+    if not padded_in:
+        x = pad_chain_input(x)
     for level in reversed(range(lo, hi)):
         up = params["up"][level]
+        level_last = level == lo
         for j in range(cfg.num_res_blocks + 1):
-            x, moments = _resnet_block(x, up["block"][j], moments, cfg,
-                                       precision, scope)
+            final = (level_last and lo == 0
+                     and j == cfg.num_res_blocks)
+            x, moments = _resnet_block(
+                x, up["block"][j], moments, cfg, precision, scope,
+                padded_in=True, padded_out=padded_out or not final)
         if level != 0:
             # 2x nearest upsample fused into the conv (2x2-phase
             # decomposition, 2.25x fewer MACs; the upsampled map never
             # touches HBM).  Stats are emitted at the doubled resolution.
             scope.f *= 2
+            final = level_last and lo > 0
             x, sums = upsample_conv3x3(
                 x, up["upsample"]["kernel"].astype(cdt),
                 up["upsample"]["bias"], emit_stats=True,
                 num_groups=cfg.num_groups,
                 out_dtype=precision.storage_dtype,
-                owned_rows=scope.owned_rows())
-            h, w, c = x.shape
-            moments = scope.finalize(sums, h, w, c // cfg.num_groups)
+                owned_rows=scope.owned_rows(), x_padded=True,
+                padded_out=padded_out or not final)
+            h = x.shape[0] - (2 if (padded_out or not final) else 0)
+            w = x.shape[1] - (2 * _MG if (padded_out or not final) else 0)
+            moments = scope.finalize(sums, h, w,
+                                     x.shape[-1] // cfg.num_groups)
     return x, moments
 
 
@@ -194,7 +220,8 @@ def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,
                        tail_levels: int,
                        axis_name: str,
                        entry_h: int,
-                       moments: Moments = None
+                       moments: Moments = None,
+                       padded_in: bool = False
                        ) -> Tuple[jnp.ndarray, Moments]:
     """The bottom ``tail_levels`` up levels on ONE ROW SLAB of a
     decoder_head output, inside shard_map, with exact whole-image
@@ -213,13 +240,14 @@ def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,
     psum."""
     scope = _SlabStatScope(axis_name, bounds, entry_h)
     if moments is None:
-        h, w, c = x.shape
+        xi = x[1:-1, _MG:-_MG] if padded_in else x
+        h, w, c = xi.shape
         gs = c // cfg.num_groups
         rows = jnp.arange(h)
         lo, hi = scope.bounds[0], scope.bounds[1]
         mask = ((rows >= lo) & (rows < hi)).astype(
             jnp.float32)[:, None, None]
-        xf = x.astype(jnp.float32) * mask
+        xf = xi.astype(jnp.float32) * mask
         grp = jnp.arange(c) // gs
         onehot = jnp.zeros((c, cfg.num_groups), jnp.float32).at[
             jnp.arange(c), grp].set(1.0)
@@ -230,7 +258,7 @@ def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,
                           axis_name) / n
         moments = (mean, jnp.maximum(sq - jnp.square(mean), 0.0))
     return _levels_apply(params, x, cfg, precision, moments, scope,
-                         hi=tail_levels)
+                         hi=tail_levels, padded_in=padded_in)
 
 
 def pallas_head(params: Params, z: jnp.ndarray,
@@ -256,7 +284,8 @@ def pallas_head(params: Params, z: jnp.ndarray,
     x = conv2d(z, params["conv_in"], precision=precision)[0]
     x, moments = midstack_apply(params, x, cfg, precision=precision)
     return _levels_apply(params, x, cfg, precision, moments, _StatScope(),
-                         hi=cfg.num_levels, lo=tail_levels)
+                         hi=cfg.num_levels, lo=tail_levels,
+                         padded_out=True)
 
 
 def _attn_block(x: jnp.ndarray, p: Params, moments: Moments,

@@ -347,12 +347,18 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
             xh, head_moments = pallas_head(
                 p, slab_or_latent, decoder_cfg, precision=precision,
                 tail_levels=tail_levels)
-            slab = jax.lax.dynamic_slice_in_dim(xh, st[0, 0], plan.slab_h,
-                                                axis=0)
+            # xh is in the padded chain layout [entry_h+2, entry_w+16, C]
+            # (interior at rows [1, entry_h+1)); the slab's own chain
+            # window — interior rows [st, st+slab_h) plus its 1-row
+            # frame — is padded rows [st, st + slab_h + 2), so the slab
+            # slice IS already chain-layout (zero XLA copies beyond the
+            # gather).
+            slab = jax.lax.dynamic_slice_in_dim(
+                xh, st[0, 0], plan.slab_h + 2, axis=0)
             pre, mom = upstack_slab_apply(
                 p, slab, bnd, decoder_cfg, precision=precision,
                 tail_levels=tail_levels, axis_name=axis_name,
-                entry_h=entry_h, moments=head_moments)
+                entry_h=entry_h, moments=head_moments, padded_in=True)
             inject = GNTape("inject", [(mom[0][None], mom[1][None])])
             out = decoder_tail(p, pre[None], decoder_cfg,
                                precision=precision, tail_levels=0,

@@ -50,6 +50,44 @@ class TestConv3x3:
                                             cout_block=cb))
         np.testing.assert_allclose(got, ref, atol=1e-5)
 
+    # col-block counts 2 and 4 exercise the column-halo DMA variants
+    @pytest.mark.parametrize("h,w,cin,cout,br,wb", [
+        (8, 32, 8, 8, 4, 16),       # nj=2: first/last col windows
+        (16, 64, 8, 8, 4, 16),      # nj=4: interior col windows too
+    ])
+    def test_column_blocked(self, h, w, cin, cout, br, wb):
+        x = _rand(0, (h, w, cin))
+        k = _rand(1, (3, 3, cin, cout), 0.2)
+        b = _rand(2, (cout,))
+        g = _rand(3, (cin,), 0.5)
+        bt = _rand(4, (cin,), 0.5)
+        z = x * g + bt
+        z = z * jax.nn.sigmoid(z)
+        ref = np.asarray(_xla_conv(z, k, b))
+        with pltpu.force_tpu_interpret_mode():
+            got, (ssum, ssq) = fused_conv3x3(
+                x, k, b, gamma=g, beta=bt, emit_stats=True, num_groups=4,
+                block_rows=br, block_cols=wb)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+        grouped = ref.reshape(h * w, 4, cout // 4)
+        np.testing.assert_allclose(np.asarray(ssum),
+                                   grouped.sum(axis=(0, 2)), rtol=1e-4)
+
+    @pytest.mark.parametrize("h,w,br,wb", [(8, 32, 4, 16), (8, 48, 4, 16)])
+    def test_column_blocked_upsample(self, h, w, br, wb):
+        from hdrvae.kernels.conv3x3 import upsample_conv3x3
+        cin = cout = 8
+        x = _rand(0, (h, w, cin))
+        k = _rand(1, (3, 3, cin, cout), 0.2)
+        b = _rand(2, (cout,))
+        up = jnp.broadcast_to(x[:, None, :, None, :], (h, 2, w, 2, cin))
+        up = up.reshape(2 * h, 2 * w, cin)
+        ref = np.asarray(_xla_conv(up, k, b))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(upsample_conv3x3(x, k, b, block_rows=br,
+                                              block_cols=wb))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
 
 class TestFusedConv:
     def _prologue_ref(self, x, gamma, beta):
