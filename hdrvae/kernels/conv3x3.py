@@ -158,10 +158,9 @@ def _fused_conv_kernel(*refs, br: int, wb: int, cb: int, h: int, w: int,
     _, _, wm, cin = xs.shape             # wm = wb + 2*_MG
 
     def res_dma(slot, rbi, rbj, op):
-        cr = rs.shape[-1]
         dma = pltpu.make_async_copy(
             r_hbm.at[pl.ds(1 + rbi * br, br),
-                     pl.ds(_MG + rbj * wb, wb), pl.ds(0, cr)],
+                     pl.ds(_MG + rbj * wb, wb)],
             rs.at[slot], rsems.at[slot])
         dma.start() if op == "start" else dma.wait()
 
@@ -270,16 +269,20 @@ def _fused_conv_kernel(*refs, br: int, wb: int, cb: int, h: int, w: int,
                     bounds_ref=bounds_ref, row_base=bi * br)
 
 
-def _out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb):
+def _out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb,
+             full_c: bool = False):
     """Manual write of one output block into the padded output's
     interior: rows [1 + bi*br, +br), columns [8 + bj*wb, +wb) (both
     offsets legal: rows are the major dim, 8 + bj*wb is lane-aligned),
-    channels [co*cb, +cb)."""
-    dma = pltpu.make_async_copy(
-        os_.at[slot],
-        o_hbm.at[pl.ds(1 + bi * br, br), pl.ds(_MG + bj * wb, wb),
-                 pl.ds(co * cb, cb)],
-        osems.at[slot])
+    channels [co*cb, +cb).  ``full_c``: the block spans every channel —
+    skip the channel slice (HBM channel slices must be lane-tile (128)
+    multiples, which cb < 128 single-chunk layouts are not)."""
+    if full_c:
+        dst = o_hbm.at[pl.ds(1 + bi * br, br), pl.ds(_MG + bj * wb, wb)]
+    else:
+        dst = o_hbm.at[pl.ds(1 + bi * br, br), pl.ds(_MG + bj * wb, wb),
+                       pl.ds(co * cb, cb)]
+    dma = pltpu.make_async_copy(os_.at[slot], dst, osems.at[slot])
     dma.start() if op == "start" else dma.wait()
 
 
@@ -488,7 +491,7 @@ def phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                           w: int, emit: bool, gs: int, owned: bool,
-                          padded_out: bool, nc: int):
+                          padded_out: bool, nc: int, act=None):
     """One grid step of the fused upsample+conv: input block
     (bi, bj) -> output rows [2*bi*br, +2*br) x cols [2*bj*wb, +2*wb),
     all four phases accumulated from the (at most 9) shifted input
@@ -552,7 +555,10 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                         preferred_element_type=jnp.float32,
                     )                      # [br, wb, cb]
                     acc = part if acc is None else acc + part
-            row_ph.append(acc + bias)
+            accb = acc + bias
+            if act == "lrelu":
+                accb = jnp.where(accb >= 0, accb, 0.2 * accb)
+            row_ph.append(accb)
         phases.append(row_ph)
 
     # Interleave: out[2i+a, 2j+b] = phases[a][b][i, j].
@@ -609,8 +615,10 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      cout_block: Optional[int] = None,
                      owned_rows: Optional[jnp.ndarray] = None,
                      x_padded: bool = False,
-                     padded_out: bool = False):
-    """conv3x3(nearest_upsample_2x(x)) + bias as ONE kernel.
+                     padded_out: bool = False,
+                     act: Optional[str] = None):
+    """conv3x3(nearest_upsample_2x(x)) + bias (then ``act``: None |
+    "lrelu") as ONE kernel.
 
     x [H, W, Cin] (or the padded chain layout with ``x_padded``) ->
     [2H, 2W, Cout] (padded chain layout with ``padded_out``).  2.25x
@@ -648,7 +656,8 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     owned = owned_rows is not None
     kern = functools.partial(_upsample_conv_kernel, br=br, wb=wb, cb=cb,
                              h=h, w=w, emit=emit_stats, gs=gs,
-                             owned=owned, padded_out=padded_out, nc=nc)
+                             owned=owned, padded_out=padded_out, nc=nc,
+                             act=act)
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -706,19 +715,260 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Multi-input ("dense") conv — conv over a channel concat without the concat
+# ---------------------------------------------------------------------------
+
+
+def _halo_specs(br: int, wb: int, h: int, w: int, c: int):
+    """BlockSpec halo for sub-128-channel arrays: Mosaic rejects MANUAL
+    sliced DMAs whose lane dim is not a 128 multiple (verified
+    empirically: 32/64-lane slices fail, BlockSpec pipelines are fine at
+    any lane count), so the halo'd slab is assembled from NINE BlockSpec
+    operands of the SAME array — center block + row/column/corner
+    slivers with shifted, edge-clamped index maps.  At image edges the
+    clamped slivers duplicate interior data; the kernel masks/zeroes the
+    frame exactly as the padded-chain kernels do.
+
+    Returns (specs, n_operands=9); the kernel assembles with
+    `_halo_assemble`.  ``extra_args`` pads the index-map signature for
+    trailing grid dims."""
+    nrb = h // br
+    njb = w // 8            # sliver column blocks are 8 wide
+    wjb = wb // 8
+
+    def rc(i):              # clamp a row-block index (block height 1)
+        return jnp.clip(i, 0, h - 1)
+
+    def cc(j):              # clamp a col-sliver index (block width 8)
+        return jnp.clip(j, 0, njb - 1)
+
+    def im(fn):
+        def index_map(i, j, *rest):
+            return fn(i, j)
+        return index_map
+
+    specs = [
+        pl.BlockSpec((br, wb, c), im(lambda i, j: (i, j, 0))),
+        pl.BlockSpec((1, wb, c), im(lambda i, j: (rc(i * br - 1), j, 0))),
+        pl.BlockSpec((1, wb, c),
+                     im(lambda i, j: (rc(i * br + br), j, 0))),
+        pl.BlockSpec((br, 8, c),
+                     im(lambda i, j: (i, cc(j * wjb - 1), 0))),
+        pl.BlockSpec((br, 8, c),
+                     im(lambda i, j: (i, cc(j * wjb + wjb), 0))),
+        pl.BlockSpec((1, 8, c),
+                     im(lambda i, j: (rc(i * br - 1), cc(j * wjb - 1), 0))),
+        pl.BlockSpec((1, 8, c),
+                     im(lambda i, j: (rc(i * br - 1),
+                                      cc(j * wjb + wjb), 0))),
+        pl.BlockSpec((1, 8, c),
+                     im(lambda i, j: (rc(i * br + br),
+                                      cc(j * wjb - 1), 0))),
+        pl.BlockSpec((1, 8, c),
+                     im(lambda i, j: (rc(i * br + br),
+                                      cc(j * wjb + wjb), 0))),
+    ]
+    return specs
+
+
+def _halo_assemble(center, top, bot, left, right, tl, tr, bl, brr,
+                   bi, bj, nr, nj, *, zero_frame: bool = True):
+    """[br, wb, c] pieces -> the halo'd slab [br+2, wb+16, c] (stored
+    column s = image column bj*wb - 8 + s), with image-boundary frame
+    rows/columns zeroed when ``zero_frame`` (the clamped slivers hold
+    duplicated interior data there)."""
+    if zero_frame:
+        top = jnp.where(bi == 0, jnp.zeros_like(top), top)
+        tl = jnp.where(jnp.logical_or(bi == 0, bj == 0),
+                       jnp.zeros_like(tl), tl)
+        tr = jnp.where(jnp.logical_or(bi == 0, bj == nj - 1),
+                       jnp.zeros_like(tr), tr)
+        bot = jnp.where(bi == nr - 1, jnp.zeros_like(bot), bot)
+        bl = jnp.where(jnp.logical_or(bi == nr - 1, bj == 0),
+                       jnp.zeros_like(bl), bl)
+        brr = jnp.where(jnp.logical_or(bi == nr - 1, bj == nj - 1),
+                        jnp.zeros_like(brr), brr)
+        left = jnp.where(bj == 0, jnp.zeros_like(left), left)
+        right = jnp.where(bj == nj - 1, jnp.zeros_like(right), right)
+    top_strip = jnp.concatenate([tl, top, tr], axis=1)
+    mid_strip = jnp.concatenate([left, center, right], axis=1)
+    bot_strip = jnp.concatenate([bl, bot, brr], axis=1)
+    return jnp.concatenate([top_strip, mid_strip, bot_strip], axis=0)
+
+
+def _dense_conv_kernel(*refs, br: int, wb: int, h: int, w: int,
+                       n_in: int, cins, cout: int, act, res: bool,
+                       res_scale: float):
+    """conv3x3 over the channel-concatenation of ``n_in`` inputs
+    (computed as a sum of per-input contractions — the concat is never
+    materialized), with an optional LeakyReLU epilogue and an optional
+    scaled residual: y = r + res_scale * act(conv(concat(xs)) + bias).
+
+    This is ESRGAN's ResidualDenseBlock dataflow
+    (`hdr_upscale_with_model.py` runs the spandrel model whose blocks
+    torch.cat 2-5 tensors before every conv): on TPU each concat would
+    be a full HBM round trip of the combined activation.  Inputs arrive
+    as 9 halo slivers each (`_halo_specs`) — sub-128-channel arrays
+    cannot use the manual sliced-DMA halo of the decoder kernels."""
+    it = iter(refs)
+    pieces = [[next(it) for _ in range(9)] for _ in range(n_in)]
+    w_ref = next(it)
+    b_ref = next(it)
+    r_ref = next(it) if res else None
+    o_ref = next(it)
+
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    nr = pl.num_programs(0)
+    nj = pl.num_programs(1)
+
+    # Assemble each input's halo slab, then PACK the channel dim in
+    # registers: one K=sum(cins) contraction per tap instead of one per
+    # input — a 32-channel dot costs the same MXU cycles as a
+    # 128-channel one (the systolic array is 128 deep), so unpacked
+    # dense blocks waste up to 4x the MXU (measured 27 TF/s on conv5).
+    slabs = [_halo_assemble(*[r[...] for r in pc], bi, bj, nr, nj)
+             for pc in pieces]
+    slab = (slabs[0] if len(slabs) == 1
+            else jnp.concatenate(slabs, axis=-1))
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            patch = slab[di:di + br,
+                         _MG - 1 + dj:_MG - 1 + dj + wb, :]
+            part = jax.lax.dot_general(
+                patch, w_ref[di, dj],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+
+    acc = acc + b_ref[0, :].astype(jnp.float32)
+    if act == "lrelu":
+        acc = jnp.where(acc >= 0, acc, 0.2 * acc)
+    if res:
+        acc = r_ref[...].astype(jnp.float32) + res_scale * acc
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def dense_conv3x3(inputs, kernel: jnp.ndarray, bias: jnp.ndarray, *,
+                  act: Optional[str] = None,
+                  residual: Optional[jnp.ndarray] = None,
+                  res_scale: float = 1.0,
+                  out_dtype=None,
+                  block_rows: Optional[int] = None,
+                  block_cols: Optional[int] = None):
+    """y = [residual + res_scale *] act(conv3x3(concat(inputs)) + bias).
+
+    ``inputs``: list of spatially-identical unpadded arrays [H, W, Ci];
+    ``kernel`` [3, 3, sum(Ci), Cout] with Cout <= 128 (ESRGAN widths);
+    ``act``: None | "lrelu" (slope 0.2).  The concat never materializes
+    — the kernel sums per-input MXU contractions; SAME-padding halos
+    come from sliver BlockSpecs (`_halo_specs`).
+    """
+    h, w, _ = inputs[0].shape
+    cins = tuple(x.shape[-1] for x in inputs)
+    cin = sum(cins)
+    assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, cins)
+    assert w % 8 == 0, w
+    cout = kernel.shape[-1]
+    assert cout <= 128, ("dense_conv3x3 keeps all output channels in "
+                         "one chunk; widen to co-chunking for", cout)
+    for x in inputs[1:]:
+        assert x.shape[:2] == (h, w), (x.shape, inputs[0].shape)
+    out_dtype = out_dtype or inputs[0].dtype
+    res = residual is not None
+    cr = residual.shape[-1] if res else 0
+    if res:
+        assert residual.shape == (h, w, cout), residual.shape
+
+    itemsize = inputs[0].dtype.itemsize
+    if block_rows:
+        br, wb = block_rows, block_cols or w
+    else:
+        br, wb = _best_blocks(h, w, functools.partial(
+            _dense_fits, cins=cins, cout=cout, cr=cr, itemsize=itemsize))
+    assert h % br == 0 and w % wb == 0 and wb % 8 == 0, (h, br, w, wb)
+    nj = w // wb
+
+    kern = functools.partial(_dense_conv_kernel, br=br, wb=wb, h=h, w=w,
+                             n_in=len(inputs), cins=cins, cout=cout,
+                             act=act, res=res, res_scale=res_scale)
+
+    in_specs = []
+    operands = []
+    for x in inputs:
+        in_specs += _halo_specs(br, wb, h, w, x.shape[-1])
+        operands += [x] * 9
+    vm = dict(memory_space=pltpu.VMEM)
+    in_specs += [
+        pl.BlockSpec((3, 3, cin, cout), lambda i, j: (0, 0, 0, 0), **vm),
+        pl.BlockSpec((1, cout), lambda i, j: (0, 0), **vm),
+    ]
+    operands += [kernel, bias.reshape(1, cout)]
+    if res:
+        in_specs.append(pl.BlockSpec((br, wb, cout),
+                                     lambda i, j: (i, j, 0)))
+        operands.append(residual)
+
+    call = pl.pallas_call(
+        kern,
+        name=(f"dconv_{h}x{w}_{'+'.join(map(str, cins))}to{cout}"
+              + f"_br{br}w{wb}" + (f"_{act}" if act else "")
+              + ("_res" if res else "")),
+        grid=(h // br, nj),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((br, wb, cout), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, w, cout), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * cin * cout * 9,
+            bytes_accessed=(h * w * cin + 2 * h * w * cout) * itemsize
+            + 9 * cin * cout * kernel.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )
+    return call(*operands)
+
+
+def _plane(c: int) -> int:
+    """Physical lane footprint of a c-channel minor dim (lane tile 128:
+    a [.., .., 3] bf16 block occupies [.., .., 128] of VMEM)."""
+    return -(-c // 128) * 128
+
+
+def _dense_fits(br, wb, *, cins, cout, cr, itemsize):
+    wm = wb + 2 * _MG
+    # BlockSpec pipeline: 2 slots per operand (center + slivers), plus
+    # the assembled register slab per input, the f32 (acc + part) pair,
+    # and the output/residual blocks.  All channel dims are counted at
+    # their PHYSICAL lane-padded width — sub-128-channel buffers (the
+    # whole ESRGAN trunk) occupy full 128-lane tiles.
+    blocks = sum(2 * (br * wb + 2 * wb + 2 * br * 8 + 4 * 8) * _plane(ci)
+                 * itemsize for ci in cins)
+    slabs = sum((br + 2) * wm * _plane(ci) * itemsize for ci in cins)
+    weights = 2 * 9 * sum(cins) * _plane(cout) * itemsize
+    acc = 2 * br * wb * _plane(cout) * 4
+    ycast = br * wb * _plane(cout) * itemsize
+    out = 2 * br * wb * _plane(cout) * itemsize
+    resid = 2 * br * wb * _plane(cr) * itemsize if cr else 0
+    return (blocks + slabs + weights + acc + ycast + out + resid
+            <= _VMEM_BUDGET)
+
+
+# ---------------------------------------------------------------------------
 # Block-size selection
 # ---------------------------------------------------------------------------
 
 
 def _col_candidates(w: int):
-    """Column-block widths to consider: w, w/2, w/4, ... down to 256
+    """Column-block widths to consider: w, w/2, w/4, ... down to 128
     (or w itself when narrower), all multiples of 8."""
     out = []
     wb = w
     while wb >= 8:
         if wb % 8 == 0:
             out.append(wb)
-        if wb <= 256:
+        if wb <= 128:
             break
         wb //= 2
     return out or [w]

@@ -77,7 +77,18 @@ def _rrdb(x: jnp.ndarray, p: Params, precision: Precision) -> jnp.ndarray:
 def rrdbnet_apply(params: Params, x: jnp.ndarray,
                   cfg: RRDBNetConfig = RRDBNetConfig(), *,
                   precision: Precision = Precision()) -> jnp.ndarray:
-    """Upscale NHWC [B, H, W, C] -> [B, scale*H, scale*W, C]."""
+    """Upscale NHWC [B, H, W, C] -> [B, scale*H, scale*W, C].
+
+    On TPU in fast mode at batch 1 (``precision.upstack`` "auto"/
+    "pallas") the network runs as the dense Pallas kernel chain
+    (models.rrdbnet_pallas): concat-free dense blocks, fused
+    LeakyReLU/residual epilogues, phase-decomposed upsample convs.
+    """
+    from hdrvae.models.rrdbnet_pallas import (rrdbnet_pallas_apply,
+                                              rrdbnet_pallas_supported)
+    if rrdbnet_pallas_supported(precision, x.shape[0], x.shape[2]):
+        return rrdbnet_pallas_apply(params, x[0], cfg,
+                                    precision=precision)[None]
     fea = conv2d(x, params["conv_first"], precision=precision)
     trunk = fea
     for block in params["body"]:

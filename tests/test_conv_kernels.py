@@ -170,6 +170,44 @@ class TestUpsampleConv:
                                    rtol=1e-4)
 
 
+class TestDenseConv:
+    """Multi-input (concat-free) dense conv vs XLA concat + conv."""
+
+    def test_multi_input_act_residual(self):
+        from hdrvae.kernels.conv3x3 import dense_conv3x3
+        h, w = 8, 16
+        xs = [_rand(i, (h, w, c)) for i, c in enumerate((8, 8, 16))]
+        cin, cout = 32, 8
+        k = _rand(5, (3, 3, cin, cout), 0.2)
+        b = _rand(6, (cout,))
+        r = _rand(7, (h, w, cout))
+        cat = jnp.concatenate(xs, axis=-1)
+        conv = np.asarray(_xla_conv(cat, k, b))
+        ref = np.asarray(r) + 0.2 * np.where(conv >= 0, conv, 0.2 * conv)
+        with pltpu.force_tpu_interpret_mode():
+            got = dense_conv3x3(xs, k, b, act="lrelu", residual=r,
+                                res_scale=0.2, block_rows=4,
+                                block_cols=8)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+    def test_rrdbnet_chain_matches_xla(self):
+        import dataclasses
+        from hdrvae.models.rrdbnet import (RRDBNetConfig, init_rrdbnet,
+                                           rrdbnet_apply)
+        from hdrvae.models.rrdbnet_pallas import rrdbnet_pallas_apply
+        cfg = RRDBNetConfig().with_small()
+        params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+        x = _rand(1, (1, 8, 16, cfg.in_channels), 0.5)
+        prec = Precision(compute_dtype=jnp.float32,
+                         storage_dtype=jnp.float32, mode="fast")
+        ref = np.asarray(rrdbnet_apply(params, x, cfg, precision=prec))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(rrdbnet_pallas_apply(params, x[0], cfg,
+                                                  precision=prec)[None])
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
 class TestUpstack:
     """The full Pallas chain (conv_in + mid + up stack) vs the XLA
     decoder layers."""
