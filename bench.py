@@ -186,6 +186,37 @@ def main() -> int:
                 f"hdr_decode_mp_per_s_{big}_tile_grid", tile_grid_step,
                 big, runs=2))
 
+            # Config 4: the ESRGAN upscaler model (one 512^2 tile pass,
+            # x4 - the hot loop of HDRUpscaleWithModel's two-pass tiled
+            # pipeline).  MP/s of OUTPUT pixels; no reference baseline
+            # row (the reference publishes no upscaler timing).
+            from hdrvae.models.rrdbnet import (RRDBNetConfig,
+                                               init_rrdbnet,
+                                               rrdbnet_apply)
+            up_cfg = RRDBNetConfig()
+            up_params = init_rrdbnet(jax.random.PRNGKey(2), up_cfg)
+
+            def upscale_step(x):
+                y = rrdbnet_apply(up_params, x, up_cfg,
+                                  precision=precision)
+                return x + y.mean() * 1e-6
+
+            tile = jax.random.normal(jax.random.PRNGKey(3),
+                                     (1, 512, 512, 3), jnp.float32) * 0.3
+            best, mean, warm = bench_step(upscale_step, tile, sync,
+                                          runs=3, warmup=1)
+            mp_out = (512 * up_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "esrgan_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "esrgan_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
     if extra_rows:
         result["extra_metrics"] = extra_rows
     print(json.dumps(result))
