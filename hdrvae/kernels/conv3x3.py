@@ -240,26 +240,27 @@ def _fused_conv_kernel(*refs, br: int, wb: int, cb: int, h: int, w: int,
 
     if padded_out:
         oslot = step % 2
+        fc = nc == 1
 
         @pl.when(step >= 2)
         def _free():
             # Reclaim the slot written 2 steps ago (byte-counted wait;
             # identical transfer size every step).
             _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
-                     br=br, wb=wb, cb=cb)
+                     br=br, wb=wb, cb=cb, full_c=fc)
 
         y = acc.astype(os_.dtype)
         os_[oslot] = y
         _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "start",
-                 br=br, wb=wb, cb=cb)
+                 br=br, wb=wb, cb=cb, full_c=fc)
 
         @pl.when(step == total - 1)
         def _drain():
             _out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
-                     br=br, wb=wb, cb=cb)
+                     br=br, wb=wb, cb=cb, full_c=fc)
             if total >= 2:
                 _out_dma(o_ref, os_, osems, 1 - oslot, bi, bj, co,
-                         "wait", br=br, wb=wb, cb=cb)
+                         "wait", br=br, wb=wb, cb=cb, full_c=fc)
     else:
         y = acc.astype(o_ref.dtype)
         o_ref[...] = y
@@ -403,6 +404,9 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                      beta.astype(jnp.float32).reshape(1, cin)]
     if res != "none":
         assert residual.shape == (h + 2, w + 2 * _MG, cr), residual.shape
+        if res == "add":
+            assert cr == cout, ("'add' residual channels must equal "
+                                "cout; use res_kernel", cr, cout)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(residual)
     if res == "proj":
@@ -569,24 +573,25 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
 
     if padded_out:
         oslot = step % 2
+        fc = nc == 1
 
         @pl.when(step >= 2)
         def _free():
             _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
-                        br=br, wb=wb, cb=cb)
+                        br=br, wb=wb, cb=cb, full_c=fc)
 
         y = y32.astype(os_.dtype)
         os_[oslot] = y
         _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "start",
-                    br=br, wb=wb, cb=cb)
+                    br=br, wb=wb, cb=cb, full_c=fc)
 
         @pl.when(step == total - 1)
         def _drain():
             _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
-                        br=br, wb=wb, cb=cb)
+                        br=br, wb=wb, cb=cb, full_c=fc)
             if total >= 2:
                 _up_out_dma(o_ref, os_, osems, 1 - oslot, bi, bj, co,
-                            "wait", br=br, wb=wb, cb=cb)
+                            "wait", br=br, wb=wb, cb=cb, full_c=fc)
     else:
         y = y32.astype(o_ref.dtype)
         o_ref[...] = y
@@ -596,12 +601,16 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                     bounds_ref=bounds_ref, row_base=2 * bi * br)
 
 
-def _up_out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb):
-    dma = pltpu.make_async_copy(
-        os_.at[slot],
-        o_hbm.at[pl.ds(1 + 2 * bi * br, 2 * br),
-                 pl.ds(_MG + 2 * bj * wb, 2 * wb), pl.ds(co * cb, cb)],
-        osems.at[slot])
+def _up_out_dma(o_hbm, os_, osems, slot, bi, bj, co, op, *, br, wb, cb,
+                full_c: bool = False):
+    if full_c:
+        dst = o_hbm.at[pl.ds(1 + 2 * bi * br, 2 * br),
+                       pl.ds(_MG + 2 * bj * wb, 2 * wb)]
+    else:
+        dst = o_hbm.at[pl.ds(1 + 2 * bi * br, 2 * br),
+                       pl.ds(_MG + 2 * bj * wb, 2 * wb),
+                       pl.ds(co * cb, cb)]
+    dma = pltpu.make_async_copy(os_.at[slot], dst, osems.at[slot])
     dma.start() if op == "start" else dma.wait()
 
 
@@ -729,9 +738,8 @@ def _halo_specs(br: int, wb: int, h: int, w: int, c: int):
     clamped slivers duplicate interior data; the kernel masks/zeroes the
     frame exactly as the padded-chain kernels do.
 
-    Returns (specs, n_operands=9); the kernel assembles with
-    `_halo_assemble`.  ``extra_args`` pads the index-map signature for
-    trailing grid dims."""
+    Returns the nine BlockSpecs; the kernel assembles with
+    `_halo_assemble`."""
     nrb = h // br
     njb = w // 8            # sliver column blocks are 8 wide
     wjb = wb // 8
@@ -796,9 +804,8 @@ def _halo_assemble(center, top, bot, left, right, tl, tr, bl, brr,
     return jnp.concatenate([top_strip, mid_strip, bot_strip], axis=0)
 
 
-def _dense_conv_kernel(*refs, br: int, wb: int, h: int, w: int,
-                       n_in: int, cins, cout: int, act, res: bool,
-                       res_scale: float):
+def _dense_conv_kernel(*refs, br: int, wb: int, n_in: int, act,
+                       res: bool, res_scale: float):
     """conv3x3 over the channel-concatenation of ``n_in`` inputs
     (computed as a sum of per-input contractions — the concat is never
     materialized), with an optional LeakyReLU epilogue and an optional
@@ -891,9 +898,9 @@ def dense_conv3x3(inputs, kernel: jnp.ndarray, bias: jnp.ndarray, *,
     assert h % br == 0 and w % wb == 0 and wb % 8 == 0, (h, br, w, wb)
     nj = w // wb
 
-    kern = functools.partial(_dense_conv_kernel, br=br, wb=wb, h=h, w=w,
-                             n_in=len(inputs), cins=cins, cout=cout,
-                             act=act, res=res, res_scale=res_scale)
+    kern = functools.partial(_dense_conv_kernel, br=br, wb=wb,
+                             n_in=len(inputs), act=act, res=res,
+                             res_scale=res_scale)
 
     in_specs = []
     operands = []
@@ -961,16 +968,22 @@ def _dense_fits(br, wb, *, cins, cout, cr, itemsize):
 
 
 def _col_candidates(w: int):
-    """Column-block widths to consider: w, w/2, w/4, ... down to 128
-    (or w itself when narrower), all multiples of 8."""
+    """Column-block widths to consider: DIVISORS of w that are multiples
+    of 8, from w down to ~128 (w itself is always included, so the
+    fallback block is valid for any 8-multiple width — e.g. w=1032 has
+    only {1032, 344} as usable candidates)."""
     out = []
-    wb = w
-    while wb >= 8:
-        if wb % 8 == 0:
-            out.append(wb)
-        if wb <= 128:
+    d = 1
+    while True:
+        if w % d == 0:
+            wb = w // d
+            if wb % 8 == 0 and (wb >= 128 or not out):
+                out.append(wb)
+            if wb <= 128:
+                break
+        d += 1
+        if d > w:
             break
-        wb //= 2
     return out or [w]
 
 

@@ -81,14 +81,22 @@ def rrdbnet_apply(params: Params, x: jnp.ndarray,
 
     On TPU in fast mode at batch 1 (``precision.upstack`` "auto"/
     "pallas") the network runs as the dense Pallas kernel chain
-    (models.rrdbnet_pallas): concat-free dense blocks, fused
-    LeakyReLU/residual epilogues, phase-decomposed upsample convs.
+    (models.rrdbnet_pallas): concat-free dense blocks with fused
+    LeakyReLU/residual epilogues (the 2x upsamples between conv_up
+    stages stay in XLA — their 64-channel features are below the
+    lane-tile the manual-DMA upsample kernel needs).
     """
     from hdrvae.models.rrdbnet_pallas import (rrdbnet_pallas_apply,
                                               rrdbnet_pallas_supported)
-    if rrdbnet_pallas_supported(precision, x.shape[0], x.shape[2]):
+    if rrdbnet_pallas_supported(precision, x.shape[0], x.shape[2], cfg):
         return rrdbnet_pallas_apply(params, x[0], cfg,
                                     precision=precision)[None]
+    if precision.upstack == "pallas":
+        raise ValueError(
+            "precision.upstack='pallas' requires fast mode, batch 1, "
+            "width % 8 == 0, channel widths <= 128, and a TPU backend "
+            f"(got mode={precision.mode!r}, batch={x.shape[0]}, "
+            f"width={x.shape[2]}, nf={cfg.nf}, gc={cfg.gc})")
     fea = conv2d(x, params["conv_first"], precision=precision)
     trunk = fea
     for block in params["body"]:

@@ -89,8 +89,13 @@ def rrdbnet_pallas_apply(params: Params, x: jnp.ndarray, cfg, *,
 
 
 def rrdbnet_pallas_supported(precision: Precision, batch: int,
-                             width: int) -> bool:
+                             width: int, cfg=None) -> bool:
     import jax
+    widths_ok = True
+    if cfg is not None:
+        # dense_conv3x3 keeps all output channels in one chunk
+        widths_ok = max(cfg.nf, cfg.gc, cfg.out_channels) <= 128
     return (precision.mode == "fast" and batch == 1 and width % 8 == 0
-            and width > 0 and jax.default_backend() == "tpu"
+            and width > 0 and widths_ok
+            and jax.default_backend() == "tpu"
             and precision.upstack in ("auto", "pallas"))

@@ -300,6 +300,12 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     use_pallas = (tail_levels >= 1 and latent.shape[0] == 1
                   and upstack_supported(precision, latent.shape[0], None,
                                         width=latent.shape[2]))
+    if precision.upstack == "pallas" and not use_pallas:
+        raise ValueError(
+            "precision.upstack='pallas' requires fast mode, batch 1, "
+            "tail_levels >= 1, width % 8 == 0, and a TPU backend "
+            f"(got mode={precision.mode!r}, batch={latent.shape[0]}, "
+            f"tail_levels={tail_levels}, width={latent.shape[2]})")
 
     # Head: conv_in + mid (global attention RUNS, whole-image — beating the
     # reference's attention-skip hack `hdr_vae_decode.py:514` on its own

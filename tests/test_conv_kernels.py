@@ -170,6 +170,20 @@ class TestUpsampleConv:
                                    rtol=1e-4)
 
 
+    def test_act_epilogue(self):
+        from hdrvae.kernels.conv3x3 import upsample_conv3x3
+        h, w, c = 8, 16, 8
+        x = _rand(0, (h, w, c))
+        k = _rand(1, (3, 3, c, c), 0.2)
+        b = _rand(2, (c,))
+        conv = self._ref(x, k, b)
+        ref = np.where(conv >= 0, conv, 0.2 * conv)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(upsample_conv3x3(x, k, b, act="lrelu",
+                                              block_rows=4))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 class TestDenseConv:
     """Multi-input (concat-free) dense conv vs XLA concat + conv."""
 
