@@ -196,6 +196,7 @@ def main() -> int:
             up_cfg = RRDBNetConfig()
             up_params = init_rrdbnet(jax.random.PRNGKey(2), up_cfg)
 
+            @jax.jit
             def upscale_step(x):
                 y = rrdbnet_apply(up_params, x, up_cfg,
                                   precision=precision)

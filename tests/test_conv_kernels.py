@@ -222,6 +222,56 @@ class TestDenseConv:
         np.testing.assert_allclose(got, ref, atol=5e-5)
 
 
+class TestPaddedChain:
+    """Padded chain layout: x_padded / padded_out round trip (the
+    full_c manual-output path for single-chunk couts included)."""
+
+    def test_padded_roundtrip_small_cout(self):
+        from hdrvae.kernels.conv3x3 import fused_conv3x3, pad_chain_input
+        h, w, c = 8, 16, 8
+        x = _rand(0, (h, w, c))
+        k = _rand(1, (3, 3, c, c), 0.2)
+        b = _rand(2, (c,))
+        ref = np.asarray(_xla_conv(x, k, b))
+        with pltpu.force_tpu_interpret_mode():
+            yp = fused_conv3x3(pad_chain_input(x), k, b, x_padded=True,
+                               padded_out=True, block_rows=4)
+            # consume the padded output with a second kernel: identity
+            # 3x3 (center tap) recovers the interior exactly
+            ident = jnp.zeros((3, 3, c, c), jnp.float32).at[
+                1, 1].set(jnp.eye(c))
+            y = fused_conv3x3(yp, ident, jnp.zeros((c,)), x_padded=True,
+                              padded_out=False, block_rows=4)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+class TestGates:
+    """upstack='pallas' must RAISE when unsupported (silent XLA fallback
+    makes kernel-path benchmarks lie) and 'auto'/'xla' must fall back."""
+
+    def test_rrdbnet_pallas_raises_on_cpu(self):
+        import dataclasses
+        from hdrvae.models.rrdbnet import (RRDBNetConfig, init_rrdbnet,
+                                           rrdbnet_apply)
+        cfg = RRDBNetConfig().with_small()
+        params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+        x = _rand(0, (1, 8, 16, cfg.in_channels))
+        prec = dataclasses.replace(Precision.fast(), upstack="pallas")
+        with pytest.raises(ValueError, match="pallas"):
+            rrdbnet_apply(params, x, cfg, precision=prec)
+        # auto silently falls back on CPU
+        out = rrdbnet_apply(params, x, cfg, precision=Precision.fast())
+        assert out.shape == (1, 16, 32, cfg.out_channels)
+
+    def test_supported_rejects_wide_channels(self):
+        import dataclasses
+        from hdrvae.models.rrdbnet import RRDBNetConfig
+        from hdrvae.models.rrdbnet_pallas import rrdbnet_pallas_supported
+        wide = dataclasses.replace(RRDBNetConfig(), nf=256)
+        prec = dataclasses.replace(Precision.fast(), upstack="auto")
+        assert not rrdbnet_pallas_supported(prec, 1, 512, wide)
+
+
 class TestUpstack:
     """The full Pallas chain (conv_in + mid + up stack) vs the XLA
     decoder layers."""
