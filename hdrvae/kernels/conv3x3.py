@@ -1021,7 +1021,11 @@ def pick_blocks(h: int, w: int, cin: int, cout: int,
 
     def fits(br, wb):
         wm = wb + 2 * _MG
-        slab = 3 * (br + 2) * wm * cin * itemsize
+        # 4x slab: two DMA slots + ~2 register materializations (the
+        # xs[sl] load and the prologue's write-back keep two copies
+        # live; calibrated against compiler-reported 18.9M for a config
+        # a 3x model put at 15.3M).
+        slab = 4 * (br + 2) * wm * cin * itemsize
         acc = 2 * br * wb * cb * 4
         ycast = br * wb * cb * itemsize        # y in storage dtype
         out = 2 * br * wb * cb * itemsize
@@ -1048,7 +1052,7 @@ def pick_blocks_upsample(h: int, w: int, cin: int, cout: int,
 
     def fits(br, wb):
         wm = wb + 2 * _MG
-        slab = 3 * (br + 2) * wm * cin * itemsize
+        slab = 4 * (br + 2) * wm * cin * itemsize
         weights = 2 * 16 * cin * cb * itemsize
         accs = 5 * br * wb * cb * 4
         interleave = 4 * br * wb * cb * 4
