@@ -218,6 +218,12 @@ class TilingConfig:
     # HBM budget used by the planner to pick a tile size (bytes).  None means
     # "use the configured tile size as-is".
     hbm_budget_bytes: Optional[int] = None
+    # Seam strategy (tiling.tiled module docstring).  "comfy" replicates
+    # ComfyUI tiled_scale's grid + blend exactly (the reference node's
+    # observable behavior, validated in tests/test_reference_fidelity.py);
+    # "feather" is the uniform-grid variant (single compiled tile shape);
+    # "crop" is exact halo-crop for receptive fields <= overlap.
+    seam_mode: str = "comfy"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -6,9 +6,19 @@ Re-designs `comfy.utils.tiled_scale` (used by the reference at
 function, and the OOM-retry loop (`:120-145`) is replaced by trace-time tile
 planning from a memory budget (SURVEY.md section 7, inversion #5).
 
-Two seam strategies:
-  - ``feather``: accumulate tiles with linear edge ramps and normalize by
-    the accumulated weight — semantics of the reference's tiled_scale.
+Three seam strategies:
+  - ``comfy``: EXACT replication of ComfyUI ``comfy.utils.tiled_scale``'s
+    published semantics (the function the reference delegates to at
+    `hdr_upscale_with_model.py:127-135`): the tile grid starts every
+    ``tile - overlap`` pixels with edge tiles CLAMPED to ``size - overlap``
+    and truncated to the image (variable-size edge tiles), every tile is
+    weighted by linear ramps of value ``(t+1)/feather`` on all four edges
+    (``feather = round(overlap * scale)``), and the accumulated image is
+    normalized by the accumulated weight.  Validated <=1e-3 against a torch
+    transcription of the algorithm in tests/test_reference_fidelity.py.
+  - ``feather``: hdrvae's uniform-grid variant (all tiles the same size, the
+    last one shifted to fit) — one compiled tile shape instead of up to
+    four, at the cost of exact reference parity in the blend regions.
   - ``crop``: halo-exchange style — each tile is computed with an
     ``overlap``-wide halo and only its interior is pasted.  Exact (seam-free)
     for translation-local functions whose receptive field <= overlap.
@@ -21,7 +31,7 @@ unit the mesh shards over ICI: tiles are data-parallel work items
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +82,111 @@ def plan_tiles(height: int, width: int, tile: int, overlap: int) -> TilePlan:
     xs = starts(width, tile_w)
     positions = tuple((y, x) for y in ys for x in xs)
     return TilePlan(height, width, tile_h, tile_w, overlap, positions)
+
+
+@dataclasses.dataclass(frozen=True)
+class ComfyTilePlan:
+    """ComfyUI-semantics tile grid: variable-size edge tiles.
+
+    ``tiles`` holds (y, x, th, tw) per tile, in ComfyUI's row-major
+    emission order (duplicates included if the clamping produces them —
+    the algorithm does not dedupe)."""
+
+    height: int
+    width: int
+    overlap: int
+    tiles: Tuple[Tuple[int, int, int, int], ...]
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.tiles)
+
+
+def plan_tiles_comfy(height: int, width: int, tile: int,
+                     overlap: int) -> ComfyTilePlan:
+    """ComfyUI ``tiled_scale`` grid semantics: starts every
+    ``tile - overlap``; each start clamped to ``max(0, min(size - overlap,
+    start))``; tile length ``min(tile, size - pos)``.  Edge tiles shrink
+    instead of shifting — including the overlap-wide sliver tiles the
+    algorithm emits when ``size`` exceeds the stride (e.g. a 512 image
+    with tile 512 yields 4 tiles: 512x512, 512x64, 64x512, 64x64)."""
+    if overlap >= tile:
+        raise ValueError(f"overlap {overlap} must be < tile {tile}")
+
+    def axis(size: int) -> List[Tuple[int, int]]:
+        out = []
+        for start in range(0, size, tile - overlap):
+            pos = max(0, min(size - overlap, start))
+            out.append((pos, min(tile, size - pos)))
+        return out
+
+    tiles = tuple((y, x, th, tw)
+                  for y, th in axis(height) for x, tw in axis(width))
+    return ComfyTilePlan(height, width, overlap, tiles)
+
+
+def comfy_feather_mask(tile_h: int, tile_w: int, feather: int) -> np.ndarray:
+    """ComfyUI's per-tile blend weight: for t in range(feather), row t and
+    row (size-1-t) are each multiplied by (t+1)/feather, same along
+    columns (multiplicative where the ramps overlap on small tiles)."""
+
+    def ramp(n: int) -> np.ndarray:
+        idx = np.arange(n, dtype=np.float32)
+        up = np.where(idx < feather, (idx + 1) / feather, 1.0)
+        down = np.where(idx >= n - feather, (n - idx) / feather, 1.0)
+        return up * down
+
+    return ramp(tile_h)[:, None] * ramp(tile_w)[None, :]
+
+
+def tiled_apply_comfy(fn: Callable[[jnp.ndarray], jnp.ndarray],
+                      x: jnp.ndarray, *, tile: int = 512, overlap: int = 64,
+                      scale: int = 1, pbar=None) -> jnp.ndarray:
+    """Apply ``fn`` over [B, H, W, C] with ComfyUI ``tiled_scale``'s exact
+    grid and blending (see module docstring).  Up to four distinct tile
+    shapes are produced; same-shape tiles run through one ``lax.map`` each
+    so XLA compiles at most four model variants.  With ``pbar`` the tiles
+    run as a host loop in emission order (per-tile progress)."""
+    plan = plan_tiles_comfy(x.shape[1], x.shape[2], tile, overlap)
+    feather = round(overlap * scale)
+
+    outs: List[jnp.ndarray | None] = [None] * plan.num_tiles
+    if pbar is not None:
+        for i, (y, x0, th, tw) in enumerate(plan.tiles):
+            outs[i] = fn(x[:, y:y + th, x0:x0 + tw, :])
+            pbar.update(1)
+    else:
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, (_, _, th, tw) in enumerate(plan.tiles):
+            groups.setdefault((th, tw), []).append(i)
+        for (th, tw), idxs in groups.items():
+            stacked = jnp.stack([x[:, y:y + th, x0:x0 + tw, :]
+                                 for (y, x0, _, _) in
+                                 (plan.tiles[i] for i in idxs)], axis=0)
+            if len(idxs) == 1:
+                res = fn(stacked[0])[None]
+            else:
+                res = jax.lax.map(fn, stacked)
+            for j, i in enumerate(idxs):
+                outs[i] = res[j]
+
+    b = x.shape[0]
+    c = outs[0].shape[-1]
+    out_h, out_w = plan.height * scale, plan.width * scale
+    acc = jnp.zeros((b, out_h, out_w, c), jnp.float32)
+    weight = jnp.zeros((b, out_h, out_w, 1), jnp.float32)
+    for (y, x0, th, tw), o in zip(plan.tiles, outs):
+        mask = jnp.asarray(
+            comfy_feather_mask(th * scale, tw * scale,
+                               feather))[None, :, :, None]
+        ys, xs = y * scale, x0 * scale
+        acc = acc.at[:, ys:ys + th * scale, xs:xs + tw * scale, :].add(
+            o.astype(jnp.float32) * mask)
+        weight = weight.at[:, ys:ys + th * scale,
+                           xs:xs + tw * scale, :].add(mask)
+    # ComfyUI divides with no epsilon (every pixel is covered by >= 1 tile
+    # whose ramp weight is >= 1/feather there).
+    return acc / weight
 
 
 def extract_tiles(x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
@@ -149,6 +264,9 @@ def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
     single fused program for reportability — exactly the reference's
     execution shape.
     """
+    if mode == "comfy":
+        return tiled_apply_comfy(fn, x, tile=tile, overlap=overlap,
+                                 scale=scale, pbar=pbar)
     plan = plan_tiles(x.shape[1], x.shape[2], tile, overlap)
     tiles = extract_tiles(x, plan)
     if plan.num_tiles == 1:
@@ -167,9 +285,12 @@ def tiled_apply(fn: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray,
     return blend_tiles(out, plan, scale=scale, mode=mode)
 
 
-def num_tiles(height: int, width: int, tile: int, overlap: int) -> int:
+def num_tiles(height: int, width: int, tile: int, overlap: int,
+              mode: str = "feather") -> int:
     """Tile count of the plan (for sizing progress bars up front —
     the reference's get_tiled_scale_steps equivalent)."""
+    if mode == "comfy":
+        return plan_tiles_comfy(height, width, tile, overlap).num_tiles
     return plan_tiles(height, width, tile, overlap).num_tiles
 
 

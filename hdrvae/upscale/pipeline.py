@@ -97,7 +97,7 @@ def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
     tile = _select_pass_tile(x, model_cfg, cfg, precision)
     return tiled_apply(model_with_reversal, x, tile=tile,
                        overlap=cfg.tiling.overlap, scale=model_cfg.scale,
-                       mode="feather")
+                       mode=cfg.tiling.seam_mode)
 
 
 def _run_pass_progress(params: Params, x: jnp.ndarray,
@@ -111,7 +111,7 @@ def _run_pass_progress(params: Params, x: jnp.ndarray,
         lambda t: _tile_forward(params, t, model_cfg, architecture,
                                 precision),
         x, tile=tile, overlap=cfg.tiling.overlap, scale=model_cfg.scale,
-        mode="feather", pbar=pbar)
+        mode=cfg.tiling.seam_mode, pbar=pbar)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -144,7 +144,7 @@ def upscale_progress_total(image: jnp.ndarray, model_cfg: RRDBNetConfig,
     from hdrvae.tiling.tiled import num_tiles
     tile = _select_pass_tile(image, model_cfg, cfg, precision)
     return 2 * num_tiles(image.shape[1], image.shape[2], tile,
-                         cfg.tiling.overlap)
+                         cfg.tiling.overlap, mode=cfg.tiling.seam_mode)
 
 
 def hdr_upscale(params: Params, image: jnp.ndarray,

@@ -97,48 +97,59 @@ def area(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
 
 
 def bislerp(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Bilinear-weighted spherical interpolation of channel vectors.
+    """ComfyUI's ``bislerp`` (the node's default local_fix method), exact.
 
-    For each output pixel the four bilinear neighbors are combined in two
-    slerp steps (horizontal pair, then vertical): directions are slerped on
-    the unit sphere in channel space, magnitudes linearly interpolated —
-    preserving color vector norms better than plain bilinear (ComfyUI's
-    `bislerp`, the node's default method)."""
+    Per output pixel the two horizontal bilinear neighbors are slerped in
+    channel space, then the two resulting rows are slerped vertically
+    (ComfyUI's width-pass-then-height-pass order; the passes commute with
+    the row gather).  Slerp semantics replicated from ComfyUI's published
+    algorithm, including its edge cases, validated <=1e-3 against a torch
+    transcription in tests/test_reference_fidelity.py:
+
+      - directions slerped (sin((1-r)w)/sin(w), sin(rw)/sin(w) weights),
+        magnitudes LINEARLY interpolated;
+      - zero-norm vectors contribute a zero direction (no epsilon floor);
+      - nearly-parallel neighbors (dot > 1 - 1e-5): the result is a COPY of
+        the first neighbor — ratio ignored, magnitude included;
+      - nearly-opposite neighbors (dot < 1e-5 - 1): plain lerp of the raw
+        vectors.
+
+    Coordinate generation (``generate_bilinear_data``) reduces to torch
+    half-pixel source coords clamped to [0, n-1]: c1 = floor(clip(s)),
+    r = frac(clip(s)), c2 = min(c1 + 1, n - 1)."""
     b, h, w, c = x.shape
+    x = x.astype(jnp.float32)
 
     def coords(n_out, n_in):
         s = (jnp.arange(n_out) + 0.5) * n_in / n_out - 0.5
         s = jnp.clip(s, 0, n_in - 1)
         lo = jnp.floor(s).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, n_in - 1)
-        frac = s - lo
-        return lo, hi, frac.astype(x.dtype)
+        frac = (s - lo).astype(jnp.float32)
+        return lo, hi, frac
 
     y0, y1, fy = coords(height, h)
     x0, x1, fx = coords(width, w)
 
     def slerp(a, bb, t):
-        # a, bb: [..., C]; t: [...] broadcastable
+        # a, bb: [..., C]; t: [...] broadcastable ratio
+        t = t[..., None]
         na = jnp.linalg.norm(a, axis=-1, keepdims=True)
         nb = jnp.linalg.norm(bb, axis=-1, keepdims=True)
-        eps = 1e-12
-        ua = a / jnp.maximum(na, eps)
-        ub = bb / jnp.maximum(nb, eps)
-        dot = jnp.clip(jnp.sum(ua * ub, axis=-1, keepdims=True), -1.0, 1.0)
-        omega = jnp.arccos(dot)
+        ua = jnp.where(na == 0.0, 0.0, a / jnp.where(na == 0.0, 1.0, na))
+        ub = jnp.where(nb == 0.0, 0.0, bb / jnp.where(nb == 0.0, 1.0, nb))
+        dot = jnp.sum(ua * ub, axis=-1, keepdims=True)
+        omega = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
         so = jnp.sin(omega)
-        t = t[..., None]
-        # near-parallel: fall back to lerp of directions
-        use_lerp = so < 1e-4
-        wa = jnp.where(use_lerp, 1.0 - t, jnp.sin((1.0 - t) * omega)
-                       / jnp.where(use_lerp, 1.0, so))
-        wb = jnp.where(use_lerp, t, jnp.sin(t * omega)
-                       / jnp.where(use_lerp, 1.0, so))
-        direction = ua * wa + ub * wb
-        magnitude = na * (1.0 - t) + nb * t
-        return direction * magnitude
+        safe_so = jnp.where(so == 0.0, 1.0, so)
+        direction = (jnp.sin((1.0 - t) * omega) / safe_so * ua
+                     + jnp.sin(t * omega) / safe_so * ub)
+        res = direction * (na * (1.0 - t) + nb * t)
+        res = jnp.where(dot > 1.0 - 1e-5, a, res)
+        res = jnp.where(dot < 1e-5 - 1.0, a * (1.0 - t) + bb * t, res)
+        return res
 
-    # gather rows then columns
+    # gather rows then columns (commutes with the per-row width pass)
     top = x[:, y0]       # [B, H', W, C]
     bot = x[:, y1]
     tl, tr = top[:, :, x0], top[:, :, x1]   # [B, H', W', C]

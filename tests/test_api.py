@@ -65,6 +65,7 @@ class TestContracts:
 
 
 class TestNodeExecution:
+    @pytest.mark.slow
     def test_decode_node_end_to_end(self, small_cfg, rng):
         """Drive the node exactly as a graph executor would."""
         vae = VAE.random_init(seed=3, config=small_cfg)

@@ -204,6 +204,7 @@ class TestDenseConv:
                                 block_cols=8)
         np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
 
+    @pytest.mark.slow
     def test_rrdbnet_chain_matches_xla(self):
         import dataclasses
         from hdrvae.models.rrdbnet import (RRDBNetConfig, init_rrdbnet,
@@ -293,6 +294,7 @@ class TestUpstack:
                            tail_levels=0)
         return got, ref
 
+    @pytest.mark.slow
     def test_f32_exact(self, small_cfg):
         """float32 fast-mode storage: identical math, 1e-5 agreement."""
         prec = Precision(compute_dtype=jnp.float32,
@@ -305,6 +307,7 @@ class TestUpstack:
                                    np.asarray(ref.pre_conv_out, np.float32),
                                    atol=2e-5)
 
+    @pytest.mark.slow
     def test_bf16_close(self, small_cfg):
         """bf16 storage: residual-add rounding differs by design; bound it
         at a few bf16 ulps of the activation scale."""

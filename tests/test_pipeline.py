@@ -200,6 +200,7 @@ def test_shape_bucketing_exact(small_cfg, small_params, rng):
                                     6 * small_cfg.spatial_scale)
 
 
+@pytest.mark.slow
 def test_batched_decode_matches_batched_forward(small_cfg, small_params,
                                                 rng):
     """The batch>1 sequential lax.map branch must reproduce the plain

@@ -99,6 +99,133 @@ def _install_stubs():
         sys.modules["pyexr"] = pyexr
 
 
+def comfy_tiled_scale(samples, function, tile_x=512, tile_y=512,
+                      overlap=64, upscale_amount=4, pbar=None):
+    """ComfyUI ``comfy.utils.tiled_scale``'s published semantics, in torch
+    (the function the reference delegates to at
+    `hdr_upscale_with_model.py:127-135`): the grid starts every
+    ``tile - overlap`` pixels, each start clamped to
+    ``max(0, min(size - overlap, start))`` and the tile truncated to the
+    image (variable-size edge tiles); every tile is weighted by linear
+    edge ramps of value (t+1)/feather with feather =
+    round(overlap * upscale_amount); the accumulated image is divided by
+    the accumulated weight."""
+    import torch as _t
+    b, c, h, w = samples.shape
+    out_h = round(h * upscale_amount)
+    out_w = round(w * upscale_amount)
+    out = out_div = None
+    feather = round(overlap * upscale_amount)
+    for y in range(0, h, tile_y - overlap):
+        for x in range(0, w, tile_x - overlap):
+            y_ = max(0, min(h - overlap, y))
+            x_ = max(0, min(w - overlap, x))
+            s_in = samples[:, :, y_:y_ + tile_y, x_:x_ + tile_x]
+            ps = function(s_in)
+            if out is None:
+                out = _t.zeros((b, ps.shape[1], out_h, out_w))
+                out_div = _t.zeros_like(out)
+            mask = _t.ones_like(ps)
+            for t in range(feather):
+                mask[:, :, t:1 + t, :] *= (1.0 / feather) * (t + 1)
+                mask[:, :, mask.shape[2] - 1 - t:mask.shape[2] - t, :] *= \
+                    (1.0 / feather) * (t + 1)
+                mask[:, :, :, t:1 + t] *= (1.0 / feather) * (t + 1)
+                mask[:, :, :, mask.shape[3] - 1 - t:mask.shape[3] - t] *= \
+                    (1.0 / feather) * (t + 1)
+            ys, xs = round(y_ * upscale_amount), round(x_ * upscale_amount)
+            out[:, :, ys:ys + ps.shape[2], xs:xs + ps.shape[3]] += ps * mask
+            out_div[:, :, ys:ys + ps.shape[2], xs:xs + ps.shape[3]] += mask
+            if pbar is not None:
+                pbar.update(1)
+    return out / out_div
+
+
+def comfy_bislerp(samples, width, height):
+    """ComfyUI ``comfy.utils.bislerp``'s published semantics, in torch:
+    width pass then height pass; per pair of bilinear neighbors the
+    channel-vector directions are slerped and magnitudes lerped;
+    zero-norm vectors contribute zero direction; nearly-parallel pairs
+    (dot > 1-1e-5) COPY the first neighbor; nearly-opposite pairs lerp the
+    raw vectors.  Coordinates come from bilinear-interpolating index ramps
+    (== half-pixel source coords clamped to [0, n-1])."""
+    import torch as _t
+    import torch.nn.functional as F
+
+    def slerp(b1, b2, r):
+        c = b1.shape[-1]
+        b1_norms = _t.norm(b1, dim=-1, keepdim=True)
+        b2_norms = _t.norm(b2, dim=-1, keepdim=True)
+        b1_normalized = b1 / b1_norms
+        b2_normalized = b2 / b2_norms
+        b1_normalized[b1_norms.expand(-1, c) == 0.0] = 0.0
+        b2_normalized[b2_norms.expand(-1, c) == 0.0] = 0.0
+        dot = (b1_normalized * b2_normalized).sum(1)
+        omega = _t.acos(dot.clamp(-1.0, 1.0))
+        so = _t.sin(omega)
+        res = (_t.sin((1.0 - r.squeeze(1)) * omega) / so).unsqueeze(1) * \
+            b1_normalized + (_t.sin(r.squeeze(1) * omega) / so
+                             ).unsqueeze(1) * b2_normalized
+        res *= (b1_norms * (1.0 - r) + b2_norms * r).expand(-1, c)
+        res[dot > 1 - 1e-5] = b1[dot > 1 - 1e-5]
+        res[dot < 1e-5 - 1] = (b1 * (1.0 - r) + b2 * r)[dot < 1e-5 - 1]
+        return res
+
+    def generate_bilinear_data(length_old, length_new):
+        coords_1 = _t.arange(length_old, dtype=_t.float32).reshape(
+            (1, 1, 1, -1))
+        coords_1 = F.interpolate(coords_1, size=(1, length_new),
+                                 mode="bilinear")
+        ratios = coords_1 - coords_1.floor()
+        coords_1 = coords_1.to(_t.int64)
+        coords_2 = _t.arange(length_old, dtype=_t.float32).reshape(
+            (1, 1, 1, -1)) + 1
+        coords_2[:, :, :, -1] -= 1
+        coords_2 = F.interpolate(coords_2, size=(1, length_new),
+                                 mode="bilinear")
+        coords_2 = coords_2.to(_t.int64)
+        return ratios, coords_1, coords_2
+
+    orig_dtype = samples.dtype
+    samples = samples.float()
+    n, c, h, w = samples.shape
+    h_new, w_new = height, width
+
+    # width pass
+    ratios, coords_1, coords_2 = generate_bilinear_data(w, w_new)
+    coords_1 = coords_1.expand((n, c, h, -1))
+    coords_2 = coords_2.expand((n, c, h, -1))
+    ratios = ratios.expand((n, 1, h, -1))
+    pass_1 = samples.gather(-1, coords_1).movedim(1, -1).reshape((-1, c))
+    pass_2 = samples.gather(-1, coords_2).movedim(1, -1).reshape((-1, c))
+    ratios = ratios.movedim(1, -1).reshape((-1, 1))
+    result = slerp(pass_1, pass_2, ratios)
+    result = result.reshape(n, h, w_new, c).movedim(-1, 1)
+
+    # height pass
+    ratios, coords_1, coords_2 = generate_bilinear_data(h, h_new)
+    coords_1 = coords_1.reshape((1, 1, -1, 1)).expand((n, c, -1, w_new))
+    coords_2 = coords_2.reshape((1, 1, -1, 1)).expand((n, c, -1, w_new))
+    ratios = ratios.reshape((1, 1, -1, 1)).expand((n, 1, -1, w_new))
+    pass_1 = result.gather(-2, coords_1).movedim(1, -1).reshape((-1, c))
+    pass_2 = result.gather(-2, coords_2).movedim(1, -1).reshape((-1, c))
+    ratios = ratios.movedim(1, -1).reshape((-1, 1))
+    result = slerp(pass_1, pass_2, ratios)
+    result = result.reshape(n, h_new, w_new, c).movedim(-1, 1)
+    return result.to(orig_dtype)
+
+
+def comfy_common_upscale(samples, width, height, upscale_method, crop):
+    """ComfyUI ``common_upscale``: bislerp routes to the dedicated
+    algorithm; plain modes delegate to
+    F.interpolate(samples, size=(h, w), mode=...).  The reference always
+    passes crop=False (`hdr_upscale_with_model.py:240`)."""
+    import torch.nn.functional as F
+    if upscale_method == "bislerp":
+        return comfy_bislerp(samples, width, height)
+    return F.interpolate(samples, size=(height, width), mode=upscale_method)
+
+
 def _install_upscale_stubs():
     """Additional injection for `hdr_upscale_with_model.py`'s imports:
     comfy (model_management + utils), spandrel, torchvision.gaussian_blur,
@@ -135,25 +262,8 @@ def _install_upscale_stubs():
 
         ut.ProgressBar = ProgressBar
 
-        def tiled_scale(samples, function, tile_x=512, tile_y=512,
-                        overlap=64, upscale_amount=4, pbar=None):
-            b, c, h, w = samples.shape
-            if h <= tile_y and w <= tile_x:
-                # single tile == a plain model call in comfy's tiled_scale;
-                # fidelity tests use small images so the stub never has to
-                # reproduce comfy's feather blending
-                return function(samples)
-            raise NotImplementedError("stub is single-tile only")
-
-        ut.tiled_scale = tiled_scale
-
-        def common_upscale(samples, width, height, upscale_method, crop):
-            # comfy.utils.common_upscale delegates plain modes to
-            # F.interpolate(samples, size=(h, w), mode=...)
-            return F.interpolate(samples, size=(height, width),
-                                 mode=upscale_method)
-
-        ut.common_upscale = common_upscale
+        ut.tiled_scale = comfy_tiled_scale
+        ut.common_upscale = comfy_common_upscale
         comfy.model_management = mm
         comfy.utils = ut
         sys.modules["comfy"] = comfy
@@ -498,6 +608,30 @@ def test_exr_export_fidelity_vs_reference(ref_hdr, ref_exr, fid_params,
     (False, True),
 ])
 def test_upscaler_fidelity_vs_reference(tmp_path, small_blur, local_fix):
+    _upscaler_fidelity_case(tmp_path, small_blur, local_fix, "bilinear",
+                            (20, 24))
+
+
+def test_upscaler_bislerp_localfix_fidelity(tmp_path):
+    """local_fix with upscale_method='bislerp' — the node's DEFAULT method
+    (`hdr_upscale_with_model.py:65`): exercises hdrvae's bislerp against
+    ComfyUI's algorithm through the full node path, where the binary
+    dark-area mask makes any interpolation divergence catastrophic rather
+    than gradual."""
+    _upscaler_fidelity_case(tmp_path, False, True, "bislerp", (20, 24))
+
+
+@pytest.mark.slow
+def test_upscaler_multitile_fidelity_vs_reference(tmp_path):
+    """>= 4-tile image (560 > tile stride 448 per axis) through the
+    reference node's hardcoded tile=512/overlap=64 grid: validates
+    hdrvae's comfy-semantics tiling (variable edge tiles + (t+1)/feather
+    masks + weight normalization) against ComfyUI's actual algorithm on
+    real model outputs, not an identity function."""
+    _upscaler_fidelity_case(tmp_path, False, False, "bilinear", (560, 560))
+
+
+def _upscaler_fidelity_case(tmp_path, small_blur, local_fix, method, hw):
     """`hdr_upscale_with_model.py` run UNMODIFIED (spandrel/comfy/kornia/
     torchvision injected with their published semantics) on the same
     RRDBNet weights as hdrvae's upscaler: two-pass atanh reversal, YCbCr
@@ -517,19 +651,20 @@ def test_upscaler_fidelity_vs_reference(tmp_path, small_blur, local_fix):
     rng = np.random.default_rng(21)
     # HDR-ish input: mostly [0, 1] with highlights above and a few
     # negatives (the decode pipeline's actual output statistics)
-    image = rng.standard_normal((1, 20, 24, 3)).astype(np.float32)
+    h, w = hw
+    image = rng.standard_normal((1, h, w, 3)).astype(np.float32)
     image = np.abs(image) * 0.6
     image[0, 3:6, 4:8] *= 6.0      # highlight patch
     image[0, 10, 10] = -0.2        # signed range survives the pipeline
 
     node = ref_up.HDRUpscaleWithModel()
     (ref_out,) = node.upscale(torch.from_numpy(image.copy()), ckpt,
-                              small_blur, local_fix, "bilinear")
+                              small_blur, local_fix, method)
     ref_img = ref_out.detach().numpy()
 
     params, model_cfg, arch = load_upscale_model(ckpt)
     cfg = UpscaleConfig(small_blur=small_blur, local_fix=local_fix,
-                        upscale_method="bilinear",
+                        upscale_method=method,
                         tiling=TilingConfig(tile=512, overlap=64))
     result = hdr_upscale(params, jnp.asarray(image), model_cfg, cfg,
                          architecture=arch)
@@ -541,3 +676,73 @@ def test_upscaler_fidelity_vs_reference(tmp_path, small_blur, local_fix):
     assert err <= 1e-3 * scale, (
         f"upscaler small_blur={small_blur} local_fix={local_fix}: "
         f"max-abs {err:.3e} (scale {scale:.2f})")
+
+
+# ---------------------------------------------------------------------------
+# 5. The formerly-stubbed primitives, head to head with ComfyUI's algorithms
+# ---------------------------------------------------------------------------
+
+
+def test_comfy_tiled_scale_parity():
+    """hdrvae ``tiled_apply(mode='comfy')`` vs the torch transcription of
+    ComfyUI ``tiled_scale`` on a spatial-context function (3x3 zero-padded
+    mean + tanh, then nearest x2), over a grid with full tiles, partial
+    edge tiles, and sliver tiles (h=100, w=70, tile=32, overlap=8)."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from hdrvae.tiling.tiled import tiled_apply
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 100, 70, 3)).astype(np.float32)
+
+    def fn_torch(t):
+        kern = torch.ones((3, 1, 3, 3)) / 9.0
+        y = torch.tanh(F.conv2d(t, kern, padding=1, groups=3))
+        return F.interpolate(y, scale_factor=2, mode="nearest")
+
+    def fn_jax(t):  # [B, th, tw, C] -> [B, 2th, 2tw, C]
+        kern = jnp.ones((3, 3, 1, 3), jnp.float32) / 9.0
+        y = jax.lax.conv_general_dilated(
+            t, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3)
+        y = jnp.tanh(y)
+        return jnp.repeat(jnp.repeat(y, 2, axis=1), 2, axis=2)
+
+    ref = comfy_tiled_scale(torch.from_numpy(
+        np.transpose(x, (0, 3, 1, 2)).copy()), fn_torch,
+        tile_x=32, tile_y=32, overlap=8, upscale_amount=2)
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+
+    got = np.asarray(tiled_apply(fn_jax, jnp.asarray(x), tile=32,
+                                 overlap=8, scale=2, mode="comfy"))
+    assert got.shape == ref.shape
+    assert _max_abs(got, ref) <= 1e-5, _max_abs(got, ref)
+
+
+def test_comfy_bislerp_parity():
+    """hdrvae ``bislerp`` vs the torch transcription on data that hits
+    every slerp branch: generic vectors, zero-norm pixels, duplicated
+    (parallel) and negated (antiparallel) neighbors, plus 1-channel input
+    (the local_fix luma path, where every same-sign pair is 'parallel'
+    and ComfyUI copies the left neighbor)."""
+    import jax.numpy as jnp
+    from hdrvae.upscale.resize import bislerp
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 10, 12, 3)).astype(np.float32)
+    x[0, 2, 3] = 0.0                  # zero-norm pixel
+    x[0, 4, 5] = x[0, 4, 4]           # parallel neighbors
+    x[0, 6, 8] = -x[0, 6, 7]          # antiparallel neighbors
+    x[0, 7, 2] = 2.5 * x[0, 7, 1]     # parallel, different magnitude
+
+    for arr, (ho, wo) in [(x, (23, 31)), (x[..., :1], (40, 18))]:
+        ref = comfy_bislerp(
+            torch.from_numpy(np.transpose(arr, (0, 3, 1, 2)).copy()),
+            wo, ho)
+        ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+        got = np.asarray(bislerp(jnp.asarray(arr), ho, wo))
+        assert got.shape == ref.shape
+        assert _max_abs(got, ref) <= 1e-5, \
+            f"channels={arr.shape[-1]}: {_max_abs(got, ref):.3e}"

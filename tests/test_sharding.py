@@ -125,6 +125,7 @@ def test_slab_decode_exact_all_tail_levels(small_cfg, small_params, rng,
     assert err < 1e-3, f"slab seam error {err:.2e} (mode={mode})"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tail_levels", [1, None])
 def test_slab_decode_pallas_tail_matches_xla(small_cfg, small_params, rng,
                                              monkeypatch, tail_levels):

@@ -311,6 +311,7 @@ class TestBicubicTorchParity:
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_downscale_matches_torch(self, rng):
         x = rng.standard_normal((1, 12, 16, 3)).astype(np.float32)
         ours = np.asarray(common_upscale(jnp.asarray(x), 8, 6, "bicubic"))
@@ -337,7 +338,10 @@ class TestProgress:
             np.abs(rng.standard_normal((1, 20, 20, 3))).astype(np.float32))
         cfg = UpscaleConfig(tiling=TilingConfig(tile=8, overlap=2))
         total = upscale_progress_total(img, up_cfg, cfg)
-        assert total == 2 * 9  # 3x3 tile grid, two passes
+        # comfy-semantics grid (the default seam_mode): starts every
+        # tile-overlap=6 px -> 4 per axis (the last a clamped 2px sliver),
+        # 4x4 tiles, two passes
+        assert total == 2 * 16
 
         counter = Counter()
         with_pbar = hdr_upscale(up_params, img, up_cfg, cfg,
