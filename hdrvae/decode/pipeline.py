@@ -58,15 +58,17 @@ def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
 
     ``pre_first3`` carries the first 3 raw pre-conv_out channels for the
     ``fallback_collapse="first3"`` tier (the reference simple_bypass's
-    eye(3,C) projection, `hdr_vae_decode.py:1324-1329`); omitted, the
-    fallback uses the MAX-pooled map.
+    eye(3,C) projection, `hdr_vae_decode.py:1324-1329`).  Every execution
+    path (whole-image, slab-sharded, tile-grid) supplies it when the config
+    asks for first3 — the channels are pointwise in the pre map, so they
+    stitch exactly like rgb.
     """
     if cfg.fallback_collapse not in ("maxpool", "first3"):
         raise ValueError(
             f"unknown fallback_collapse {cfg.fallback_collapse!r}")
     if cfg.fallback_collapse == "first3" and pre_first3 is None:
-        raise ValueError("fallback_collapse='first3' needs the raw pre map "
-                         "(unsupported on this execution path)")
+        raise ValueError("fallback_collapse='first3' needs the raw pre-map "
+                         "channels; the caller did not carry them")
     mode = cfg.canonical_mode()
     from hdrvae.core.stats import tensor_stats
     post_stats = tensor_stats(rgb)

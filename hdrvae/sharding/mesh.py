@@ -128,6 +128,7 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
                       tape=collect_tape)
         collected = collect_tape.stats
 
+    want_first3 = cfg.fallback_collapse == "first3"
     scale = decoder_cfg.spatial_scale
     n_real = plan.num_tiles
     # per-tile interior crop boxes (pixel space) — the same regions
@@ -160,7 +161,12 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
                    jnp.min(jnp.where(mask, pre_f, jnp.inf)),
                    jnp.max(jnp.where(mask, pre_f, -jnp.inf)),
                    cnt.astype(jnp.float32))
-        return out.rgb, collapse_channels_maxpool(out.pre_conv_out), partial
+        # first3 fallback channels are pointwise, so they stitch exactly
+        # like rgb (the simple_bypass eye(3, C) projection,
+        # `hdr_vae_decode.py:1324-1329`).
+        pre3 = pre_f[..., :3] if want_first3 else pre_f[..., :0]
+        return (out.rgb, collapse_channels_maxpool(out.pre_conv_out), pre3,
+                partial)
 
     # Tiles are processed in device-count-sized chunks: lax.map runs chunks
     # SEQUENTIALLY (bounding live activations to one tile per device) while
@@ -177,14 +183,18 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
         chunk = jax.lax.with_sharding_constraint(chunk, tile_sharding)
         return jax.vmap(decode_tile)(chunk, chunk_boxes)
 
-    rgb_g, prec_g, partials_g = jax.lax.map(chunk_fn, (tiles_g, boxes_g))
+    rgb_g, prec_g, pre3_g, partials_g = jax.lax.map(chunk_fn,
+                                                    (tiles_g, boxes_g))
     rgb_tiles = rgb_g.reshape((t_total,) + rgb_g.shape[2:])
     prec_tiles = prec_g.reshape((t_total,) + prec_g.shape[2:])
+    pre3_tiles = pre3_g.reshape((t_total,) + pre3_g.shape[2:])
     partials = jax.tree_util.tree_map(
         lambda x: x.reshape((t_total,) + x.shape[2:]), partials_g)
 
     rgb = blend_tiles(rgb_tiles[:n_real], plan, scale=scale, mode="crop")
     pre_c = blend_tiles(prec_tiles[:n_real], plan, scale=scale, mode="crop")
+    pre3 = (blend_tiles(pre3_tiles[:n_real], plan, scale=scale, mode="crop")
+            if want_first3 else None)
 
     psum, psumsq, pmin, pmax, pcnt = partials
     n = jnp.sum(pcnt[:n_real])
@@ -199,7 +209,7 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
         "std": jnp.sqrt(var),
     }
     image, used_fallback, analysis = hdr_epilogue_from_parts(
-        rgb, pre_c, pre_stats, cfg)
+        rgb, pre_c, pre_stats, cfg, pre3)
     return image, rgb, used_fallback
 
 
