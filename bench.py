@@ -73,6 +73,9 @@ def main() -> int:
                         help="also run batch-4 and tile-grid rows")
     parser.add_argument("--extra", action="store_true",
                         help="print per-row detail to stderr")
+    parser.add_argument("--fetch-workers", type=int, default=8,
+                        help="concurrent device->host fetch streams for "
+                             "the pipelined export row")
     args = parser.parse_args()
 
     import jax
@@ -178,6 +181,49 @@ def main() -> int:
                            "vs_baseline": round(
                                mp / best / REFERENCE_MP_PER_S, 1)})
 
+        # Config 5 PIPELINED: 4-frame sequence, 16-bit EXR.  Decode of
+        # frame N+1 runs on device while frame N fetches (float16 on
+        # device: half the link bytes, bit-identical half-EXR) and frame
+        # N-1 encodes/writes on host threads (hdrvae.io.pipeline).
+        from hdrvae.io.pipeline import export_stream
+
+        def make_frame(i):
+            def thunk():
+                image, rgb, stats, fb = _hdr_decode_compiled(
+                    params, lat_big + i * 1e-4, decoder_cfg, cfg,
+                    precision)
+                return image[0]
+            return thunk
+
+        n_frames = 4
+        pipe_cfg = ExportConfig(filename_prefix="pipe", output_path=tmpdir,
+                                bit_depth="16bit", compression="zip",
+                                frame_sequence=True)
+        # warm the f16 fetch path + jit variant once
+        export_stream([make_frame(0)], pipe_cfg,
+                      default_output_dir=tmpdir,
+                      fetch_workers=args.fetch_workers)
+        best_p = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = export_stream([make_frame(i) for i in range(n_frames)],
+                                pipe_cfg, default_output_dir=tmpdir,
+                                fetch_workers=args.fetch_workers)
+            dt = time.perf_counter() - t0
+            assert res.error is None, res.error
+            best_p = dt if best_p is None else min(best_p, dt)
+        mp_p = n_frames * big * big / 1e6
+        extra_rows.append({
+            "metric": f"hdr_decode_export_pipelined_mp_per_s_{big}",
+            "value": round(mp_p / best_p, 3), "unit": "MP/s",
+            "vs_baseline": round(mp_p / best_p / REFERENCE_MP_PER_S, 1)})
+        if args.extra:
+            print(json.dumps({**detail, "metric": "export_pipelined",
+                              "frames": n_frames,
+                              "total_s": round(best_p, 3),
+                              "fetch_workers": args.fetch_workers}),
+                  file=sys.stderr)
+
         if args.full:
             extra_rows.append(run_row(f"hdr_decode_mp_per_s_{args.size}_b4",
                                       whole_step, args.size, batch=4,
@@ -214,6 +260,34 @@ def main() -> int:
             if args.extra:
                 print(json.dumps({**detail,
                                   "metric": "esrgan_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
+            # SwinIR-M x4 (real-world config: embed 180, 6x6 blocks,
+            # window 8, nearest+conv head) on one 512^2 tile — the
+            # second model family of the upscaler zoo.
+            from hdrvae.models.swinir import (SwinIRConfig, init_swinir,
+                                              swinir_apply)
+            sw_cfg = SwinIRConfig()
+            sw_params = init_swinir(jax.random.PRNGKey(4), sw_cfg)
+
+            @jax.jit
+            def swinir_step(x):
+                y = swinir_apply(sw_params, x, sw_cfg,
+                                 precision=precision)
+                return x + y.mean() * 1e-6
+
+            best, mean, warm = bench_step(swinir_step, tile, sync,
+                                          runs=2, warmup=1)
+            mp_out = (512 * sw_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "swinir_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "swinir_x4_upscale_512tile",
                                   "best_s": round(best, 4),
                                   "warmup_s": round(warm, 1)}),
                       file=sys.stderr)

@@ -66,6 +66,31 @@ class ExportResult:
         return self.filepaths[-1] if self.filepaths else None
 
 
+def plan_output(cfg: ExportConfig, default_output_dir: str,
+                batch: int) -> Tuple[str, str, bool]:
+    """Resolve (output_dir, filename_template, sequenced) — the reference's
+    path/versioning/frame-template rules (`linear_exr_export.py:262-302`),
+    shared by the serial and pipelined exporters.  Creates the directory."""
+    output_dir = resolve_output_dir(cfg.output_path, default_output_dir)
+    # prefix may embed subdirectories (`linear_exr_export.py:280-286`)
+    parts = cfg.filename_prefix.replace("\\", "/").split("/")
+    base_prefix = parts[-1]
+    if len(parts) > 1:
+        output_dir = os.path.join(output_dir, *parts[:-1])
+    os.makedirs(output_dir, exist_ok=True)
+
+    name_parts = [base_prefix]
+    if cfg.versioning:
+        version = get_highest_numbered_file(
+            os.path.normpath(output_dir), base_prefix) + 1
+        name_parts.append(f"_v{version:03d}")
+    sequenced = batch > 1 or cfg.frame_sequence
+    if sequenced:
+        name_parts.append(f"_frame_%0{cfg.frame_pad}d")
+    template = "".join(name_parts) + f".{cfg.format}"
+    return output_dir, template, sequenced
+
+
 def _save_one(filepath: str, image: np.ndarray, fmt: str, bit_depth: str,
               compression: str) -> None:
     if fmt == "exr":
@@ -147,24 +172,8 @@ def export_linear(hdr_image: np.ndarray,
         logger.info("export: range=[%.6f, %.6f] hdr_pixels=%d negatives=%d",
                     image.min(), image.max(), hdr_pixels, negative_pixels)
 
-        output_dir = resolve_output_dir(cfg.output_path, default_output_dir)
-
-        # prefix may embed subdirectories (`linear_exr_export.py:280-286`)
-        parts = cfg.filename_prefix.replace("\\", "/").split("/")
-        base_prefix = parts[-1]
-        if len(parts) > 1:
-            output_dir = os.path.join(output_dir, *parts[:-1])
-        os.makedirs(output_dir, exist_ok=True)
-
-        name_parts = [base_prefix]
-        if cfg.versioning:
-            version = get_highest_numbered_file(
-                os.path.normpath(output_dir), base_prefix) + 1
-            name_parts.append(f"_v{version:03d}")
-        sequenced = batch > 1 or cfg.frame_sequence
-        if sequenced:
-            name_parts.append(f"_frame_%0{cfg.frame_pad}d")
-        template = "".join(name_parts) + f".{cfg.format}"
+        output_dir, template, sequenced = plan_output(
+            cfg, default_output_dir, batch)
 
         for i in range(batch):
             frame_number = cfg.start_frame + i

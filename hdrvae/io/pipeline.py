@@ -1,0 +1,148 @@
+"""Pipelined export: overlap device decode, device->host fetch, and disk
+write across a frame sequence.
+
+The reference's export path is fully serial — per frame it syncs the whole
+tensor to host, encodes, writes (`linear_exr_export.py:313-353`), so a
+decode -> EXR pipeline runs at the SUM of decode + fetch + encode + write
+per frame.  This module runs the three resources concurrently:
+
+  device:  decode frame N+1            (async XLA dispatch)
+  link:    fetch frame N               (dedicated fetch thread)
+  host:    encode + write frame N-1    (dedicated writer thread)
+
+so steady-state throughput is set by the SLOWEST stage, not the sum.  Two
+further bandwidth levers:
+
+  - reduced-precision fetch: for 16-bit EXR output the file stores half
+    floats anyway, so the frame is cast to float16 ON DEVICE and fetched
+    at half the bytes with zero quality loss (the serial exporter fetches
+    float32 regardless).
+  - chunked parallel fetch (``fetch_workers``): the frame is split into
+    row bands fetched by concurrent threads — on transports whose
+    per-stream bandwidth is throttled (remote/tunneled devices) this
+    multiplies effective fetch bandwidth; on local PCIe it is harmless.
+
+Naming/versioning/sidecar/verify semantics are shared with the serial
+exporter (io.export.plan_output / verify_save), so the two paths produce
+identical files for identical pixels.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import logging
+from collections import deque
+from typing import Any, Callable, Dict, Iterable, Optional, Union
+
+import numpy as np
+
+from hdrvae.core.config import ExportConfig
+from hdrvae.io.export import (ExportResult, _save_one, _write_sidecar,
+                              plan_output, verify_save)
+
+logger = logging.getLogger(__name__)
+
+Frame = Union[np.ndarray, Any, Callable[[], Any]]
+
+
+def _fetch(frame, want_half: bool, fetch_workers: int) -> np.ndarray:
+    """Device->host transfer of one frame (or pass-through for numpy)."""
+    if isinstance(frame, np.ndarray):
+        return frame.astype(np.float16) if want_half else frame
+    import jax
+    import jax.numpy as jnp
+    if want_half:
+        frame = frame.astype(jnp.float16)   # cast on device: half the bytes
+    if fetch_workers > 1 and frame.ndim >= 2 and \
+            frame.shape[0] >= fetch_workers:
+        bands = np.array_split(np.arange(frame.shape[0]), fetch_workers)
+        slices = [frame[b[0]:b[-1] + 1] for b in bands]
+        for s in slices:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+        with cf.ThreadPoolExecutor(fetch_workers) as pool:
+            parts = list(pool.map(jax.device_get, slices))
+        return np.concatenate(parts, axis=0)
+    return np.asarray(jax.device_get(frame))
+
+
+def export_stream(frames: Iterable[Frame],
+                  cfg: ExportConfig = ExportConfig(),
+                  *, default_output_dir: str = "output",
+                  prompt: Optional[dict] = None,
+                  extra_pnginfo: Optional[dict] = None,
+                  pbar=None,
+                  depth: int = 2,
+                  fetch_workers: int = 1,
+                  reduced_precision_fetch: bool = True) -> ExportResult:
+    """Export a sequence of frames with decode/fetch/write overlap.
+
+    frames: iterable of per-frame images ([H, W, C]) — jax device arrays,
+    numpy arrays, or zero-argument callables returning either.  Callables
+    are invoked lazily with at most ``depth`` frames in flight: a callable
+    that dispatches a jitted decode starts frame N+1's device work while
+    frame N is still being fetched/written, without queueing the whole
+    sequence up front.
+
+    Returns the same :class:`ExportResult` contract as
+    :func:`hdrvae.io.export.export_linear` (errors reported, not raised;
+    last file read back and verified).
+    """
+    result = ExportResult()
+    frames = list(frames)
+    if not frames:
+        result.error = "ERROR: no frames"
+        return result
+    want_half = (reduced_precision_fetch and cfg.format == "exr"
+                 and cfg.bit_depth == "16bit")
+
+    try:
+        output_dir, template, sequenced = plan_output(
+            cfg, default_output_dir, len(frames))
+        import os
+
+        def write_one(i: int, image: np.ndarray) -> str:
+            frame_number = cfg.start_frame + i
+            filename = template % frame_number if sequenced else template
+            filepath = os.path.join(output_dir, filename)
+            _save_one(filepath, image, cfg.format, cfg.bit_depth,
+                      cfg.compression)
+            if i == 0 and cfg.save_workflow:
+                _write_sidecar(filepath, prompt, extra_pnginfo)
+            if pbar is not None:
+                pbar.update(1)
+            return filepath
+
+        paths: Dict[int, str] = {}
+        with cf.ThreadPoolExecutor(1) as fetcher, \
+                cf.ThreadPoolExecutor(1) as writer:
+            fetch_q: deque = deque()
+            write_q: deque = deque()
+
+            def drain_fetch():
+                i, fut = fetch_q.popleft()
+                write_q.append((i, writer.submit(write_one, i,
+                                                 fut.result())))
+
+            for i, frame in enumerate(frames):
+                if callable(frame):
+                    frame = frame()   # async dispatch of device work
+                fetch_q.append(
+                    (i, fetcher.submit(_fetch, frame, want_half,
+                                       fetch_workers)))
+                while len(fetch_q) >= depth:
+                    drain_fetch()
+            while fetch_q:
+                drain_fetch()
+            for i, fut in write_q:
+                paths[i] = fut.result()
+
+        result.filepaths = [paths[i] for i in sorted(paths)]
+        if result.filepaths:
+            result.verify_stats = verify_save(result.filepaths[-1])
+            result.verified = True
+        return result
+    except Exception as e:  # node contract: report, don't raise
+        logger.error("pipelined export failed: %s", e, exc_info=True)
+        result.error = f"ERROR: {e}"
+        return result

@@ -25,7 +25,7 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
-from hdrvae.models.params import conv_kernel_to_hwio, load_safetensors
+from hdrvae.models.params import conv_kernel_to_hwio
 
 Params = Dict[str, Any]
 
@@ -252,22 +252,10 @@ def rrdbnet_from_state_dict(sd: Mapping[str, Any]
     return params, cfg
 
 
-def load_upscale_model(path: str) -> tuple[Params, RRDBNetConfig, str]:
-    """Load an ESRGAN-family checkpoint (.safetensors or torch .pth).
-
-    Returns (params, config, architecture_name) — the architecture name
-    feeds the reversal-function choice (`hdr_upscale_with_model.py:266-279`).
-    """
-    if path.endswith(".safetensors"):
-        sd = load_safetensors(path)
-    else:
-        import torch
-        sd = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(sd, dict) and "params_ema" in sd:
-            sd = sd["params_ema"]
-        elif isinstance(sd, dict) and "params" in sd:
-            sd = sd["params"]
-    params, cfg = rrdbnet_from_state_dict(sd)
-    arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
-        else "RealESRGAN"
-    return params, cfg, arch
+def load_upscale_model(path: str):
+    """Load an upscaler checkpoint — delegates to the model zoo
+    (models.zoo), which dispatches on the key schema (ESRGAN old/new,
+    SwinIR).  Kept here for backward compatibility; new code should
+    import from hdrvae.models.zoo."""
+    from hdrvae.models.zoo import load_upscale_model as _load
+    return _load(path)

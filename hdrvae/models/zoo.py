@@ -1,0 +1,89 @@
+"""Upscale model zoo: checkpoint-schema dispatch + unified apply.
+
+The reference loads ANY spandrel-supported upscaler
+(`/root/reference/hdr_upscale_with_model.py:72-76`) and keys its HDR
+reversal off the architecture name (`:266-279`).  hdrvae owns its model
+implementations instead of a loader zoo, so "supported" means: the
+checkpoint schema is recognized here and mapped onto one of the native
+JAX forwards:
+
+  - ESRGAN / RealESRGAN (RRDBNet, both public key schemas)
+                                       -> models.rrdbnet
+  - SwinIR (official schema, all four upsampler heads)
+                                       -> models.swinir
+
+``load_upscale_model`` returns (params, model_cfg, architecture_name);
+``upscaler_apply`` dispatches on the config type so the HDR upscale
+pipeline is model-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from hdrvae.core.config import Precision
+from hdrvae.models.rrdbnet import (RRDBNetConfig, rrdbnet_apply,
+                                   rrdbnet_from_state_dict)
+from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
+                                  swinir_apply, swinir_from_state_dict)
+
+Params = Dict[str, Any]
+ModelConfig = Union[RRDBNetConfig, SwinIRConfig]
+
+
+def _load_state_dict(path: str) -> Mapping[str, Any]:
+    if path.endswith(".safetensors"):
+        from hdrvae.models.params import load_safetensors
+        return load_safetensors(path)
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    # BasicSR-style wrappers
+    if isinstance(sd, dict) and "params_ema" in sd:
+        sd = sd["params_ema"]
+    elif isinstance(sd, dict) and "params" in sd:
+        sd = sd["params"]
+    return sd
+
+
+def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
+    """Load an upscaler checkpoint (.pth / .safetensors), detecting the
+    architecture from its key schema.  The returned architecture name
+    feeds the reversal-function choice
+    (`hdr_upscale_with_model.py:266-279`: ESRGAN/RealESRGAN/SwinIR/HAT
+    -> atanh, default logit)."""
+    sd = _load_state_dict(path)
+    if is_swinir_state_dict(sd):
+        params, cfg = swinir_from_state_dict(sd)
+        return params, cfg, "SwinIR"
+    from hdrvae.models.rrdbnet import detect_architecture
+    params, cfg = rrdbnet_from_state_dict(sd)
+    arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
+        else "RealESRGAN"
+    return params, cfg, arch
+
+
+def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
+                   precision: Precision = Precision()) -> jnp.ndarray:
+    """Unified NHWC [B, H, W, C] -> [B, sH, sW, C] forward."""
+    if isinstance(cfg, SwinIRConfig):
+        return swinir_apply(params, x, cfg, precision=precision)
+    if isinstance(cfg, RRDBNetConfig):
+        return rrdbnet_apply(params, x, cfg, precision=precision)
+    raise TypeError(f"unknown upscale model config {type(cfg).__name__}")
+
+
+def working_set_bytes_per_pixel(cfg: ModelConfig,
+                                precision: Precision) -> float:
+    """Rough per-input-pixel activation working set, for the static
+    tile-size planner (replaces the reference's halve-on-OOM retry)."""
+    elsize = jnp.dtype(precision.storage_dtype).itemsize
+    out_bytes = cfg.scale ** 2 * 3 * 4
+    if isinstance(cfg, SwinIRConfig):
+        # qkv (3x dim) + mlp hidden, live alongside the token stream
+        width = cfg.embed_dim * (3 + cfg.mlp_ratio)
+        return float(width * 2 * elsize + out_bytes)
+    # densest RRDB concat holds nf + 4*gc channels, live twice
+    return float((cfg.nf + 4 * cfg.gc) * 2 * elsize + out_bytes)

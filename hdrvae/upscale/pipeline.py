@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from hdrvae.core.color import luma, rgb_to_ycbcr, ycbcr_to_rgb
 from hdrvae.core.config import Precision, UpscaleConfig
 from hdrvae.decode.modes import inverse_sigmoid, inverse_tanh
-from hdrvae.models.rrdbnet import RRDBNetConfig, rrdbnet_apply
+from hdrvae.models.zoo import (ModelConfig, upscaler_apply,
+                               working_set_bytes_per_pixel)
 from hdrvae.tiling.tiled import select_tile_size, tiled_apply
 from hdrvae.upscale.filters import gaussian_blur, median_blur
 from hdrvae.upscale.resize import common_upscale
@@ -53,20 +54,16 @@ class UpscaleResult(NamedTuple):
     clamped: jnp.ndarray        # pass-2 result
 
 
-def _select_pass_tile(x: jnp.ndarray, model_cfg: RRDBNetConfig,
+def _select_pass_tile(x: jnp.ndarray, model_cfg: ModelConfig,
                       cfg: UpscaleConfig, precision: Precision) -> int:
     tile = cfg.tiling.tile
     if cfg.tiling.hbm_budget_bytes is not None:
         # Static tile planning from the memory budget (replaces the
-        # reference's halve-on-OOM retry).  Working set per tile pixel:
-        # the densest RRDB concat holds nf + 4*gc channels, live twice
-        # (input + output), at the storage dtype, plus the upscaled
-        # output tile.
-        elsize = jnp.dtype(precision.storage_dtype).itemsize
-        bpp = ((model_cfg.nf + 4 * model_cfg.gc) * 2 * elsize
-               + model_cfg.scale ** 2 * 3 * 4)
+        # reference's halve-on-OOM retry); per-model working-set
+        # estimate from the zoo.
+        bpp = working_set_bytes_per_pixel(model_cfg, precision)
         tile = select_tile_size(
-            x.shape[1], x.shape[2], bytes_per_pixel=float(bpp),
+            x.shape[1], x.shape[2], bytes_per_pixel=bpp,
             hbm_budget_bytes=cfg.tiling.hbm_budget_bytes, preferred=tile,
             min_tile=cfg.tiling.min_tile)
     return tile
@@ -75,23 +72,23 @@ def _select_pass_tile(x: jnp.ndarray, model_cfg: RRDBNetConfig,
 @functools.partial(jax.jit, static_argnames=("model_cfg", "architecture",
                                              "precision"))
 def _tile_forward(params: Params, tile: jnp.ndarray,
-                  model_cfg: RRDBNetConfig, architecture: str,
+                  model_cfg: ModelConfig, architecture: str,
                   precision: Precision) -> jnp.ndarray:
     """One tile through the model + inverse activation (the reference's
     forward hook `hdr_upscale_with_model.py:79-107` as composition)."""
-    out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
+    out = upscaler_apply(params, tile, model_cfg, precision=precision)
     return get_reversal_fn(architecture)(out)
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "cfg",
                                              "architecture", "precision"))
-def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
+def _run_pass(params: Params, x: jnp.ndarray, model_cfg: ModelConfig,
               cfg: UpscaleConfig, architecture: str,
               precision: Precision) -> jnp.ndarray:
     reversal = get_reversal_fn(architecture)
 
     def model_with_reversal(tile: jnp.ndarray) -> jnp.ndarray:
-        out = rrdbnet_apply(params, tile, model_cfg, precision=precision)
+        out = upscaler_apply(params, tile, model_cfg, precision=precision)
         return reversal(out)
 
     tile = _select_pass_tile(x, model_cfg, cfg, precision)
@@ -101,7 +98,7 @@ def _run_pass(params: Params, x: jnp.ndarray, model_cfg: RRDBNetConfig,
 
 
 def _run_pass_progress(params: Params, x: jnp.ndarray,
-                       model_cfg: RRDBNetConfig, cfg: UpscaleConfig,
+                       model_cfg: ModelConfig, cfg: UpscaleConfig,
                        architecture: str, precision: Precision,
                        pbar) -> jnp.ndarray:
     """Pass with per-tile progress: host tile loop around the jitted
@@ -135,7 +132,7 @@ def _recombine(unclamped: jnp.ndarray, clamped: jnp.ndarray,
     return s_final
 
 
-def upscale_progress_total(image: jnp.ndarray, model_cfg: RRDBNetConfig,
+def upscale_progress_total(image: jnp.ndarray, model_cfg: ModelConfig,
                            cfg: UpscaleConfig,
                            precision: Precision = Precision()) -> int:
     """Total progress steps of :func:`hdr_upscale` (2 passes x tiles) —
@@ -148,7 +145,7 @@ def upscale_progress_total(image: jnp.ndarray, model_cfg: RRDBNetConfig,
 
 
 def hdr_upscale(params: Params, image: jnp.ndarray,
-                model_cfg: RRDBNetConfig,
+                model_cfg: ModelConfig,
                 cfg: UpscaleConfig = UpscaleConfig(), *,
                 architecture: str = "ESRGAN",
                 precision: Precision = Precision(),

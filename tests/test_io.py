@@ -371,3 +371,98 @@ def test_piz_16bit_wavelet_path(tmp_path):
                   use_native=True)
     np.testing.assert_array_equal(exr.read_exr(path, use_native=True), img)
     np.testing.assert_array_equal(exr_py.read_exr(path), img)
+
+
+class TestPipelinedExport:
+    """export_stream: identical files to the serial exporter, overlap
+    mechanics, reduced-precision fetch equivalence (VERDICT round-2 item 1)."""
+
+    def _frames(self, n=4, h=12, w=10):
+        rng = np.random.default_rng(33)
+        out = []
+        for _ in range(n):
+            f = rng.standard_normal((h, w, 3)).astype(np.float32) * 1.5
+            f[0, 0, 0] = -0.3
+            out.append(f)
+        return out
+
+    def test_matches_serial_exporter_bitwise(self, tmp_path):
+        from hdrvae.io.pipeline import export_stream
+        frames = self._frames()
+        cfg16 = ExportConfig(filename_prefix="pipe", output_path="",
+                             bit_depth="16bit", compression="zip",
+                             versioning=True)
+        serial = export_linear(np.stack(frames), cfg16,
+                               default_output_dir=str(tmp_path / "a"))
+        piped = export_stream(frames, cfg16,
+                              default_output_dir=str(tmp_path / "b"))
+        assert serial.error is None and piped.error is None
+        assert len(serial.filepaths) == len(piped.filepaths) == 4
+        for a, b in zip(serial.filepaths, piped.filepaths):
+            assert os.path.basename(a) == os.path.basename(b)
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read(), \
+                    f"{os.path.basename(a)} differs"
+        assert piped.verified and piped.verify_stats["hdr_preserved"]
+
+    def test_callable_frames_and_jax_arrays(self, tmp_path):
+        import jax.numpy as jnp
+        from hdrvae.io.pipeline import export_stream
+        frames = self._frames(3)
+        # mix: numpy, device array, lazy callable dispatching device work
+        mixed = [frames[0], jnp.asarray(frames[1]),
+                 lambda: jnp.asarray(frames[2]) * 1.0]
+        cfg = ExportConfig(filename_prefix="mix", output_path="",
+                           bit_depth="32bit", compression="zip")
+        res = export_stream(mixed, cfg,
+                            default_output_dir=str(tmp_path))
+        assert res.error is None
+        assert len(res.filepaths) == 3
+        for i, f in enumerate(frames):
+            back = exr.read_exr(res.filepaths[i])
+            np.testing.assert_allclose(back, f, atol=1e-6)
+
+    def test_reduced_precision_fetch_lossless_for_16bit(self, tmp_path):
+        """f32 -> f16 (device cast) -> half-EXR equals f32 -> half-EXR:
+        binary16 quantization is idempotent, so the fetch optimization is
+        bit-exact for 16-bit output."""
+        import jax.numpy as jnp
+        from hdrvae.io.pipeline import export_stream
+        frames = self._frames(2)
+        cfg = ExportConfig(filename_prefix="rp", output_path="",
+                           bit_depth="16bit", compression="none")
+        a = export_stream([jnp.asarray(f) for f in frames], cfg,
+                          default_output_dir=str(tmp_path / "half"),
+                          reduced_precision_fetch=True)
+        b = export_stream([jnp.asarray(f) for f in frames], cfg,
+                          default_output_dir=str(tmp_path / "full"),
+                          reduced_precision_fetch=False)
+        for fa, fb in zip(a.filepaths, b.filepaths):
+            with open(fa, "rb") as x, open(fb, "rb") as y:
+                assert x.read() == y.read()
+
+    def test_chunked_fetch_matches(self, tmp_path):
+        import jax.numpy as jnp
+        from hdrvae.io.pipeline import export_stream
+        frames = self._frames(2, h=16)
+        cfg = ExportConfig(filename_prefix="ck", output_path="",
+                           bit_depth="32bit", compression="zip")
+        a = export_stream([jnp.asarray(f) for f in frames], cfg,
+                          default_output_dir=str(tmp_path / "w1"),
+                          fetch_workers=1)
+        b = export_stream([jnp.asarray(f) for f in frames], cfg,
+                          default_output_dir=str(tmp_path / "w4"),
+                          fetch_workers=4)
+        for fa, fb in zip(a.filepaths, b.filepaths):
+            with open(fa, "rb") as x, open(fb, "rb") as y:
+                assert x.read() == y.read()
+
+    def test_error_contract(self, tmp_path):
+        from hdrvae.io.pipeline import export_stream
+        res = export_stream([], ExportConfig(),
+                            default_output_dir=str(tmp_path))
+        assert res.error == "ERROR: no frames"
+        bad = ExportConfig(format="exr", compression="nope")
+        res = export_stream(self._frames(1), bad,
+                            default_output_dir=str(tmp_path))
+        assert res.error is not None and res.error.startswith("ERROR")

@@ -285,16 +285,26 @@ def _install_upscale_stubs():
 
         class ModelLoader:
             def load_from_file(self, path):
-                from hdrvae.models.rrdbnet import RRDBNetConfig
-                from tests.torch_oracle import TorchRRDBNet
-                cfg = RRDBNetConfig().with_small()
-                model = TorchRRDBNet(cfg)
-                model.load_state_dict(
-                    torch.load(path, weights_only=True))
+                # spandrel detects the architecture from the key schema;
+                # mirror that: SwinIR blocks -> TorchSwinIR, else RRDBNet
+                sd = torch.load(path, weights_only=True)
+                from hdrvae.models.swinir import (is_swinir_state_dict,
+                                                  swinir_from_state_dict)
+                if is_swinir_state_dict(sd):
+                    from tests.torch_oracle import TorchSwinIR
+                    _, cfg = swinir_from_state_dict(sd)
+                    model = TorchSwinIR(cfg)
+                    name = "SwinIR"
+                else:
+                    from hdrvae.models.rrdbnet import RRDBNetConfig
+                    from tests.torch_oracle import TorchRRDBNet
+                    cfg = RRDBNetConfig().with_small()
+                    model = TorchRRDBNet(cfg)
+                    name = "RealESRGAN"
+                model.load_state_dict(sd)
                 model.eval()
                 model.requires_grad_(False)
-                return _Descriptor(model, "RealESRGAN",
-                                   2 ** cfg.num_upsamples)
+                return _Descriptor(model, name, cfg.scale)
 
         spandrel.ModelLoader = ModelLoader
         spandrel.ImageModelDescriptor = _Descriptor
@@ -746,3 +756,51 @@ def test_comfy_bislerp_parity():
         assert got.shape == ref.shape
         assert _max_abs(got, ref) <= 1e-5, \
             f"channels={arr.shape[-1]}: {_max_abs(got, ref):.3e}"
+
+
+def test_upscaler_swinir_fidelity_vs_reference(tmp_path):
+    """A SwinIR checkpoint through the reference node (spandrel stub
+    detects the schema and serves the torch oracle) vs hdrvae's
+    SwinIR-backed hdr_upscale: the VERDICT round-2 capability gap — the
+    zoo used to reject anything but RRDBNet key schemas."""
+    ref_up = _load_ref_module("hdr_upscale_with_model")
+    import dataclasses
+    import jax.numpy as jnp
+    from hdrvae.core.config import TilingConfig, UpscaleConfig
+    from hdrvae.models.swinir import SwinIRConfig
+    from hdrvae.models.zoo import load_upscale_model
+    from hdrvae.upscale.pipeline import hdr_upscale
+    from tests.torch_oracle import TorchSwinIR
+
+    cfg_m = dataclasses.replace(SwinIRConfig().with_small(),
+                                upsampler="nearest+conv", scale=2)
+    model = TorchSwinIR(cfg_m)
+    gen = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+    ckpt = str(tmp_path / "swinir_small.pth")
+    torch.save(model.state_dict(), ckpt)
+
+    rng = np.random.default_rng(21)
+    image = np.abs(rng.standard_normal((1, 20, 24, 3))).astype(
+        np.float32) * 0.6
+    image[0, 3:6, 4:8] *= 6.0
+
+    node = ref_up.HDRUpscaleWithModel()
+    (ref_out,) = node.upscale(torch.from_numpy(image.copy()), ckpt,
+                              False, True, "bislerp")
+    ref_img = ref_out.detach().numpy()
+
+    params, model_cfg, arch = load_upscale_model(ckpt)
+    assert arch == "SwinIR"
+    cfg = UpscaleConfig(local_fix=True, upscale_method="bislerp",
+                        tiling=TilingConfig(tile=512, overlap=64))
+    result = hdr_upscale(params, jnp.asarray(image), model_cfg, cfg,
+                         architecture=arch)
+    got = np.asarray(result.image)
+    assert got.shape == ref_img.shape
+
+    scale = max(1.0, float(np.abs(ref_img).max()))
+    err = _max_abs(got, ref_img)
+    assert err <= 1e-3 * scale, f"SwinIR upscaler: max-abs {err:.3e}"

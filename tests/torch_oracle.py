@@ -213,3 +213,248 @@ class TorchRRDBNet(nn.Module):
             fea = self.act(getattr(self, f"conv_up{i + 1}")(fea))
         fea = self.act(self.conv_hr(fea))
         return self.conv_last(fea)
+
+
+# ---------------------------------------------------------------------------
+# SwinIR oracle (official module structure + key names, so real checkpoints
+# load into it and state_dicts round-trip through hdrvae's loader)
+# ---------------------------------------------------------------------------
+
+
+class _SwinWindowAttention(nn.Module):
+    def __init__(self, dim, window_size, num_heads):
+        super().__init__()
+        self.dim = dim
+        self.window_size = window_size
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window_size - 1) ** 2, num_heads))
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window_size), torch.arange(window_size),
+            indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window_size - 1
+        rel[:, :, 1] += window_size - 1
+        rel[:, :, 0] *= 2 * window_size - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.softmax = nn.Softmax(dim=-1)
+
+    def forward(self, x, mask=None):
+        b_, n, c = x.shape
+        qkv = self.qkv(x).reshape(b_, n, 3, self.num_heads,
+                                  c // self.num_heads).permute(
+                                      2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = q * self.scale
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(n, n, -1)
+        attn = attn + bias.permute(2, 0, 1).contiguous().unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b_ // nw, nw, self.num_heads, n, n) + \
+                mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.num_heads, n, n)
+        attn = self.softmax(attn)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+class _SwinMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.act = nn.GELU()
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+def _win_part(x, ws):
+    b, h, w, c = x.shape
+    x = x.view(b, h // ws, ws, w // ws, ws, c)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(-1, ws * ws, c)
+
+
+def _win_rev(wins, ws, h, w):
+    b = wins.shape[0] // (h * w // ws // ws)
+    x = wins.view(b, h // ws, w // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).contiguous().view(b, h, w, -1)
+
+
+class _SwinBlock(nn.Module):
+    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = shift_size
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = _SwinWindowAttention(dim, window_size, num_heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = _SwinMlp(dim, int(dim * mlp_ratio))
+
+    def _mask(self, h, w, device):
+        ws, ss = self.window_size, self.shift_size
+        img = torch.zeros((1, h, w, 1), device=device)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+            for vs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                img[:, hs, vs, :] = cnt
+                cnt += 1
+        mw = _win_part(img, ws).view(-1, ws * ws)
+        am = mw.unsqueeze(1) - mw.unsqueeze(2)
+        return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+    def forward(self, x, x_size):
+        h, w = x_size
+        b, L, c = x.shape
+        shortcut = x
+        x = self.norm1(x).view(b, h, w, c)
+        if self.shift_size > 0:
+            x = torch.roll(x, (-self.shift_size, -self.shift_size), (1, 2))
+            mask = self._mask(h, w, x.device)
+        else:
+            mask = None
+        wins = _win_part(x, self.window_size)
+        wins = self.attn(wins, mask)
+        x = _win_rev(wins, self.window_size, h, w)
+        if self.shift_size > 0:
+            x = torch.roll(x, (self.shift_size, self.shift_size), (1, 2))
+        x = shortcut + x.view(b, L, c)
+        return x + self.mlp(self.norm2(x))
+
+
+class _SwinGroup(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, mlp_ratio):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _SwinBlock(dim, num_heads, window_size,
+                       0 if i % 2 == 0 else window_size // 2, mlp_ratio)
+            for i in range(depth)])
+
+    def forward(self, x, x_size):
+        for blk in self.blocks:
+            x = blk(x, x_size)
+        return x
+
+
+class _RSTB(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, mlp_ratio):
+        super().__init__()
+        self.residual_group = _SwinGroup(dim, depth, num_heads,
+                                         window_size, mlp_ratio)
+        self.conv = nn.Conv2d(dim, dim, 3, 1, 1)
+
+    def forward(self, x, x_size):
+        h, w = x_size
+        b, L, c = x.shape
+        y = self.residual_group(x, x_size)
+        y = y.transpose(1, 2).view(b, c, h, w)
+        y = self.conv(y)
+        return y.flatten(2).transpose(1, 2) + x
+
+
+class _PatchEmbed(nn.Module):
+    def __init__(self, dim, patch_norm):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim) if patch_norm else None
+
+    def forward(self, x):
+        x = x.flatten(2).transpose(1, 2)
+        if self.norm is not None:
+            x = self.norm(x)
+        return x
+
+
+class TorchSwinIR(nn.Module):
+    """Official-schema SwinIR (upsampler 'nearest+conv' | 'pixelshuffle' |
+    'pixelshuffledirect' | ''); NCHW in [0, 1], same mean/img_range
+    handling as the published network."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg.embed_dim
+        self.mean = torch.tensor([0.4488, 0.4371, 0.4040]).view(1, 3, 1, 1) \
+            if cfg.in_channels == 3 else torch.zeros(1, 1, 1, 1)
+        self.conv_first = nn.Conv2d(cfg.in_channels, dim, 3, 1, 1)
+        self.patch_embed = _PatchEmbed(dim, cfg.patch_norm)
+        self.layers = nn.ModuleList([
+            _RSTB(dim, cfg.depths[i], cfg.num_heads[i], cfg.window_size,
+                  cfg.mlp_ratio) for i in range(len(cfg.depths))])
+        self.norm = nn.LayerNorm(dim)
+        self.conv_after_body = nn.Conv2d(dim, dim, 3, 1, 1)
+        nf = cfg.num_feat
+        if cfg.upsampler == "nearest+conv":
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            self.conv_up1 = nn.Conv2d(nf, nf, 3, 1, 1)
+            if cfg.scale == 4:
+                self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+            self.lrelu = nn.LeakyReLU(0.2, inplace=True)
+        elif cfg.upsampler == "pixelshuffle":
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, nf, 3, 1, 1), nn.ReLU(inplace=True))
+            ups, s = [], cfg.scale
+            while s > 1:
+                r = 3 if s % 2 else 2
+                ups += [nn.Conv2d(nf, nf * r * r, 3, 1, 1),
+                        nn.PixelShuffle(r)]
+                s //= r
+            self.upsample = nn.Sequential(*ups)
+            self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+        elif cfg.upsampler == "pixelshuffledirect":
+            self.upsample = nn.Sequential(
+                nn.Conv2d(dim, cfg.out_channels * cfg.scale ** 2, 3, 1, 1),
+                nn.PixelShuffle(cfg.scale))
+        else:
+            self.conv_last = nn.Conv2d(dim, cfg.out_channels, 3, 1, 1)
+
+    def forward_features(self, x):
+        x_size = (x.shape[2], x.shape[3])
+        t = self.patch_embed(x)
+        for layer in self.layers:
+            t = layer(t, x_size)
+        t = self.norm(t)
+        return t.transpose(1, 2).view(x.shape[0], -1, *x_size)
+
+    @torch.no_grad()
+    def forward(self, x):
+        h0, w0 = x.shape[2], x.shape[3]
+        ws = self.cfg.window_size
+        mod_h, mod_w = (-h0) % ws, (-w0) % ws
+        if mod_h or mod_w:
+            x = F.pad(x, (0, mod_w, 0, mod_h), "reflect")
+        x = (x - self.mean) * self.cfg.img_range
+        if self.cfg.upsampler in ("nearest+conv",):
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.conv_before_upsample(x)
+            x = self.lrelu(self.conv_up1(
+                F.interpolate(x, scale_factor=2, mode="nearest")))
+            if self.cfg.scale == 4:
+                x = self.lrelu(self.conv_up2(
+                    F.interpolate(x, scale_factor=2, mode="nearest")))
+            x = self.conv_last(self.lrelu(self.conv_hr(x)))
+        elif self.cfg.upsampler == "pixelshuffle":
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.conv_before_upsample(x)
+            x = self.conv_last(self.upsample(x))
+        elif self.cfg.upsampler == "pixelshuffledirect":
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.upsample(x)
+        else:
+            xf = self.conv_first(x)
+            res = self.conv_after_body(self.forward_features(xf)) + xf
+            x = x + self.conv_last(res)
+        x = x / self.cfg.img_range + self.mean
+        return x[:, :, :h0 * self.cfg.scale, :w0 * self.cfg.scale]
