@@ -73,9 +73,12 @@ def main() -> int:
                         help="also run batch-4 and tile-grid rows")
     parser.add_argument("--extra", action="store_true",
                         help="print per-row detail to stderr")
-    parser.add_argument("--fetch-workers", type=int, default=8,
+    parser.add_argument("--fetch-workers", type=int, default=1,
                         help="concurrent device->host fetch streams for "
-                             "the pipelined export row")
+                             "the pipelined export row (measured on the "
+                             "axon tunnel: chunked fetch is slower than "
+                             "one stream; keep 1 unless the transport "
+                             "shows per-stream throttling)")
     args = parser.parse_args()
 
     import jax

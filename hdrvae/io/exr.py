@@ -52,8 +52,16 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
     zip_level: zlib level for zip/zips/pxr24 chunks (modern OpenEXR
     defaults to 4 — near-identical size to zlib's default 6 on
     delta-filtered pixel data, roughly half the encode time).
+
+    float16 input is written through the codec's half-input entry point:
+    no upcast round-trip, and with pixel_type="half" the scanline pack is
+    a pure 16-bit gather (the hot path of the pipelined exporter's
+    reduced-precision fetch).
     """
-    image = np.ascontiguousarray(np.asarray(image, np.float32))
+    image = np.asarray(image)
+    half_in = image.dtype == np.float16
+    image = np.ascontiguousarray(
+        image if half_in else image.astype(np.float32, copy=False))
     if image.ndim == 2:
         image = image[..., None]
     if image.ndim != 3:
@@ -65,10 +73,16 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
         h, w, c = image.shape
         ptype = 1 if pixel_type == "half" else 2
         comp_id = exr_py.COMPRESSION_IDS[compression]
-        rc = lib.exr_write(
-            path.encode(), image.ctypes.data_as(
-                ctypes.POINTER(ctypes.c_float)),
-            h, w, c, ptype, comp_id, zip_level)
+        if half_in:
+            rc = lib.exr_write_half(
+                path.encode(), image.view(np.uint16).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint16)),
+                h, w, c, ptype, comp_id, zip_level)
+        else:
+            rc = lib.exr_write(
+                path.encode(), image.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                h, w, c, ptype, comp_id, zip_level)
         if rc == 0:
             return
         logger.warning("native EXR write returned %d; falling back to "

@@ -783,18 +783,24 @@ std::vector<int> channel_source_index(int channels) {
   return idx;
 }
 
-}  // namespace
+// Source-sample accessors: the writer is templated over the input element
+// type so float16 frames (e.g. a reduced-precision device fetch) are packed
+// with a straight 16-bit copy instead of a per-pixel float->half conversion.
+inline uint16_t as_half(float v) { return float_to_half(v); }
+inline uint16_t as_half(uint16_t v) { return v; }
+inline float as_float(float v) { return v; }
+inline float as_float(uint16_t v) { return half_to_float(v); }
 
-extern "C" {
-
-// Write an interleaved float32 image (height x width x channels, RGB order
-// for 3-channel). pixel_type: 1=half 2=float; compression_id: OpenEXR id
+// Write an interleaved image (height x width x channels, RGB order for
+// 3-channel); T = float (float32 input) or uint16_t (IEEE half input).
+// pixel_type: 1=half 2=float; compression_id: OpenEXR id
 // (0 none, 1 rle, 2 zips, 3 zip, 5 pxr24); zip_level: zlib level 1-9 for
 // ZIP/ZIPS (modern OpenEXR defaults to 4 — near-identical size to 6 on
 // delta-filtered pixel data, ~2x faster deflate).  Returns 0 on success.
-int exr_write(const char* path, const float* data, int height, int width,
-              int channels, int pixel_type, int compression_id,
-              int zip_level) {
+template <typename T>
+int exr_write_impl(const char* path, const T* data, int height, int width,
+                   int channels, int pixel_type, int compression_id,
+                   int zip_level) {
   if (pixel_type != HALF && pixel_type != FLOAT) return -2;
   if (compression_id < 0 || compression_id > 5) return -3;
 
@@ -861,17 +867,17 @@ int exr_write(const char* path, const float* data, int height, int width,
     size_t off = 0;
     for (int y = y0; y < y1; ++y) {
       for (int ci = 0; ci < channels; ++ci) {
-        const float* row = data +
+        const T* row = data +
             (static_cast<size_t>(y) * width * channels) + src_idx[ci];
         if (pixel_type == HALF) {
           uint16_t* dst = reinterpret_cast<uint16_t*>(raw.data() + off);
           for (int x = 0; x < width; ++x)
-            dst[x] = float_to_half(row[static_cast<size_t>(x) * channels]);
+            dst[x] = as_half(row[static_cast<size_t>(x) * channels]);
           off += static_cast<size_t>(width) * 2;
         } else {
           float* dst = reinterpret_cast<float*>(raw.data() + off);
           for (int x = 0; x < width; ++x)
-            dst[x] = row[static_cast<size_t>(x) * channels];
+            dst[x] = as_float(row[static_cast<size_t>(x) * channels]);
           off += static_cast<size_t>(width) * 4;
         }
       }
@@ -951,14 +957,14 @@ int exr_write(const char* path, const float* data, int height, int width,
       tmp.reserve(raw_size);
       for (int y = y0; y < y1; ++y) {
         for (int ci = 0; ci < channels; ++ci) {
-          const float* row = data +
+          const T* row = data +
               (static_cast<size_t>(y) * width * channels) + src_idx[ci];
           if (pixel_type == FLOAT) {
             std::vector<uint8_t> hi(width), mid(width), lo(width);
             uint32_t prev = 0;
             for (int x = 0; x < width; ++x) {
               uint32_t p = float_to_float24(
-                  row[static_cast<size_t>(x) * channels]);
+                  as_float(row[static_cast<size_t>(x) * channels]));
               uint32_t diff = (p - prev) & 0xFFFFFFu;
               prev = p;
               hi[x] = (diff >> 16) & 0xFF;
@@ -972,7 +978,7 @@ int exr_write(const char* path, const float* data, int height, int width,
             std::vector<uint8_t> hi(width), lo(width);
             uint32_t prev = 0;
             for (int x = 0; x < width; ++x) {
-              uint32_t p = float_to_half(
+              uint32_t p = as_half(
                   row[static_cast<size_t>(x) * channels]);
               uint32_t diff = (p - prev) & 0xFFFFu;
               prev = p;
@@ -1012,6 +1018,27 @@ int exr_write(const char* path, const float* data, int height, int width,
     ok = ok && std::fwrite(c.data(), 1, c.size(), f) == c.size();
   std::fclose(f);
   return ok ? 0 : -5;
+}
+
+}  // namespace
+
+extern "C" {
+
+int exr_write(const char* path, const float* data, int height, int width,
+              int channels, int pixel_type, int compression_id,
+              int zip_level) {
+  return exr_write_impl(path, data, height, width, channels, pixel_type,
+                        compression_id, zip_level);
+}
+
+// Half-precision input (IEEE 754 binary16 as uint16, e.g. numpy float16):
+// with pixel_type=half the scanline pack is a pure 16-bit gather — no
+// per-pixel float->half conversion on the hot export path.
+int exr_write_half(const char* path, const uint16_t* data, int height,
+                   int width, int channels, int pixel_type,
+                   int compression_id, int zip_level) {
+  return exr_write_impl(path, data, height, width, channels, pixel_type,
+                        compression_id, zip_level);
 }
 
 // ---------------------------------------------------------------------------

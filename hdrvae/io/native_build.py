@@ -64,6 +64,11 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
         lib.exr_write.restype = ctypes.c_int
+        lib.exr_write_half.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.exr_write_half.restype = ctypes.c_int
         lib.exr_read_header.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]

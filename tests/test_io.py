@@ -42,6 +42,23 @@ class TestEXRCodec:
             np.testing.assert_allclose(back, hdr_image, rtol=2e-4,
                                        atol=1e-4)
 
+    @pytest.mark.parametrize("compression", ALL_COMPRESSIONS + ["piz"])
+    @pytest.mark.parametrize("pixel_type", ["half", "float"])
+    def test_float16_input_byte_identical(self, tmp_path, hdr_image,
+                                          compression, pixel_type):
+        """float16 input (the pipelined exporter's reduced-precision fetch)
+        must produce the same file as float32 input carrying the same
+        binary16 values — the half-input codec entry skips the per-pixel
+        float->half conversion but may not change a byte."""
+        img16 = hdr_image.astype(np.float16)
+        pa = str(tmp_path / "from32.exr")
+        pb = str(tmp_path / "from16.exr")
+        exr.write_exr(pa, img16.astype(np.float32), pixel_type=pixel_type,
+                      compression=compression)
+        exr.write_exr(pb, img16, pixel_type=pixel_type,
+                      compression=compression)
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
     @pytest.mark.parametrize("compression", ALL_COMPRESSIONS)
     def test_native_and_python_are_byte_identical(self, tmp_path, hdr_image,
                                                   compression):
