@@ -152,6 +152,14 @@ class HDRDecodeConfig:
     # ignored by the jit cache.
     use_fused_epilogue: bool = False
 
+    # Return the plain (standard) decode next to the HDR image.  The node
+    # contract needs it (builtin VAEDecode parity) but it forces a second
+    # full-resolution float32 output buffer to stay live through the
+    # epilogue — at 4096^2 that is ~200 MB of HBM; large-image callers that
+    # only want the HDR image can drop it (HDRDecodeResult.standard is then
+    # None).
+    keep_standard: bool = True
+
     def canonical_mode(self) -> str:
         mode = HDR_MODE_ALIASES.get(self.hdr_mode, self.hdr_mode)
         if mode not in HDR_MODES:

@@ -38,7 +38,8 @@ Params = Dict[str, Any]
 
 class HDRDecodeResult(NamedTuple):
     image: jnp.ndarray                    # [B, H, W, 3] float32 linear HDR
-    standard: jnp.ndarray                 # [B, H, W, 3] the plain decode
+    standard: jnp.ndarray | None          # plain decode (None when
+                                          # cfg.keep_standard=False)
     stats: Dict[str, Any]                 # nested in-graph stats
     used_fallback: jnp.ndarray            # 0-d bool: raw-features tier used
 
@@ -163,7 +164,10 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
         "norm_kind": analysis.norm_kind,
         "output": hdr_stats(image),
     }
-    return image, out.rgb, stats, used_fallback
+    # Not returning the standard decode lets XLA reuse its buffer for the
+    # HDR image instead of keeping both full-res float32 tensors live.
+    standard = out.rgb if cfg.keep_standard else None
+    return image, standard, stats, used_fallback
 
 
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",

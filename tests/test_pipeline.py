@@ -175,6 +175,20 @@ def test_ev_multiplier_applied(small_cfg, small_params, rng):
                                np.asarray(base.image) * 2.0, rtol=1e-6)
 
 
+def test_keep_standard_false_drops_second_output(small_cfg, small_params,
+                                                 rng):
+    """keep_standard=False returns standard=None with an identical HDR
+    image — the large-image memory knob (VERDICT round-2 item 4) must not
+    perturb the result."""
+    latent = _latent(rng, small_cfg, h=4, w=4)
+    full = hdr_decode(small_params, latent, small_cfg, HDRDecodeConfig())
+    lean = hdr_decode(small_params, latent, small_cfg,
+                      HDRDecodeConfig(keep_standard=False))
+    assert lean.standard is None and full.standard is not None
+    np.testing.assert_array_equal(np.asarray(full.image),
+                                  np.asarray(lean.image))
+
+
 def test_shape_bucketing_exact(small_cfg, small_params, rng):
     """Bucketed decode compiles one padded shape for nearby resolutions and
     crops the output back.  The pad region is masked out of every GN
