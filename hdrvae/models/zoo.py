@@ -11,6 +11,8 @@ JAX forwards:
                                        -> models.rrdbnet
   - SwinIR (official schema, all four upsampler heads)
                                        -> models.swinir
+  - HAT (official schema; HAB + OCAB hybrid attention)
+                                       -> models.hat
 
 ``load_upscale_model`` returns (params, model_cfg, architecture_name);
 ``upscaler_apply`` dispatches on the config type so the HDR upscale
@@ -25,13 +27,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from hdrvae.core.config import Precision
+from hdrvae.models.hat import (HATConfig, hat_apply, hat_from_state_dict,
+                               is_hat_state_dict)
 from hdrvae.models.rrdbnet import (RRDBNetConfig, rrdbnet_apply,
                                    rrdbnet_from_state_dict)
 from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
                                   swinir_apply, swinir_from_state_dict)
 
 Params = Dict[str, Any]
-ModelConfig = Union[RRDBNetConfig, SwinIRConfig]
+ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig]
 
 
 def _load_state_dict(path: str) -> Mapping[str, Any]:
@@ -55,6 +59,11 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     (`hdr_upscale_with_model.py:266-279`: ESRGAN/RealESRGAN/SwinIR/HAT
     -> atanh, default logit)."""
     sd = _load_state_dict(path)
+    # HAT first: its state dicts share SwinIR's residual_group.blocks
+    # spine, so the SwinIR detector also matches them.
+    if is_hat_state_dict(sd):
+        params, cfg = hat_from_state_dict(sd)
+        return params, cfg, "HAT"
     if is_swinir_state_dict(sd):
         params, cfg = swinir_from_state_dict(sd)
         return params, cfg, "SwinIR"
@@ -68,6 +77,8 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
 def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
                    precision: Precision = Precision()) -> jnp.ndarray:
     """Unified NHWC [B, H, W, C] -> [B, sH, sW, C] forward."""
+    if isinstance(cfg, HATConfig):
+        return hat_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SwinIRConfig):
         return swinir_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, RRDBNetConfig):
@@ -81,6 +92,12 @@ def working_set_bytes_per_pixel(cfg: ModelConfig,
     tile-size planner (replaces the reference's halve-on-OOM retry)."""
     elsize = jnp.dtype(precision.storage_dtype).itemsize
     out_bytes = cfg.scale ** 2 * 3 * 4
+    if isinstance(cfg, HATConfig):
+        # qkv + mlp hidden like SwinIR, plus OCAB's unfolded k/v patches
+        # (overlap_win/window)^2 ~ 2.25x the token count at overlap 0.5
+        ratio = (cfg.overlap_win_size / cfg.window_size) ** 2
+        width = cfg.embed_dim * (3 + cfg.mlp_ratio + 2 * ratio)
+        return float(width * 2 * elsize + out_bytes)
     if isinstance(cfg, SwinIRConfig):
         # qkv (3x dim) + mlp hidden, live alongside the token stream
         width = cfg.embed_dim * (3 + cfg.mlp_ratio)

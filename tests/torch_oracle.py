@@ -458,3 +458,300 @@ class TorchSwinIR(nn.Module):
             x = x + self.conv_last(res)
         x = x / self.cfg.img_range + self.mean
         return x[:, :, :h0 * self.cfg.scale, :w0 * self.cfg.scale]
+
+
+# ---------------------------------------------------------------------------
+# HAT oracle (official XPixelGroup/HAT hat_arch.py structure + key schema)
+# ---------------------------------------------------------------------------
+
+
+class _ChannelAttention(nn.Module):
+    def __init__(self, num_feat, squeeze_factor):
+        super().__init__()
+        self.attention = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(num_feat, num_feat // squeeze_factor, 1, padding=0),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(num_feat // squeeze_factor, num_feat, 1, padding=0),
+            nn.Sigmoid())
+
+    def forward(self, x):
+        return x * self.attention(x)
+
+
+class _CAB(nn.Module):
+    def __init__(self, num_feat, compress_ratio, squeeze_factor):
+        super().__init__()
+        self.cab = nn.Sequential(
+            nn.Conv2d(num_feat, num_feat // compress_ratio, 3, 1, 1),
+            nn.GELU(),
+            nn.Conv2d(num_feat // compress_ratio, num_feat, 3, 1, 1),
+            _ChannelAttention(num_feat, squeeze_factor))
+
+    def forward(self, x):
+        return self.cab(x)
+
+
+class _HATWindowAttention(nn.Module):
+    """HAB attention: same math as Swin's but the relative-position index
+    lives at the HAT top level (no per-module buffer in checkpoints)."""
+
+    def __init__(self, dim, window_size, num_heads):
+        super().__init__()
+        self.window_size = window_size
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window_size - 1) ** 2, num_heads))
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, rpi, mask=None):
+        b_, n, c = x.shape
+        qkv = self.qkv(x).reshape(b_, n, 3, self.num_heads,
+                                  c // self.num_heads).permute(
+                                      2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = q * self.scale
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            rpi.view(-1)].view(n, n, -1)
+        attn = attn + bias.permute(2, 0, 1).contiguous().unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b_ // nw, nw, self.num_heads, n, n) + \
+                mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.num_heads, n, n)
+        attn = torch.softmax(attn, dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+class _HAB(nn.Module):
+    def __init__(self, dim, num_heads, window_size, shift_size,
+                 compress_ratio, squeeze_factor, conv_scale, mlp_ratio):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = shift_size
+        self.conv_scale = conv_scale
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = _HATWindowAttention(dim, window_size, num_heads)
+        self.conv_block = _CAB(dim, compress_ratio, squeeze_factor)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = _SwinMlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x, x_size, rpi_sa, attn_mask):
+        h, w = x_size
+        b, L, c = x.shape
+        shortcut = x
+        x = self.norm1(x).view(b, h, w, c)
+        conv_x = self.conv_block(x.permute(0, 3, 1, 2))
+        conv_x = conv_x.permute(0, 2, 3, 1).contiguous().view(b, L, c)
+        if self.shift_size > 0:
+            shifted = torch.roll(x, (-self.shift_size, -self.shift_size),
+                                 (1, 2))
+            mask = attn_mask
+        else:
+            shifted = x
+            mask = None
+        wins = _win_part(shifted, self.window_size)
+        wins = self.attn(wins, rpi_sa, mask)
+        x = _win_rev(wins, self.window_size, h, w)
+        if self.shift_size > 0:
+            x = torch.roll(x, (self.shift_size, self.shift_size), (1, 2))
+        attn_x = x.view(b, L, c)
+        x = shortcut + attn_x + conv_x * self.conv_scale
+        return x + self.mlp(self.norm2(x))
+
+
+class _OCAB(nn.Module):
+    def __init__(self, dim, window_size, overlap_ratio, num_heads,
+                 mlp_ratio):
+        super().__init__()
+        self.dim = dim
+        self.window_size = window_size
+        self.num_heads = num_heads
+        self.scale = (dim // num_heads) ** -0.5
+        self.overlap_win_size = int(window_size * overlap_ratio) + \
+            window_size
+        self.norm1 = nn.LayerNorm(dim)
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.unfold = nn.Unfold(
+            kernel_size=(self.overlap_win_size, self.overlap_win_size),
+            stride=window_size,
+            padding=(self.overlap_win_size - window_size) // 2)
+        self.relative_position_bias_table = nn.Parameter(torch.zeros(
+            (window_size + self.overlap_win_size - 1) ** 2, num_heads))
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = _SwinMlp(dim, int(dim * mlp_ratio))
+
+    def forward(self, x, x_size, rpi):
+        h, w = x_size
+        b, L, c = x.shape
+        ws, wse = self.window_size, self.overlap_win_size
+        shortcut = x
+        x = self.norm1(x).view(b, h, w, c)
+        qkv = self.qkv(x).reshape(b, h, w, 3, c).permute(3, 0, 4, 1, 2)
+        q = qkv[0].permute(0, 2, 3, 1)                     # b, h, w, c
+        kv = torch.cat((qkv[1], qkv[2]), dim=1)            # b, 2c, h, w
+        q_windows = _win_part(q, ws).view(-1, ws * ws, c)
+        kv_windows = self.unfold(kv)                       # b, 2c*wse2, nw
+        nw = kv_windows.shape[-1]
+        kv_windows = kv_windows.view(
+            b, 2, c, wse, wse, nw).permute(1, 0, 5, 3, 4, 2)
+        kv_windows = kv_windows.reshape(2, b * nw, wse * wse, c)
+        k_windows, v_windows = kv_windows[0], kv_windows[1]
+        b_, nq, _ = q_windows.shape
+        d = c // self.num_heads
+        q = q_windows.reshape(b_, nq, self.num_heads, d).permute(
+            0, 2, 1, 3)
+        k = k_windows.reshape(b_, wse * wse, self.num_heads, d).permute(
+            0, 2, 1, 3)
+        v = v_windows.reshape(b_, wse * wse, self.num_heads, d).permute(
+            0, 2, 1, 3)
+        q = q * self.scale
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            rpi.view(-1)].view(ws * ws, wse * wse, -1)
+        attn = attn + bias.permute(2, 0, 1).contiguous().unsqueeze(0)
+        attn = torch.softmax(attn, dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b_, nq, self.dim)
+        x = _win_rev(x, ws, h, w).view(b, L, self.dim)
+        x = self.proj(x) + shortcut
+        return x + self.mlp(self.norm2(x))
+
+
+class _AttenBlocks(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, compress_ratio,
+                 squeeze_factor, conv_scale, overlap_ratio, mlp_ratio):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _HAB(dim, num_heads, window_size,
+                 0 if i % 2 == 0 else window_size // 2,
+                 compress_ratio, squeeze_factor, conv_scale, mlp_ratio)
+            for i in range(depth)])
+        self.overlap_attn = _OCAB(dim, window_size, overlap_ratio,
+                                  num_heads, mlp_ratio)
+
+    def forward(self, x, x_size, params):
+        for blk in self.blocks:
+            x = blk(x, x_size, params["rpi_sa"], params["attn_mask"])
+        return self.overlap_attn(x, x_size, params["rpi_oca"])
+
+
+class _RHAG(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, compress_ratio,
+                 squeeze_factor, conv_scale, overlap_ratio, mlp_ratio):
+        super().__init__()
+        self.residual_group = _AttenBlocks(
+            dim, depth, num_heads, window_size, compress_ratio,
+            squeeze_factor, conv_scale, overlap_ratio, mlp_ratio)
+        self.conv = nn.Conv2d(dim, dim, 3, 1, 1)
+
+    def forward(self, x, x_size, params):
+        h, w = x_size
+        b, L, c = x.shape
+        y = self.residual_group(x, x_size, params)
+        y = y.transpose(1, 2).view(b, c, h, w)
+        y = self.conv(y)
+        return y.flatten(2).transpose(1, 2) + x
+
+
+class TorchHAT(nn.Module):
+    """Official-schema HAT (pixelshuffle head); NCHW in [0, 1], same
+    mean/img_range handling as the published network, reflect-padded to
+    window multiples like the JAX forward (the official net requires
+    pre-padded inputs)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg.embed_dim
+        self.mean = torch.tensor([0.4488, 0.4371, 0.4040]).view(
+            1, 3, 1, 1) if cfg.in_channels == 3 else torch.zeros(
+            1, 1, 1, 1)
+        self.conv_first = nn.Conv2d(cfg.in_channels, dim, 3, 1, 1)
+        self.patch_embed = _PatchEmbed(dim, cfg.patch_norm)
+        self.layers = nn.ModuleList([
+            _RHAG(dim, cfg.depths[i], cfg.num_heads[i], cfg.window_size,
+                  cfg.compress_ratio, cfg.squeeze_factor, cfg.conv_scale,
+                  cfg.overlap_ratio, cfg.mlp_ratio)
+            for i in range(len(cfg.depths))])
+        self.norm = nn.LayerNorm(dim)
+        self.conv_after_body = nn.Conv2d(dim, dim, 3, 1, 1)
+        nf = cfg.num_feat
+        # HAT: LeakyReLU here (SwinIR's pixelshuffle head uses ReLU)
+        self.conv_before_upsample = nn.Sequential(
+            nn.Conv2d(dim, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+        ups, s = [], cfg.scale
+        while s > 1:
+            r = 3 if s % 2 else 2
+            ups += [nn.Conv2d(nf, nf * r * r, 3, 1, 1),
+                    nn.PixelShuffle(r)]
+            s //= r
+        self.upsample = nn.Sequential(*ups)
+        self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+
+    def _statics(self, h, w, device):
+        ws = self.cfg.window_size
+        wse = int(ws * self.cfg.overlap_ratio) + ws
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(ws), torch.arange(ws), indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= 2 * ws - 1
+        rpi_sa = rel.sum(-1)
+
+        co = torch.stack(torch.meshgrid(
+            torch.arange(ws), torch.arange(ws),
+            indexing="ij")).flatten(1)
+        ce = torch.stack(torch.meshgrid(
+            torch.arange(wse), torch.arange(wse),
+            indexing="ij")).flatten(1)
+        rel = ce[:, None, :] - co[:, :, None]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= ws + wse - 1
+        rpi_oca = rel.sum(-1)
+
+        ss = ws // 2
+        img = torch.zeros((1, h, w, 1), device=device)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+            for vs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                img[:, hs, vs, :] = cnt
+                cnt += 1
+        mw = _win_part(img, ws).view(-1, ws * ws)
+        am = mw.unsqueeze(1) - mw.unsqueeze(2)
+        am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+        return {"rpi_sa": rpi_sa.to(device), "rpi_oca": rpi_oca.to(device),
+                "attn_mask": am}
+
+    def forward_features(self, x):
+        x_size = (x.shape[2], x.shape[3])
+        params = self._statics(*x_size, x.device)
+        t = self.patch_embed(x)
+        for layer in self.layers:
+            t = layer(t, x_size, params)
+        t = self.norm(t)
+        return t.transpose(1, 2).view(x.shape[0], -1, *x_size)
+
+    @torch.no_grad()
+    def forward(self, x):
+        h0, w0 = x.shape[2], x.shape[3]
+        ws = self.cfg.window_size
+        mod_h, mod_w = (-h0) % ws, (-w0) % ws
+        if mod_h or mod_w:
+            x = F.pad(x, (0, mod_w, 0, mod_h), "reflect")
+        x = (x - self.mean) * self.cfg.img_range
+        x = self.conv_first(x)
+        x = self.conv_after_body(self.forward_features(x)) + x
+        x = self.conv_before_upsample(x)
+        x = self.conv_last(self.upsample(x))
+        x = x / self.cfg.img_range + self.mean
+        return x[:, :, :h0 * self.cfg.scale, :w0 * self.cfg.scale]
