@@ -495,7 +495,8 @@ def phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                           w: int, emit: bool, gs: int, owned: bool,
-                          padded_out: bool, nc: int, act=None):
+                          padded_out: bool, nc: int, act=None,
+                          dep: bool = False):
     """One grid step of the fused upsample+conv: input block
     (bi, bj) -> output rows [2*bi*br, +2*br) x cols [2*bj*wb, +2*wb),
     all four phases accumulated from the (at most 9) shifted input
@@ -505,6 +506,8 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
     k_ref = next(it)
     b_ref = next(it)
     bounds_ref = next(it) if owned else None
+    if dep:
+        next(it)   # `after` scheduling fence: never read
     o_ref = next(it)
     ssum_ref = next(it) if emit else None
     ssq_ref = next(it) if emit else None
@@ -625,9 +628,17 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      owned_rows: Optional[jnp.ndarray] = None,
                      x_padded: bool = False,
                      padded_out: bool = False,
-                     act: Optional[str] = None):
+                     act: Optional[str] = None,
+                     after: Optional[jnp.ndarray] = None):
     """conv3x3(nearest_upsample_2x(x)) + bias (then ``act``: None |
     "lrelu") as ONE kernel.
+
+    ``after`` — optional scheduling fence: the array is wired in as an
+    ANY-space operand the kernel never reads, creating a true data
+    dependency so XLA cannot start this call before ``after`` is
+    produced.  `optimization_barrier` is NOT enough — the compiler
+    splits variadic barriers per value and the joint ordering is lost
+    (measured in the 4K low-memory decode, models/pallas_tail.py).
 
     x [H, W, Cin] (or the padded chain layout with ``x_padded``) ->
     [2H, 2W, Cout] (padded chain layout with ``padded_out``).  2.25x
@@ -666,7 +677,7 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     kern = functools.partial(_upsample_conv_kernel, br=br, wb=wb, cb=cb,
                              h=h, w=w, emit=emit_stats, gs=gs,
                              owned=owned, padded_out=padded_out, nc=nc,
-                             act=act)
+                             act=act, dep=after is not None)
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -679,6 +690,9 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
         in_specs.append(pl.BlockSpec((1, 2), lambda i, j, co: (0, 0),
                                      memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(owned_rows, jnp.int32).reshape(1, 2))
+    if after is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(after)
     if padded_out:
         out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         out_shape = [jax.ShapeDtypeStruct(

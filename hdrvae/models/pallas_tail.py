@@ -40,6 +40,13 @@ Moments = Tuple[jnp.ndarray, jnp.ndarray]    # (mean [G], var [G]) float32
 
 _EPS = 1e-6
 
+# Output-pixel count above which `upstack_apply` defaults to the
+# folded-residual low-memory top level (see `_resnet_block`): the
+# three-buffer peak (8 + 4 + 4 GB at 4096^2) scales with H*W and first
+# exceeds the 15.75 GB v5e HBM between 3840^2 (14.1 GB) and 4096^2
+# (16.08 GB, measured).
+LOWMEM_MIN_PIXELS = 15_000_000
+
 
 def _entry_moments(x: jnp.ndarray, num_groups: int) -> Moments:
     """Fast-mode GroupNorm moments of the up-stack entry (the head output):
@@ -113,17 +120,31 @@ class _SlabStatScope(_StatScope):
 def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
                   cfg: DecoderConfig, precision: Precision,
                   scope: _StatScope = None, *,
-                  padded_in: bool = False, padded_out: bool = False
+                  padded_in: bool = False, padded_out: bool = False,
+                  lowmem_residual=None
                   ) -> Tuple[jnp.ndarray, Moments]:
     """One ResNet block as two fused kernels.  ``padded_in/out`` select
     the padded chain layout (kernels.conv3x3 module docstring); the
     intermediate conv1 output always stays padded (conv2 consumes it
-    directly)."""
+    directly).
+
+    ``lowmem_residual`` — ``(x_lo, up_kernel, up_bias)`` when the block's
+    input ``x`` is the output of the upsample kernel on the (padded)
+    low-res map ``x_lo``: instead of keeping the full-res ``x`` live as
+    conv2's residual operand, the residual branch
+    ``nin_shortcut(upsample_conv(x_lo))`` — linear end to end, no
+    norm/activation on a ResNet shortcut — is recomputed from ``x_lo``
+    with the 1x1 projection FOLDED into the upsample conv's weights,
+    after conv1 has consumed ``x``.  The big buffer then dies at conv1
+    and peak HBM drops by a full feature map (8 GB at 4096^2): the
+    whole-image 4K decode exceeded HBM by 344 MB without this
+    (PERF_NOTES.md section 5)."""
     g = cfg.num_groups
     cdt = precision.compute_dtype
     scope = scope or _StatScope()
     hh = x.shape[0] - (2 if padded_in else 0)
     ww = x.shape[1] - (2 * _MG if padded_in else 0)
+    lowmem = lowmem_residual is not None and "nin_shortcut" in p
 
     g1, b1 = _affine(p["norm1"], moments, g)
     h1, s1 = fused_conv3x3(
@@ -136,17 +157,40 @@ def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
 
     bias2 = p["conv2"]["bias"]
     res_kernel = None
-    if "nin_shortcut" in p:
+    residual = x
+    if lowmem:
+        # proj(conv_up(nearest(x_lo)) + b_up) + b_p ==
+        #   conv_fold(nearest(x_lo)) + (b_up @ Wp + b_p) with
+        #   W_fold = W_up . Wp  (both branches linear).  The barrier
+        # orders the recompute AFTER conv1 so the scheduler cannot hoist
+        # it and re-create the three-buffer peak this path removes.
+        wp = p["nin_shortcut"]["kernel"][0, 0].astype(jnp.float32)
+        x_lo, up_kernel, up_bias = lowmem_residual
+        w_fold = jnp.einsum(
+            "ijab,bc->ijac", up_kernel.astype(jnp.float32), wp).astype(cdt)
+        b_fold = (up_bias.astype(jnp.float32) @ wp
+                  + p["nin_shortcut"]["bias"].astype(jnp.float32))
+        # ``after=h1`` is a hard scheduling fence (a dummy pallas_call
+        # operand): `optimization_barrier((x_lo, h1))` is split per
+        # value by the compiler, the joint ordering is lost, and the
+        # scheduler hoists this recompute before conv1 — bringing the
+        # 16 GB three-buffer peak right back (measured at 4096^2).
+        residual = upsample_conv3x3(
+            x_lo, w_fold, b_fold, emit_stats=False,
+            out_dtype=precision.storage_dtype, x_padded=True,
+            padded_out=True, after=h1)
+    elif "nin_shortcut" in p:
         # 1x1 projection fused into the second conv's epilogue; its bias
         # folds into the conv bias.
         res_kernel = p["nin_shortcut"]["kernel"][0, 0].astype(cdt)
         bias2 = bias2 + p["nin_shortcut"]["bias"]
     y, s2 = fused_conv3x3(
         h1, p["conv2"]["kernel"].astype(cdt), bias2,
-        gamma=g2, beta=b2, residual=x, res_kernel=res_kernel,
+        gamma=g2, beta=b2, residual=residual, res_kernel=res_kernel,
         emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype,
         owned_rows=scope.owned_rows(), x_padded=True,
-        residual_padded=padded_in, padded_out=padded_out)
+        residual_padded=True if lowmem else padded_in,
+        padded_out=padded_out)
     c2 = y.shape[-1]
     return y, scope.finalize(s2, hh, ww, c2 // g)
 
@@ -155,16 +199,21 @@ def _levels_apply(params: Params, x: jnp.ndarray,
                   cfg: DecoderConfig, precision: Precision,
                   moments: Moments, scope: _StatScope, *,
                   hi: int, lo: int = 0,
-                  padded_in: bool = False, padded_out: bool = False
+                  padded_in: bool = False, padded_out: bool = False,
+                  lowmem: bool = False
                   ) -> Tuple[jnp.ndarray, Moments]:
     """Up levels ``hi - 1 .. lo`` as the fused kernel chain.
 
     Activations stay in the padded chain layout between kernels (ONE
     XLA pad at entry when ``padded_in`` is False; the final kernel
-    writes unpadded when ``padded_out`` is False)."""
+    writes unpadded when ``padded_out`` is False).  ``lowmem`` engages
+    the folded-residual recompute for the top level's first block (see
+    `_resnet_block`); it trades one extra half-width upsample conv
+    (~3% of decode FLOPs at 4K) for an 8 GB lower peak."""
     cdt = precision.compute_dtype
     if not padded_in:
         x = pad_chain_input(x)
+    pending_lowmem = None
     for level in reversed(range(lo, hi)):
         up = params["up"][level]
         level_last = level == lo
@@ -173,13 +222,18 @@ def _levels_apply(params: Params, x: jnp.ndarray,
                      and j == cfg.num_res_blocks)
             x, moments = _resnet_block(
                 x, up["block"][j], moments, cfg, precision, scope,
-                padded_in=True, padded_out=padded_out or not final)
+                padded_in=True, padded_out=padded_out or not final,
+                lowmem_residual=pending_lowmem if j == 0 else None)
+        pending_lowmem = None
         if level != 0:
             # 2x nearest upsample fused into the conv (2x2-phase
             # decomposition, 2.25x fewer MACs; the upsampled map never
             # touches HBM).  Stats are emitted at the doubled resolution.
             scope.f *= 2
             final = level_last and lo > 0
+            if lowmem and level - 1 == 0:
+                pending_lowmem = (x, up["upsample"]["kernel"],
+                                  up["upsample"]["bias"])
             x, sums = upsample_conv3x3(
                 x, up["upsample"]["kernel"].astype(cdt),
                 up["upsample"]["bias"], emit_stats=True,
@@ -197,7 +251,8 @@ def _levels_apply(params: Params, x: jnp.ndarray,
 def upstack_apply(params: Params, x: jnp.ndarray,
                   cfg: DecoderConfig = DecoderConfig(), *,
                   precision: Precision = Precision.fast(),
-                  moments: Moments = None
+                  moments: Moments = None,
+                  lowmem: bool | None = None
                   ) -> Tuple[jnp.ndarray, Moments]:
     """Run every up level on one sample x [H, W, block_in] (a decoder_head
     output with ``tail_levels == num_levels``).
@@ -207,11 +262,17 @@ def upstack_apply(params: Params, x: jnp.ndarray,
     GNTape("inject") so norm_out reuses the already-reduced statistics.
     ``moments`` are the GN moments of x if the producer already has them
     (the Pallas mid-stack emits them); None computes them here.
+    ``lowmem`` — None picks automatically: the folded-residual recompute
+    (`_resnet_block`) engages when the output exceeds LOWMEM_MIN_PIXELS
+    (whole-image 4096^2 otherwise exceeds v5e HBM by 344 MB).
     """
     if moments is None:
         moments = _entry_moments(x, cfg.num_groups)
+    if lowmem is None:
+        f = 2 ** (cfg.num_levels - 1)
+        lowmem = (x.shape[0] * f) * (x.shape[1] * f) >= LOWMEM_MIN_PIXELS
     return _levels_apply(params, x, cfg, precision, moments, _StatScope(),
-                         hi=cfg.num_levels)
+                         hi=cfg.num_levels, lowmem=lowmem)
 
 
 def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,

@@ -308,6 +308,30 @@ class TestUpstack:
                                    atol=2e-5)
 
     @pytest.mark.slow
+    def test_lowmem_residual_fold(self, small_cfg):
+        """The low-memory top level (residual branch recomputed from the
+        pre-upsample map with the nin_shortcut FOLDED into the upsample
+        conv's weights — models/pallas_tail.py `_resnet_block`) is the
+        same linear function as keeping the upsampled map live: f32
+        agreement to reassociation error.  This is the path that brings
+        whole-image 4096^2 decode under v5e HBM (VERDICT round 2 item 4)."""
+        params = init_decoder(jax.random.PRNGKey(0), small_cfg)
+        x = _rand(1, (8, 8, small_cfg.ch * small_cfg.ch_mult[-1]), 2.0)
+        prec = Precision(compute_dtype=jnp.float32,
+                         storage_dtype=jnp.float32, mode="fast")
+        with pltpu.force_tpu_interpret_mode():
+            a, ma = upstack_apply(params, x, small_cfg, precision=prec,
+                                  lowmem=False)
+            b, mb = upstack_apply(params, x, small_cfg, precision=prec,
+                                  lowmem=True)
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ma[0]), np.asarray(mb[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ma[1]), np.asarray(mb[1]),
+                                   atol=1e-6)
+
+    @pytest.mark.slow
     def test_bf16_close(self, small_cfg):
         """bf16 storage: residual-add rounding differs by design; bound it
         at a few bf16 ulps of the activation scale."""
