@@ -73,12 +73,18 @@ def pad_chain_input(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((1, 1), (_MG, _MG), (0, 0)))
 
 
-def _slab_dma(x_hbm, xs, sems, slot, bi, bj, op, *, br, wb):
+def _slab_dma(x_hbm, xs, sems, slot, bi, bj, op, *, br, wb, row0=0,
+              rows=None):
     """Start/wait the halo'd slab copy for block (bi, bj) from a PADDED
-    input [H+2, W+16, Cin]: rows [bi*br, bi*br + br + 2) x columns
-    [bj*wb, bj*wb + wb + 16) — always in bounds, one descriptor."""
+    input [H+2, W+16, Cin]: rows [row0 + bi*br, + (rows or br + 2)) x
+    columns [bj*wb, bj*wb + wb + 16) — always in bounds, one
+    descriptor.  ``row0``/``rows`` serve inputs carrying EXTRA row
+    padding (the [H+4, W+16] double-padded layout of the streaming
+    top level): row0=1 reads the same window as the default from a
+    [H+4] buffer; rows=br+4 widens the window for 2-row halos."""
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(bi * br, br + 2), pl.ds(bj * wb, wb + 2 * _MG)],
+        x_hbm.at[pl.ds(row0 + bi * br, rows or br + 2),
+                 pl.ds(bj * wb, wb + 2 * _MG)],
         xs.at[slot],
         sems.at[slot])
     dma.start() if op == "start" else dma.wait()
@@ -337,8 +343,19 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                   owned_rows: Optional[jnp.ndarray] = None,
                   x_padded: bool = False,
                   residual_padded: bool = False,
-                  padded_out: bool = False):
+                  padded_out: bool = False,
+                  donate_residual: bool = False):
     """Fused up-stack conv step (see `_fused_conv_kernel`).
+
+    ``donate_residual`` — alias the output onto the residual's buffer
+    (`input_output_aliases`).  Safe because the residual is consumed
+    BLOCK-ALIGNED (no halo: block (i, j) reads exactly the rows/cols it
+    writes, and the write starts only after that block's read), so the
+    in-place update never races the pipeline's prefetches.  Caller must
+    guarantee the residual has no later consumers.  This is what keeps
+    identity-residual levels at TWO live feature maps instead of three
+    — at 4096^2 each is 4 GB and the difference decides whether
+    whole-image decode fits HBM (PERF_NOTES.md section 5).
 
     x [H, W, Cin] — or, with ``x_padded``, the chain layout
     [H+2, W+16, Cin] (`pad_chain_input`); gamma/beta [Cin] f32 enable
@@ -443,6 +460,12 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         scratch += [pltpu.VMEM((2, br, wb, cb), out_dtype),
                     pltpu.SemaphoreType.DMA((2,))]
 
+    aliases = {}
+    if donate_residual:
+        assert (res == "add" and padded_out
+                and residual.dtype == out_dtype), (res, padded_out)
+        aliases = {3 + (2 if prologue else 0): 0}
+
     call = pl.pallas_call(
         kern,
         name=(f"fconv_{h}x{w}_{cin}to{cout}_br{br}w{wb}_{res}"
@@ -452,6 +475,7 @@ def fused_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * h * w * cin * cout * 9
             + (2 * h * w * cr * cout if res == "proj" else 0),
@@ -496,11 +520,15 @@ def phase_kernels(kernel: jnp.ndarray) -> jnp.ndarray:
 def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                           w: int, emit: bool, gs: int, owned: bool,
                           padded_out: bool, nc: int, act=None,
-                          dep: bool = False):
+                          dep: bool = False, write_y: bool = True,
+                          row0: int = 0, store_dtype=None):
     """One grid step of the fused upsample+conv: input block
     (bi, bj) -> output rows [2*bi*br, +2*br) x cols [2*bj*wb, +2*wb),
     all four phases accumulated from the (at most 9) shifted input
-    patches and interleaved in-register."""
+    patches and interleaved in-register.  ``write_y=False`` is the
+    statistics-only pass of the streaming top level: y is computed and
+    rounded to ``store_dtype`` for the emitted (sum, sumsq) but never
+    leaves VMEM — the full-size output buffer does not exist."""
     it = iter(refs)
     x_hbm = next(it)
     k_ref = next(it)
@@ -508,12 +536,12 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
     bounds_ref = next(it) if owned else None
     if dep:
         next(it)   # `after` scheduling fence: never read
-    o_ref = next(it)
+    o_ref = next(it) if write_y else None
     ssum_ref = next(it) if emit else None
     ssq_ref = next(it) if emit else None
     xs = next(it)
     sems = next(it)
-    if padded_out:
+    if write_y and padded_out:
         os_ = next(it)
         osems = next(it)
 
@@ -530,18 +558,20 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
 
     @pl.when(jnp.logical_and(bid == 0, co == 0))
     def _warmup():
-        _slab_dma(x_hbm, xs, sems, 0, 0, 0, "start", br=br, wb=wb)
+        _slab_dma(x_hbm, xs, sems, 0, 0, 0, "start", br=br, wb=wb,
+                  row0=row0)
 
     @pl.when(co == 0)
     def _sync():
-        _slab_dma(x_hbm, xs, sems, sl, bi, bj, "wait", br=br, wb=wb)
+        _slab_dma(x_hbm, xs, sems, sl, bi, bj, "wait", br=br, wb=wb,
+                  row0=row0)
 
         @pl.when(bid + 1 < nr * nj)
         def _prefetch():
             nbj = jnp.where(bj + 1 < nj, bj + 1, 0)
             nbi = jnp.where(bj + 1 < nj, bi, bi + 1)
             _slab_dma(x_hbm, xs, sems, (bid + 1) % 2, nbi, nbj, "start",
-                      br=br, wb=wb)
+                      br=br, wb=wb, row0=row0)
 
         _zero_frames(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb, cin=cin)
 
@@ -574,7 +604,9 @@ def _upsample_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
     z = jnp.stack([t0, t1], axis=1)                      # [br, 2, wb, 2, cb]
     y32 = z.reshape(2 * br, 2 * wb, cb)
 
-    if padded_out:
+    if not write_y:
+        y = y32.astype(store_dtype)
+    elif padded_out:
         oslot = step % 2
         fc = nc == 1
 
@@ -629,9 +661,20 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
                      x_padded: bool = False,
                      padded_out: bool = False,
                      act: Optional[str] = None,
-                     after: Optional[jnp.ndarray] = None):
+                     after: Optional[jnp.ndarray] = None,
+                     stats_only: bool = False,
+                     x_row_offset: int = 0):
     """conv3x3(nearest_upsample_2x(x)) + bias (then ``act``: None |
     "lrelu") as ONE kernel.
+
+    ``stats_only`` — compute and round y block-by-block in VMEM purely
+    to emit its per-group (sum, sumsq); the [2H, 2W, Cout] output is
+    never allocated.  This is pass 1 of the streaming top level: the
+    GroupNorm moments of the upsampled map without its 8 GB (at 4K)
+    HBM footprint.  Returns just the (sum, sumsq) pair.
+    ``x_row_offset`` — x carries extra leading pad rows (the
+    [H+2+2k, W+16] layout shared with `upconv_gn_conv3x3`); the slab
+    window shifts down by this many rows.
 
     ``after`` — optional scheduling fence: the array is wired in as an
     ANY-space operand the kernel never reads, creating a true data
@@ -652,9 +695,10 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     if not x_padded:
         x = pad_chain_input(x)
     hp, wp, cin = x.shape
-    h, w = hp - 2, wp - 2 * _MG
+    h, w = hp - 2 - 2 * x_row_offset, wp - 2 * _MG
     assert kernel.shape[:3] == (3, 3, cin), (kernel.shape, x.shape)
     assert w % 8 == 0, w
+    assert not stats_only or emit_stats
     cout = kernel.shape[-1]
     out_dtype = out_dtype or x.dtype
     gs = cout // num_groups if emit_stats else 1
@@ -677,7 +721,9 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     kern = functools.partial(_upsample_conv_kernel, br=br, wb=wb, cb=cb,
                              h=h, w=w, emit=emit_stats, gs=gs,
                              owned=owned, padded_out=padded_out, nc=nc,
-                             act=act, dep=after is not None)
+                             act=act, dep=after is not None,
+                             write_y=not stats_only, row0=x_row_offset,
+                             store_dtype=out_dtype)
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
@@ -693,7 +739,9 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
     if after is not None:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(after)
-    if padded_out:
+    if stats_only:
+        out_specs, out_shape = [], []
+    elif padded_out:
         out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         out_shape = [jax.ShapeDtypeStruct(
             (2 * h + 2, 2 * w + 2 * _MG, cout), out_dtype)]
@@ -710,14 +758,15 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
         pltpu.VMEM((2, br + 2, wb + 2 * _MG, cin), x.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
-    if padded_out:
+    if padded_out and not stats_only:
         scratch += [pltpu.VMEM((2, 2 * br, 2 * wb, cb), out_dtype),
                     pltpu.SemaphoreType.DMA((2,))]
 
     call = pl.pallas_call(
         kern,
         name=f"upconv_{h}x{w}_{cin}to{cout}_br{br}w{wb}"
-             + ("_st" if emit_stats else ""),
+             + ("_st" if emit_stats else "")
+             + ("_statsonly" if stats_only else ""),
         grid=(h // br, nj, nc),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -725,9 +774,333 @@ def upsample_conv3x3(x: jnp.ndarray, kernel: jnp.ndarray,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * h * w * cin * cout * 16,
-            bytes_accessed=(h * w * cin + 2 * 4 * h * w * cout)
+            bytes_accessed=(h * w * cin + (0 if stats_only
+                                           else 2 * 4 * h * w * cout))
             * x.dtype.itemsize + 16 * cin * cout * kernel.dtype.itemsize,
             transcendentals=0,
+        ),
+    )
+    outs = call(*operands)
+    if stats_only:
+        ssum, ssq = outs
+        return (ssum.reshape(cout // gs), ssq.reshape(cout // gs))
+    if emit_stats:
+        y, ssum, ssq = outs
+        return y, (ssum.reshape(cout // gs), ssq.reshape(cout // gs))
+    return outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsample junction: upconv -> GroupNorm+SiLU -> conv3x3 fused
+# ---------------------------------------------------------------------------
+
+
+def _zero_frames2(xs, sl, bi, bj, *, nr, nj, br, wb, cin):
+    """`_zero_frames` for the double-row-halo slab [br+4, wb+16, cin]:
+    TWO border rows on each side fall outside the image at the first /
+    last row block (the streaming kernel's phase grid reaches one
+    low-res row past the block on both sides)."""
+    wm = wb + 2 * _MG
+
+    @pl.when(bi == 0)
+    def _top():
+        xs[sl, pl.ds(0, 2)] = jnp.zeros((2, wm, cin), xs.dtype)
+
+    @pl.when(bi == nr - 1)
+    def _bot():
+        xs[sl, pl.ds(br + 2, 2)] = jnp.zeros((2, wm, cin), xs.dtype)
+
+    @pl.when(bj == 0)
+    def _left():
+        xs[sl, :, pl.ds(0, _MG)] = jnp.zeros((br + 4, _MG, cin), xs.dtype)
+
+    @pl.when(bj == nj - 1)
+    def _right():
+        xs[sl, :, pl.ds(wb + _MG, _MG)] = jnp.zeros((br + 4, _MG, cin),
+                                                    xs.dtype)
+
+
+def _upconv_gn_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
+                           w: int, emit: bool, gs: int, nc: int,
+                           store_dtype=None):
+    """One grid step of conv3x3(silu(gn(conv_up(nearest2x(x))))):
+
+    The low-res slab (2-row halo) is upsample-convolved into a
+    normalized high-res BAND held in VMEM — rows [2*bi*br - 2,
+    +2*br + 4), one low-res row of overlap with the neighboring blocks'
+    bands recomputed on each side — and the 3x3 conv reads the band
+    directly.  The upsampled map never exists in HBM: at 4096^2 that
+    buffer is 8 GB and pushes whole-image decode past HBM capacity
+    (PERF_NOTES.md section 5).  Numerics match the unfused pair
+    exactly: the band is rounded to the chain storage dtype before the
+    GroupNorm affine, reproducing the HBM round trip it replaces.
+    """
+    it = iter(refs)
+    x_hbm = next(it)                 # [h+4, w+16, cin]  ANY
+    pk_ref = next(it)                # [2, 2, 2, 2, cin, cm]
+    upb_ref = next(it)               # [1, cm]
+    g_ref = next(it)                 # [1, cm] f32
+    bt_ref = next(it)                # [1, cm] f32
+    w1_ref = next(it)                # [3, 3, cm, cout]
+    b1_ref = next(it)                # [1, cout]
+    o_ref = next(it)                 # padded chain out, ANY
+    ssum_ref = next(it) if emit else None
+    ssq_ref = next(it) if emit else None
+    xs = next(it)                    # (2, br+4, wb+16, cin)
+    sems = next(it)
+    band = next(it)                  # (2*br+4, 2*wb+4, cm)
+    os_ = next(it)                   # (2, 2*br, 2*wb, cb)
+    osems = next(it)
+
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    co = pl.program_id(2)
+    nr = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    bid = bi * nj + bj
+    step = bid * nc + co
+    total = nr * nj * nc
+    sl = bid % 2
+    _, _, wm, cin = xs.shape
+    cm = band.shape[-1]
+
+    @pl.when(jnp.logical_and(bid == 0, co == 0))
+    def _warmup():
+        _slab_dma(x_hbm, xs, sems, 0, 0, 0, "start", br=br, wb=wb,
+                  rows=br + 4)
+
+    @pl.when(co == 0)
+    def _sync():
+        _slab_dma(x_hbm, xs, sems, sl, bi, bj, "wait", br=br, wb=wb,
+                  rows=br + 4)
+
+        @pl.when(bid + 1 < nr * nj)
+        def _prefetch():
+            nbj = jnp.where(bj + 1 < nj, bj + 1, 0)
+            nbi = jnp.where(bj + 1 < nj, bi, bi + 1)
+            _slab_dma(x_hbm, xs, sems, (bid + 1) % 2, nbi, nbj, "start",
+                      br=br, wb=wb, rows=br + 4)
+
+        _zero_frames2(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb,
+                      cin=cin)
+
+        # Phase grid: low-res rows [bi*br - 1, +br + 2), cols
+        # [bj*wb - 1, +wb + 2) — the block plus ONE low-res halo sample
+        # on each side, so the interleaved band carries the high-res
+        # halo the 3x3 conv needs.  Out-of-image samples are zeroed
+        # AFTER the affine+SiLU (the prologue contract: silu(beta) != 0
+        # must not leak into SAME-conv taps).
+        slab = xs[sl]
+        upb = upb_ref[0].astype(jnp.float32)
+        gam = g_ref[0].astype(jnp.float32)
+        bet = bt_ref[0].astype(jnp.float32)
+        rows = (jax.lax.broadcasted_iota(jnp.int32, (br + 2, wb + 2, 1), 0)
+                + (bi * br - 1))
+        cols = (jax.lax.broadcasted_iota(jnp.int32, (br + 2, wb + 2, 1), 1)
+                + (bj * wb - 1))
+        ok = jnp.logical_and(
+            jnp.logical_and(rows >= 0, rows < h),
+            jnp.logical_and(cols >= 0, cols < w))
+        phases = []
+        for a in range(2):
+            row_ph = []
+            for b in range(2):
+                acc = None
+                for u in range(2):
+                    for v in range(2):
+                        patch = slab[a + u:a + u + br + 2,
+                                     _MG - 2 + b + v:
+                                     _MG - 2 + b + v + wb + 2, :]
+                        part = jax.lax.dot_general(
+                            patch, pk_ref[a, b, u, v],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                      # [br+2, wb+2, cm]
+                        acc = part if acc is None else acc + part
+                # Round through the chain storage dtype (the HBM round
+                # trip this kernel replaces), then the GN prologue.
+                z = (acc + upb).astype(store_dtype).astype(jnp.float32)
+                z = z * gam[None, None, :] + bet[None, None, :]
+                z = z * jax.nn.sigmoid(z)
+                row_ph.append(jnp.where(ok, z, 0.0).astype(band.dtype))
+            phases.append(row_ph)
+        t0 = jnp.stack([phases[0][0], phases[0][1]], axis=2)
+        t1 = jnp.stack([phases[1][0], phases[1][1]], axis=2)
+        z = jnp.stack([t0, t1], axis=1)     # [br+2, 2, wb+2, 2, cm]
+        band[...] = z.reshape(2 * br + 4, 2 * wb + 4, cm)
+
+    acc = None
+    for di in range(3):
+        for dj in range(3):
+            patch = band[1 + di:1 + di + 2 * br,
+                         1 + dj:1 + dj + 2 * wb, :]
+            part = jax.lax.dot_general(
+                patch, w1_ref[di, dj, :, pl.ds(co * cb, cb)],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                               # [2br, 2wb, cb]
+            acc = part if acc is None else acc + part
+    y32 = acc + b1_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
+
+    oslot = step % 2
+    fc = nc == 1
+
+    @pl.when(step >= 2)
+    def _free():
+        _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                    br=br, wb=wb, cb=cb, full_c=fc)
+
+    y = y32.astype(os_.dtype)
+    os_[oslot] = y
+    _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "start",
+                br=br, wb=wb, cb=cb, full_c=fc)
+
+    @pl.when(step == total - 1)
+    def _drain():
+        _up_out_dma(o_ref, os_, osems, oslot, bi, bj, co, "wait",
+                    br=br, wb=wb, cb=cb, full_c=fc)
+        if total >= 2:
+            _up_out_dma(o_ref, os_, osems, 1 - oslot, bi, bj, co,
+                        "wait", br=br, wb=wb, cb=cb, full_c=fc)
+
+    if emit:
+        _emit_stats(y, ssum_ref, ssq_ref, bid, co, cb=cb, gs=gs,
+                    bounds_ref=None, row_base=2 * bi * br)
+
+
+def pick_blocks_upconv_fused(h: int, w: int, cin: int, cm: int,
+                             cout: int, itemsize: int = 2,
+                             cout_block: Optional[int] = None
+                             ) -> Tuple[int, int]:
+    """VMEM model of `_upconv_gn_conv_kernel`: double-halo input slab,
+    FULL-channel phase kernels (the band needs every mid channel), the
+    f32 phase accumulator pair + four rounded phases + the f32
+    affine/SiLU temporaries, the interleaved band (+ its register
+    copy), the conv accumulator pair, and the output pipeline."""
+    cb = cout_block or min(cout, 128)
+
+    def fits(br, wb):
+        wm = wb + 2 * _MG
+        slab = 4 * (br + 4) * wm * cin * itemsize
+        pk = 2 * 16 * cin * cm * itemsize
+        w1 = 2 * 9 * cm * cout * itemsize
+        ph = (br + 2) * (wb + 2) * cm
+        phacc = 2 * ph * 4
+        phtmp = 2 * ph * 4
+        phstore = 4 * ph * itemsize
+        bandv = 2 * (2 * br + 4) * (2 * wb + 4) * cm * itemsize
+        acc1 = 2 * 4 * br * wb * cb * 4
+        ycast = 4 * br * wb * cb * itemsize
+        out = 2 * 4 * br * wb * cb * itemsize
+        return (slab + pk + w1 + phacc + phtmp + phstore + bandv
+                + acc1 + ycast + out <= _VMEM_BUDGET)
+
+    return _best_blocks(h, w, fits)
+
+
+def upconv_gn_conv3x3(x: jnp.ndarray, up_kernel: jnp.ndarray,
+                      up_bias: jnp.ndarray, gamma: jnp.ndarray,
+                      beta: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: jnp.ndarray, *,
+                      emit_stats: bool = True,
+                      num_groups: int = 32,
+                      out_dtype=None,
+                      store_dtype=None,
+                      block_rows: Optional[int] = None,
+                      block_cols: Optional[int] = None,
+                      cout_block: Optional[int] = None):
+    """conv3x3(silu(gn_affine(conv3x3(nearest2x(x))))) as ONE kernel —
+    the streaming upsample junction (pass 2; pass 1 is
+    `upsample_conv3x3(stats_only=True)` producing gamma/beta's
+    moments).  The [2H, 2W, Cm] upsampled map lives only as per-block
+    VMEM bands; whole-image 4096^2 decode would otherwise carry it as
+    an 8 GB HBM buffer that does not fit v5e HBM next to the conv
+    buffers.
+
+    ``x`` is the DOUBLE-row-padded chain layout [H+4, W+16, Cin]
+    (`pad_chain_input` + one extra pad row each side); output is the
+    padded chain layout [2H+2, 2W+16, Cout] + the (sum, sumsq) of the
+    output.  ``gamma``/``beta`` [Cm] f32: the folded GroupNorm affine
+    of the upsampled map; ``store_dtype``: the chain storage dtype the
+    band is rounded through for exact parity with the unfused pair.
+
+    Reference parity: computes Upsample -> ResnetBlock.norm1/silu/conv1
+    of the decoder's top level (ComfyUI AutoencoderKL semantics,
+    traversed by /root/reference/hdr_vae_decode.py:775-803).
+    """
+    hp, wp, cin = x.shape
+    h, w = hp - 4, wp - 2 * _MG
+    cm = up_kernel.shape[-1]
+    cout = kernel.shape[-1]
+    assert up_kernel.shape[:3] == (3, 3, cin)
+    assert kernel.shape[:3] == (3, 3, cm)
+    out_dtype = out_dtype or x.dtype
+    store_dtype = store_dtype or x.dtype
+    gs = cout // num_groups if emit_stats else 1
+    cb = cout_block or min(cout, 128)
+    assert cout % cb == 0 and cb % gs == 0, (cout, cb, gs)
+    nc = cout // cb
+    gcb = cb // gs
+
+    if block_rows:
+        br, wb = block_rows, block_cols or w
+    else:
+        br, wb = pick_blocks_upconv_fused(h, w, cin, cm, cout,
+                                          x.dtype.itemsize, cout_block=cb)
+    assert h % br == 0 and w % wb == 0 and wb % 8 == 0, (h, br, w, wb)
+    nj = w // wb
+
+    pk = phase_kernels(up_kernel)
+    kern = functools.partial(_upconv_gn_conv_kernel, br=br, wb=wb, cb=cb,
+                             h=h, w=w, emit=emit_stats, gs=gs, nc=nc,
+                             store_dtype=store_dtype)
+    vm = dict(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((2, 2, 2, 2, cin, cm),
+                     lambda i, j, co: (0, 0, 0, 0, 0, 0), **vm),
+        pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
+        pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
+        pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
+        pl.BlockSpec((3, 3, cm, cout), lambda i, j, co: (0, 0, 0, 0),
+                     **vm),
+        pl.BlockSpec((1, cout), lambda i, j, co: (0, 0), **vm),
+    ]
+    operands = [x, pk, up_bias.reshape(1, cm),
+                gamma.astype(jnp.float32).reshape(1, cm),
+                beta.astype(jnp.float32).reshape(1, cm),
+                kernel, bias.reshape(1, cout)]
+
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct(
+        (2 * h + 2, 2 * w + 2 * _MG, cout), out_dtype)]
+    if emit_stats:
+        out_specs += [pl.BlockSpec((nc, gcb), lambda i, j, co: (0, 0),
+                                   **vm)] * 2
+        out_shape += [jax.ShapeDtypeStruct((nc, gcb), jnp.float32)] * 2
+
+    scratch = [
+        pltpu.VMEM((2, br + 4, wb + 2 * _MG, cin), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((2 * br + 4, 2 * wb + 4, cm), x.dtype),
+        pltpu.VMEM((2, 2 * br, 2 * wb, cb), out_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    call = pl.pallas_call(
+        kern,
+        name=f"upconvgnconv_{h}x{w}_{cin}to{cm}to{cout}_br{br}w{wb}",
+        grid=(h // br, nj, nc),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * cin * cm * 16
+            + 2 * (2 * h) * (2 * w) * cm * cout * 9,
+            bytes_accessed=(h * w * cin + 4 * h * w * cout) * 2
+            + (16 * cin * cm + 9 * cm * cout) * 2,
+            transcendentals=h * w * cm * 4,
         ),
     )
     outs = call(*operands)

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from hdrvae.core.config import DecoderConfig, Precision
 from hdrvae.kernels.conv3x3 import (fused_conv3x3, pad_chain_input,
-                                    upsample_conv3x3, _MG)
+                                    upconv_gn_conv3x3, upsample_conv3x3,
+                                    _MG)
 
 Params = Dict[str, Any]
 Moments = Tuple[jnp.ndarray, jnp.ndarray]    # (mean [G], var [G]) float32
@@ -121,76 +122,94 @@ def _resnet_block(x: jnp.ndarray, p: Params, moments: Moments,
                   cfg: DecoderConfig, precision: Precision,
                   scope: _StatScope = None, *,
                   padded_in: bool = False, padded_out: bool = False,
-                  lowmem_residual=None
+                  stream_upsample=None
                   ) -> Tuple[jnp.ndarray, Moments]:
     """One ResNet block as two fused kernels.  ``padded_in/out`` select
     the padded chain layout (kernels.conv3x3 module docstring); the
     intermediate conv1 output always stays padded (conv2 consumes it
     directly).
 
-    ``lowmem_residual`` — ``(x_lo, up_kernel, up_bias)`` when the block's
-    input ``x`` is the output of the upsample kernel on the (padded)
-    low-res map ``x_lo``: instead of keeping the full-res ``x`` live as
-    conv2's residual operand, the residual branch
-    ``nin_shortcut(upsample_conv(x_lo))`` — linear end to end, no
-    norm/activation on a ResNet shortcut — is recomputed from ``x_lo``
-    with the 1x1 projection FOLDED into the upsample conv's weights,
-    after conv1 has consumed ``x``.  The big buffer then dies at conv1
-    and peak HBM drops by a full feature map (8 GB at 4096^2): the
-    whole-image 4K decode exceeded HBM by 344 MB without this
-    (PERF_NOTES.md section 5)."""
+    ``stream_upsample`` — ``(up_kernel, up_bias)`` when ``x`` is the
+    DOUBLE-row-padded LOW-RES map feeding the level's upsample
+    (`_levels_apply` lowmem): the upsampled map is never materialized
+    in HBM.  conv1 runs as the streaming `upconv_gn_conv3x3` kernel
+    (per-block VMEM bands; ``moments`` are the upsampled map's, from
+    the stats-only pass), and conv2's residual —
+    ``nin_shortcut(conv_up(nearest(x)))``, linear end to end — is
+    recomputed from the low-res map with the 1x1 FOLDED into the
+    upsample conv's weights, ordered after conv1 by a pallas operand
+    fence.  Peak HBM drops from three full-res buffers (8+4+4 GB at
+    4096^2, 344 MB past v5e HBM) to ~12 GB (PERF_NOTES.md section 5)."""
     g = cfg.num_groups
     cdt = precision.compute_dtype
     scope = scope or _StatScope()
-    hh = x.shape[0] - (2 if padded_in else 0)
-    ww = x.shape[1] - (2 * _MG if padded_in else 0)
-    lowmem = lowmem_residual is not None and "nin_shortcut" in p
+    stream = stream_upsample is not None
+    if stream:
+        assert "nin_shortcut" in p and scope.owned_rows() is None
+        hh = (x.shape[0] - 4) * 2
+        ww = (x.shape[1] - 2 * _MG) * 2
+    else:
+        hh = x.shape[0] - (2 if padded_in else 0)
+        ww = x.shape[1] - (2 * _MG if padded_in else 0)
 
     g1, b1 = _affine(p["norm1"], moments, g)
-    h1, s1 = fused_conv3x3(
-        x, p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
-        gamma=g1, beta=b1, emit_stats=True, num_groups=g,
-        out_dtype=precision.storage_dtype, owned_rows=scope.owned_rows(),
-        x_padded=padded_in, padded_out=True)
+    if stream:
+        up_kernel, up_bias = stream_upsample
+        h1, s1 = upconv_gn_conv3x3(
+            x, up_kernel.astype(cdt), up_bias, g1, b1,
+            p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
+            emit_stats=True, num_groups=g,
+            out_dtype=precision.storage_dtype,
+            store_dtype=precision.storage_dtype)
+    else:
+        h1, s1 = fused_conv3x3(
+            x, p["conv1"]["kernel"].astype(cdt), p["conv1"]["bias"],
+            gamma=g1, beta=b1, emit_stats=True, num_groups=g,
+            out_dtype=precision.storage_dtype,
+            owned_rows=scope.owned_rows(),
+            x_padded=padded_in, padded_out=True)
     c1 = h1.shape[-1]
     g2, b2 = _affine(p["norm2"], scope.finalize(s1, hh, ww, c1 // g), g)
 
     bias2 = p["conv2"]["bias"]
     res_kernel = None
     residual = x
-    if lowmem:
-        # proj(conv_up(nearest(x_lo)) + b_up) + b_p ==
-        #   conv_fold(nearest(x_lo)) + (b_up @ Wp + b_p) with
-        #   W_fold = W_up . Wp  (both branches linear).  The barrier
-        # orders the recompute AFTER conv1 so the scheduler cannot hoist
-        # it and re-create the three-buffer peak this path removes.
+    if stream:
+        # proj(conv_up(nearest(x)) + b_up) + b_p ==
+        #   conv_fold(nearest(x)) + (b_up @ Wp + b_p): both branches
+        # linear, so the shortcut is one folded upsample conv from the
+        # 2 GB low-res map instead of a 1x1 over the absent 8 GB one.
+        # ``after=h1`` is a hard scheduling fence (a dummy pallas_call
+        # operand): `optimization_barrier((x, h1))` is split per value
+        # by the compiler, the joint ordering is lost, and the
+        # scheduler hoists this recompute before conv1 (measured).
         wp = p["nin_shortcut"]["kernel"][0, 0].astype(jnp.float32)
-        x_lo, up_kernel, up_bias = lowmem_residual
         w_fold = jnp.einsum(
             "ijab,bc->ijac", up_kernel.astype(jnp.float32), wp).astype(cdt)
         b_fold = (up_bias.astype(jnp.float32) @ wp
                   + p["nin_shortcut"]["bias"].astype(jnp.float32))
-        # ``after=h1`` is a hard scheduling fence (a dummy pallas_call
-        # operand): `optimization_barrier((x_lo, h1))` is split per
-        # value by the compiler, the joint ordering is lost, and the
-        # scheduler hoists this recompute before conv1 — bringing the
-        # 16 GB three-buffer peak right back (measured at 4096^2).
         residual = upsample_conv3x3(
-            x_lo, w_fold, b_fold, emit_stats=False,
+            x, w_fold, b_fold, emit_stats=False,
             out_dtype=precision.storage_dtype, x_padded=True,
-            padded_out=True, after=h1)
+            x_row_offset=1, padded_out=True, after=h1)
     elif "nin_shortcut" in p:
         # 1x1 projection fused into the second conv's epilogue; its bias
         # folds into the conv bias.
         res_kernel = p["nin_shortcut"]["kernel"][0, 0].astype(cdt)
         bias2 = bias2 + p["nin_shortcut"]["bias"]
+    # Identity-add residuals (and the streamed fold, whose only consumer
+    # is this conv) die here, block-aligned: let the output reuse their
+    # buffer — one less full-res feature map live per block.
+    donate = (res_kernel is None and padded_out
+              and (stream or padded_in)
+              and residual.dtype == precision.storage_dtype)
     y, s2 = fused_conv3x3(
         h1, p["conv2"]["kernel"].astype(cdt), bias2,
         gamma=g2, beta=b2, residual=residual, res_kernel=res_kernel,
         emit_stats=True, num_groups=g, out_dtype=precision.storage_dtype,
         owned_rows=scope.owned_rows(), x_padded=True,
-        residual_padded=True if lowmem else padded_in,
-        padded_out=padded_out)
+        residual_padded=True if stream else padded_in,
+        padded_out=padded_out, donate_residual=donate)
     c2 = y.shape[-1]
     return y, scope.finalize(s2, hh, ww, c2 // g)
 
@@ -207,13 +226,17 @@ def _levels_apply(params: Params, x: jnp.ndarray,
     Activations stay in the padded chain layout between kernels (ONE
     XLA pad at entry when ``padded_in`` is False; the final kernel
     writes unpadded when ``padded_out`` is False).  ``lowmem`` engages
-    the folded-residual recompute for the top level's first block (see
-    `_resnet_block`); it trades one extra half-width upsample conv
-    (~3% of decode FLOPs at 4K) for an 8 GB lower peak."""
+    the STREAMING top level (see `_resnet_block` ``stream_upsample``):
+    the top level's upsampled map is computed as per-block VMEM bands —
+    a stats-only pass for its GroupNorm moments, the fused
+    `upconv_gn_conv3x3` for block 0's conv1, and a folded-weight
+    recompute for its shortcut — instead of an 8 GB (at 4096^2) HBM
+    buffer.  Costs ~one extra upsample conv (~6% of decode FLOPs at
+    4K); drops peak HBM from 16.1 to ~12 GB."""
     cdt = precision.compute_dtype
     if not padded_in:
         x = pad_chain_input(x)
-    pending_lowmem = None
+    pending_stream = None
     for level in reversed(range(lo, hi)):
         up = params["up"][level]
         level_last = level == lo
@@ -223,20 +246,35 @@ def _levels_apply(params: Params, x: jnp.ndarray,
             x, moments = _resnet_block(
                 x, up["block"][j], moments, cfg, precision, scope,
                 padded_in=True, padded_out=padded_out or not final,
-                lowmem_residual=pending_lowmem if j == 0 else None)
-        pending_lowmem = None
+                stream_upsample=pending_stream if j == 0 else None)
+        pending_stream = None
         if level != 0:
             # 2x nearest upsample fused into the conv (2x2-phase
             # decomposition, 2.25x fewer MACs; the upsampled map never
             # touches HBM).  Stats are emitted at the doubled resolution.
             scope.f *= 2
             final = level_last and lo > 0
-            if lowmem and level - 1 == 0:
-                pending_lowmem = (x, up["upsample"]["kernel"],
-                                  up["upsample"]["bias"])
+            up_k = up["upsample"]["kernel"]
+            up_b = up["upsample"]["bias"]
+            if (lowmem and level - 1 == 0
+                    and "nin_shortcut" in params["up"][0]["block"][0]):
+                # Streaming top level: moments of the (absent) upsampled
+                # map from a stats-only pass; the double-row-padded
+                # low-res map becomes block 0's direct input.
+                x = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+                sums = upsample_conv3x3(
+                    x, up_k.astype(cdt), up_b, emit_stats=True,
+                    num_groups=cfg.num_groups,
+                    out_dtype=precision.storage_dtype, x_padded=True,
+                    stats_only=True, x_row_offset=1)
+                hl = x.shape[0] - 4
+                wl = x.shape[1] - 2 * _MG
+                moments = scope.finalize(sums, 2 * hl, 2 * wl,
+                                         up_k.shape[-1] // cfg.num_groups)
+                pending_stream = (up_k, up_b)
+                continue
             x, sums = upsample_conv3x3(
-                x, up["upsample"]["kernel"].astype(cdt),
-                up["upsample"]["bias"], emit_stats=True,
+                x, up_k.astype(cdt), up_b, emit_stats=True,
                 num_groups=cfg.num_groups,
                 out_dtype=precision.storage_dtype,
                 owned_rows=scope.owned_rows(), x_padded=True,
