@@ -159,6 +159,14 @@ def main() -> int:
         extra_rows.append(run_row(f"hdr_decode_mp_per_s_{big}_slab",
                                   slab_step, big, runs=3))
 
+        # 4K whole-image EXACT decode (global GN stats + full mid
+        # attention over 512^2 = 262k tokens): the streaming top level
+        # (models/pallas_tail.py lowmem path) keeps the upsampled map
+        # out of HBM so this fits one v5e chip.  Replaces round 2's
+        # approximate per-tile-stats 4K row as the 4K flagship.
+        extra_rows.append(run_row("hdr_decode_mp_per_s_4096_exact",
+                                  whole_step, 4096, runs=2))
+
         # Config 5 end to end: decode -> linear EXR on disk (+ verify).
         from hdrvae.core.config import ExportConfig
         from hdrvae.io.export import export_linear

@@ -886,24 +886,17 @@ def _upconv_gn_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
 
         # Phase grid: low-res rows [bi*br - 1, +br + 2), cols
         # [bj*wb - 1, +wb + 2) — the block plus ONE low-res halo sample
-        # on each side, so the interleaved band carries the high-res
-        # halo the 3x3 conv needs.  Out-of-image samples are zeroed
-        # AFTER the affine+SiLU (the prologue contract: silu(beta) != 0
-        # must not leak into SAME-conv taps).
+        # on each side, so the phase planes carry the high-res halo the
+        # 3x3 conv needs.  The planes are stored PHASE-PLANAR
+        # ([2, 2, br+2, wb+2, cm]): interleaving them into a [2br+4,
+        # 2wb+4] band cost 98 ms of sublane shuffles per 4K call
+        # (PERF_NOTES section 5) — the follow-up conv reads the planes
+        # directly instead.
         slab = xs[sl]
         upb = upb_ref[0].astype(jnp.float32)
         gam = g_ref[0].astype(jnp.float32)
         bet = bt_ref[0].astype(jnp.float32)
-        rows = (jax.lax.broadcasted_iota(jnp.int32, (br + 2, wb + 2, 1), 0)
-                + (bi * br - 1))
-        cols = (jax.lax.broadcasted_iota(jnp.int32, (br + 2, wb + 2, 1), 1)
-                + (bj * wb - 1))
-        ok = jnp.logical_and(
-            jnp.logical_and(rows >= 0, rows < h),
-            jnp.logical_and(cols >= 0, cols < w))
-        phases = []
         for a in range(2):
-            row_ph = []
             for b in range(2):
                 acc = None
                 for u in range(2):
@@ -922,25 +915,65 @@ def _upconv_gn_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                 z = (acc + upb).astype(store_dtype).astype(jnp.float32)
                 z = z * gam[None, None, :] + bet[None, None, :]
                 z = z * jax.nn.sigmoid(z)
-                row_ph.append(jnp.where(ok, z, 0.0).astype(band.dtype))
-            phases.append(row_ph)
-        t0 = jnp.stack([phases[0][0], phases[0][1]], axis=2)
-        t1 = jnp.stack([phases[1][0], phases[1][1]], axis=2)
-        z = jnp.stack([t0, t1], axis=1)     # [br+2, 2, wb+2, 2, cm]
-        band[...] = z.reshape(2 * br + 4, 2 * wb + 4, cm)
+                band[a, b] = z.astype(band.dtype)
 
-    acc = None
-    for di in range(3):
-        for dj in range(3):
-            patch = band[1 + di:1 + di + 2 * br,
-                         1 + dj:1 + dj + 2 * wb, :]
-            part = jax.lax.dot_general(
-                patch, w1_ref[di, dj, :, pl.ds(co * cb, cb)],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                               # [2br, 2wb, cb]
-            acc = part if acc is None else acc + part
-    y32 = acc + b1_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
+        # Out-of-image halo samples are zeroed AFTER the affine+SiLU
+        # (the prologue contract: silu(beta) != 0 must not leak into
+        # SAME-conv taps) — conditional border writes instead of a
+        # per-block iota/where mask (30 ms/4K-call cheaper).
+        @pl.when(bi == 0)
+        def _mask_top():
+            band[:, :, pl.ds(0, 1)] = jnp.zeros(
+                (2, 2, 1, wb + 2, cm), band.dtype)
+
+        @pl.when(bi == nr - 1)
+        def _mask_bottom():
+            band[:, :, pl.ds(br + 1, 1)] = jnp.zeros(
+                (2, 2, 1, wb + 2, cm), band.dtype)
+
+        @pl.when(bj == 0)
+        def _mask_left():
+            band[:, :, :, pl.ds(0, 1)] = jnp.zeros(
+                (2, 2, br + 2, 1, cm), band.dtype)
+
+        @pl.when(bj == nj - 1)
+        def _mask_right():
+            band[:, :, :, pl.ds(wb + 1, 1)] = jnp.zeros(
+                (2, 2, br + 2, 1, cm), band.dtype)
+
+    # Phase-decomposed 3x3 conv over the virtual interleaved map:
+    # output phase (u, v) at low-res (i, j) sums tap d in {-1, 0, 1}
+    # from plane p = (u+d) % 2 at plane row i + 1 + (u+d-p)//2 (plane
+    # row r holds low-res row bi*br - 1 + r).  Same tap products, same
+    # accumulation order as the interleaved conv — bit-identical
+    # output, no band interleave.
+    def _tap(u, d):
+        p = (u + d) % 2
+        return p, 1 + (u + d - p) // 2
+
+    outs = []
+    for u in range(2):
+        row_out = []
+        for v in range(2):
+            acc = None
+            for di in (-1, 0, 1):
+                p, rs = _tap(u, di)
+                for dj in (-1, 0, 1):
+                    q, cs = _tap(v, dj)
+                    patch = band[p, q, rs:rs + br, cs:cs + wb, :]
+                    part = jax.lax.dot_general(
+                        patch, w1_ref[3 * (di + 1) + (dj + 1), :,
+                                      pl.ds(co * cb, cb)],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                       # [br, wb, cb]
+                    acc = part if acc is None else acc + part
+            row_out.append(acc)
+        outs.append(row_out)
+    bb = b1_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
+    t0 = jnp.stack([outs[0][0] + bb, outs[0][1] + bb], axis=2)
+    t1 = jnp.stack([outs[1][0] + bb, outs[1][1] + bb], axis=2)
+    y32 = jnp.stack([t0, t1], axis=1).reshape(2 * br, 2 * wb, cb)
 
     oslot = step % 2
     fc = nc == 1
@@ -972,11 +1005,13 @@ def pick_blocks_upconv_fused(h: int, w: int, cin: int, cm: int,
                              cout: int, itemsize: int = 2,
                              cout_block: Optional[int] = None
                              ) -> Tuple[int, int]:
-    """VMEM model of `_upconv_gn_conv_kernel`: double-halo input slab,
-    FULL-channel phase kernels (the band needs every mid channel), the
-    f32 phase accumulator pair + four rounded phases + the f32
-    affine/SiLU temporaries, the interleaved band (+ its register
-    copy), the conv accumulator pair, and the output pipeline."""
+    """VMEM model of `_upconv_gn_conv_kernel` (phase-planar layout):
+    double-halo input slab, FULL-channel phase kernels (the planes need
+    every mid channel), the f32 phase accumulator pair, the four
+    phase-plane stores, the four live conv2 accumulators + chain temp,
+    the f32 output interleave + cast, and the output pipeline.
+    Calibrated on the 2048^2 256->256->128 junction: br=4/wb=128
+    compiles (14.7 MB modeled), br=8 and wb=256 OOM scoped vmem."""
     cb = cout_block or min(cout, 128)
 
     def fits(br, wb):
@@ -986,14 +1021,12 @@ def pick_blocks_upconv_fused(h: int, w: int, cin: int, cm: int,
         w1 = 2 * 9 * cm * cout * itemsize
         ph = (br + 2) * (wb + 2) * cm
         phacc = 2 * ph * 4
-        phtmp = 2 * ph * 4
         phstore = 4 * ph * itemsize
-        bandv = 2 * (2 * br + 4) * (2 * wb + 4) * cm * itemsize
-        acc1 = 2 * 4 * br * wb * cb * 4
-        ycast = 4 * br * wb * cb * itemsize
+        acc2 = (4 + 2) * br * wb * cb * 4
+        yil = 4 * br * wb * cb * (4 + itemsize)
         out = 2 * 4 * br * wb * cb * itemsize
-        return (slab + pk + w1 + phacc + phtmp + phstore + bandv
-                + acc1 + ycast + out <= _VMEM_BUDGET)
+        return (slab + pk + w1 + phacc + phstore
+                + acc2 + yil + out <= _VMEM_BUDGET)
 
     return _best_blocks(h, w, fits)
 
@@ -1062,14 +1095,13 @@ def upconv_gn_conv3x3(x: jnp.ndarray, up_kernel: jnp.ndarray,
         pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
         pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
         pl.BlockSpec((1, cm), lambda i, j, co: (0, 0), **vm),
-        pl.BlockSpec((3, 3, cm, cout), lambda i, j, co: (0, 0, 0, 0),
-                     **vm),
+        pl.BlockSpec((9, cm, cout), lambda i, j, co: (0, 0, 0), **vm),
         pl.BlockSpec((1, cout), lambda i, j, co: (0, 0), **vm),
     ]
     operands = [x, pk, up_bias.reshape(1, cm),
                 gamma.astype(jnp.float32).reshape(1, cm),
                 beta.astype(jnp.float32).reshape(1, cm),
-                kernel, bias.reshape(1, cout)]
+                kernel.reshape(9, cm, cout), bias.reshape(1, cout)]
 
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [jax.ShapeDtypeStruct(
@@ -1082,7 +1114,7 @@ def upconv_gn_conv3x3(x: jnp.ndarray, up_kernel: jnp.ndarray,
     scratch = [
         pltpu.VMEM((2, br + 4, wb + 2 * _MG, cin), x.dtype),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((2 * br + 4, 2 * wb + 4, cm), x.dtype),
+        pltpu.VMEM((2, 2, br + 2, wb + 2, cm), x.dtype),
         pltpu.VMEM((2, 2 * br, 2 * wb, cb), out_dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
