@@ -13,6 +13,8 @@ JAX forwards:
                                        -> models.swinir
   - HAT (official schema; HAB + OCAB hybrid attention)
                                        -> models.hat
+  - Compact (SRVGGNetCompact: realesr-general-x4v3 / animevideov3)
+                                       -> models.srvgg
 
 ``load_upscale_model`` returns (params, model_cfg, architecture_name);
 ``upscaler_apply`` dispatches on the config type so the HDR upscale
@@ -31,11 +33,13 @@ from hdrvae.models.hat import (HATConfig, hat_apply, hat_from_state_dict,
                                is_hat_state_dict)
 from hdrvae.models.rrdbnet import (RRDBNetConfig, rrdbnet_apply,
                                    rrdbnet_from_state_dict)
+from hdrvae.models.srvgg import (SRVGGConfig, is_srvgg_state_dict,
+                                 srvgg_apply, srvgg_from_state_dict)
 from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
                                   swinir_apply, swinir_from_state_dict)
 
 Params = Dict[str, Any]
-ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig]
+ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig, SRVGGConfig]
 
 
 def _load_state_dict(path: str) -> Mapping[str, Any]:
@@ -67,6 +71,11 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     if is_swinir_state_dict(sd):
         params, cfg = swinir_from_state_dict(sd)
         return params, cfg, "SwinIR"
+    if is_srvgg_state_dict(sd):
+        params, cfg = srvgg_from_state_dict(sd)
+        # spandrel's name for SRVGGNetCompact; NOT in the reference's
+        # atanh list -> takes the default logit reversal (`:266-279`).
+        return params, cfg, "Compact"
     from hdrvae.models.rrdbnet import detect_architecture
     params, cfg = rrdbnet_from_state_dict(sd)
     arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
@@ -81,6 +90,8 @@ def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         return hat_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SwinIRConfig):
         return swinir_apply(params, x, cfg, precision=precision)
+    if isinstance(cfg, SRVGGConfig):
+        return srvgg_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, RRDBNetConfig):
         return rrdbnet_apply(params, x, cfg, precision=precision)
     raise TypeError(f"unknown upscale model config {type(cfg).__name__}")
@@ -102,5 +113,8 @@ def working_set_bytes_per_pixel(cfg: ModelConfig,
         # qkv (3x dim) + mlp hidden, live alongside the token stream
         width = cfg.embed_dim * (3 + cfg.mlp_ratio)
         return float(width * 2 * elsize + out_bytes)
+    if isinstance(cfg, SRVGGConfig):
+        # plain conv stack: two num_feat activations live at a time
+        return float(cfg.num_feat * 2 * elsize + out_bytes)
     # densest RRDB concat holds nf + 4*gc channels, live twice
     return float((cfg.nf + 4 * cfg.gc) * 2 * elsize + out_bytes)
