@@ -303,6 +303,62 @@ def main() -> int:
                                   "warmup_s": round(warm, 1)}),
                       file=sys.stderr)
 
+            # HAT x4 (official config: embed 180, window 16, OCAB) on a
+            # 256^2 tile — the heaviest zoo member; smaller tile keeps
+            # the --full run bounded.
+            from hdrvae.models.hat import HATConfig, hat_apply, init_hat
+            ht_cfg = HATConfig()
+            ht_params = init_hat(jax.random.PRNGKey(5), ht_cfg)
+
+            @jax.jit
+            def hat_step(x):
+                y = hat_apply(ht_params, x, ht_cfg, precision=precision)
+                return x + y.mean() * 1e-6
+
+            tile256 = jax.random.normal(jax.random.PRNGKey(6),
+                                        (1, 256, 256, 3),
+                                        jnp.float32) * 0.3
+            best, mean, warm = bench_step(hat_step, tile256, sync,
+                                          runs=2, warmup=1)
+            mp_out = (256 * ht_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "hat_x4_upscale_mp_per_s_256tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "hat_x4_upscale_256tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
+            # Compact (SRVGGNetCompact, realesr-general-x4v3 shape:
+            # nf=64, 32 convs) on a 512^2 tile.
+            from hdrvae.models.srvgg import (SRVGGConfig, init_srvgg,
+                                             srvgg_apply)
+            cp_cfg = SRVGGConfig()
+            cp_params = init_srvgg(jax.random.PRNGKey(7), cp_cfg)
+
+            @jax.jit
+            def compact_step(x):
+                y = srvgg_apply(cp_params, x, cp_cfg,
+                                precision=precision)
+                return x + y.mean() * 1e-6
+
+            best, mean, warm = bench_step(compact_step, tile, sync,
+                                          runs=3, warmup=1)
+            mp_out = (512 * cp_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "compact_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "compact_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
     if extra_rows:
         result["extra_metrics"] = extra_rows
     print(json.dumps(result))
