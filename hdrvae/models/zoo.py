@@ -15,6 +15,8 @@ JAX forwards:
                                        -> models.hat
   - Compact (SRVGGNetCompact: realesr-general-x4v3 / animevideov3)
                                        -> models.srvgg
+  - SPAN (Swift Parameter-free Attention Network; Conv3XC fused at load)
+                                       -> models.span
 
 ``load_upscale_model`` returns (params, model_cfg, architecture_name);
 ``upscaler_apply`` dispatches on the config type so the HDR upscale
@@ -33,13 +35,16 @@ from hdrvae.models.hat import (HATConfig, hat_apply, hat_from_state_dict,
                                is_hat_state_dict)
 from hdrvae.models.rrdbnet import (RRDBNetConfig, rrdbnet_apply,
                                    rrdbnet_from_state_dict)
+from hdrvae.models.span import (SPANConfig, is_span_state_dict,
+                                span_apply, span_from_state_dict)
 from hdrvae.models.srvgg import (SRVGGConfig, is_srvgg_state_dict,
                                  srvgg_apply, srvgg_from_state_dict)
 from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
                                   swinir_apply, swinir_from_state_dict)
 
 Params = Dict[str, Any]
-ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig, SRVGGConfig]
+ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig, SRVGGConfig,
+                    SPANConfig]
 
 
 def _load_state_dict(path: str) -> Mapping[str, Any]:
@@ -71,6 +76,10 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     if is_swinir_state_dict(sd):
         params, cfg = swinir_from_state_dict(sd)
         return params, cfg, "SwinIR"
+    if is_span_state_dict(sd):
+        params, cfg = span_from_state_dict(sd)
+        # NOT in the reference's atanh list -> default logit reversal.
+        return params, cfg, "SPAN"
     if is_srvgg_state_dict(sd):
         params, cfg = srvgg_from_state_dict(sd)
         # spandrel's name for SRVGGNetCompact; NOT in the reference's
@@ -90,6 +99,8 @@ def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         return hat_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SwinIRConfig):
         return swinir_apply(params, x, cfg, precision=precision)
+    if isinstance(cfg, SPANConfig):
+        return span_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SRVGGConfig):
         return srvgg_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, RRDBNetConfig):
@@ -116,5 +127,8 @@ def working_set_bytes_per_pixel(cfg: ModelConfig,
     if isinstance(cfg, SRVGGConfig):
         # plain conv stack: two num_feat activations live at a time
         return float(cfg.num_feat * 2 * elsize + out_bytes)
+    if isinstance(cfg, SPANConfig):
+        # conv stack plus the 4x num_feat concat before conv_cat
+        return float(cfg.num_feat * 6 * elsize + out_bytes)
     # densest RRDB concat holds nf + 4*gc channels, live twice
     return float((cfg.nf + 4 * cfg.gc) * 2 * elsize + out_bytes)
