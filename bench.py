@@ -359,6 +359,32 @@ def main() -> int:
                                   "warmup_s": round(warm, 1)}),
                       file=sys.stderr)
 
+            # SPAN (official x4 shape: nf=48, 6 SPAB blocks) on a
+            # 512^2 tile; Conv3XC blocks are pre-fused, so this is the
+            # inference graph a loaded checkpoint runs.
+            from hdrvae.models.span import SPANConfig, init_span, span_apply
+            sp_cfg = SPANConfig()
+            sp_params = init_span(jax.random.PRNGKey(8), sp_cfg)
+
+            @jax.jit
+            def span_step(x):
+                y = span_apply(sp_params, x, sp_cfg, precision=precision)
+                return x + y.mean() * 1e-6
+
+            best, mean, warm = bench_step(span_step, tile, sync,
+                                          runs=3, warmup=1)
+            mp_out = (512 * sp_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "span_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "span_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
     if extra_rows:
         result["extra_metrics"] = extra_rows
     print(json.dumps(result))
