@@ -199,6 +199,11 @@ class Precision:
     # otherwise; "xla" forces the XLA path; "pallas" asserts the kernel
     # path is used.
     upstack: str = "auto"
+    # Window-attention executor for SwinIR-family upscalers: "auto" runs
+    # the fused Pallas kernel (kernels.swin_attention) on TPU in fast
+    # mode, the XLA einsum path otherwise; "xla" forces the einsum path;
+    # "pallas" asserts the kernel path is used.
+    swin_attn: str = "auto"
 
     @classmethod
     def fast(cls) -> "Precision":

@@ -1,0 +1,288 @@
+"""Fused window-attention kernel for SwinIR-family models.
+
+PERF_NOTES.md section 5.6: the SwinIR-M 512^2 tile pass is dominated not
+by matmuls but by layout traffic — 335 copies (window partition/merge,
+qkv/out head transposes) at ~195 ms plus ~100 ms of score-tensor HBM
+round trips ([4096 windows, 6, 64, 64] f32 softmax chains).  This kernel
+keeps the whole per-window attention — scores, bias+shift mask, softmax,
+value matmul — in VMEM, so the score tensor never exists in HBM and the
+per-head views come from sliver BlockSpecs instead of transposes.
+
+Layout contract (chosen so no sub-128-lane slicing happens in-kernel —
+the Mosaic trap PERF_NOTES sections 3-4 document):
+
+  - The qkv projection's OUTPUT channels are permuted at trace time to
+    head-major ``[head][q|k|v][head_dim->32-pad]`` order
+    (`_prep_qkv_weights`), so q/k/v per (window-block, head) arrive as
+    three 32-lane sliver BlockSpecs over one [nwb, N, H*3*32] array —
+    zero in-kernel channel slicing.  Zero pad columns are exact (q.k
+    adds 0; P @ v_pad = 0), and the proj weights are row-scattered to
+    consume the padded layout (`_prep_proj_weights`).
+  - Windows are processed in PAIRS packed block-diagonally into one
+    [2N, 2N] score dot (N=64 tokens at window 8): M=N=128 fills the MXU
+    tile, and the off-diagonal cross-window blocks are killed by a -1e9
+    additive bias, which the softmax turns into exact zeros.
+  - The relative-position bias and the shifted-window masks fold into
+    per-class resident tables: class 0 = interior windows, class 1 =
+    last-window-row band; the last-column delta is a separate resident
+    [2N, 2N] table added under a scalar program-id predicate.  A corner
+    window takes row + col masks additively (-200 instead of the
+    reference's -100 on doubly-crossing pairs — identical after
+    softmax, where any large negative underflows to 0).
+
+Numerics: scores and softmax in float32 (same as the XLA path); the
+probability matrix is cast to the compute dtype for the value matmul,
+matching `swinir._window_attention` step for step.  The kernel is used
+in fast mode only; parity mode keeps the XLA path that the
+reference-fidelity suite pins at <=1e-3.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hdrvae.core.config import Precision
+
+Params = Dict[str, Any]
+
+_HDP = 32          # padded head dim (SwinIR-M: 30 -> 32; zero pad exact)
+_NEG = -1e9
+
+# Test seam: force interpret-mode execution of the kernel (CPU suites
+# exercise the integrated kernel path without TPU hardware).
+_INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Static mask pieces (numpy, trace-time)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _band_masks(ws: int, shift: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(mask_row, mask_col): [N, N] additive -100 masks for windows in
+    the last window row / column of a shifted grid.
+
+    After the roll by -shift, only windows touching the wrap boundary
+    mix regions; within such a window the region label depends only on
+    the window-local row (resp. col): local index < ws - shift is the
+    pre-wrap band, >= is the wrapped band (`swinir._shift_attn_mask`
+    region construction).  A corner window is row + col (see module
+    docstring on the -200 equivalence)."""
+    n = ws * ws
+    loc = np.arange(n)
+    r, c = loc // ws, loc % ws
+    row_band = (r >= ws - shift).astype(np.int32)
+    col_band = (c >= ws - shift).astype(np.int32)
+    mrow = np.where(row_band[:, None] != row_band[None, :], -100.0, 0.0)
+    mcol = np.where(col_band[:, None] != col_band[None, :], -100.0, 0.0)
+    return mrow.astype(np.float32), mcol.astype(np.float32)
+
+
+def _block_diag2(a: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, N] -> [..., 2N, 2N] with -1e9 off-diagonal blocks."""
+    neg = jnp.full(a.shape, _NEG, a.dtype)
+    top = jnp.concatenate([a, neg], axis=-1)
+    bot = jnp.concatenate([neg, a], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Weight preparation (trace-time; folds the layout change into the
+# projections so no transposes exist at runtime)
+# ---------------------------------------------------------------------------
+
+
+def _prep_qkv_weights(qkv: Params, heads: int, hd: int,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[C, 3C] kernel, [3C] bias -> head-major q|k|v 32-padded columns
+    with the softmax scale folded into q."""
+    c = qkv["kernel"].shape[0]
+    scale = hd ** -0.5
+    w = qkv["kernel"].reshape(c, 3, heads, hd)
+    b = qkv["bias"].reshape(3, heads, hd)
+    w = w.at[:, 0].multiply(scale)
+    b = b.at[0].multiply(scale)
+    w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, _HDP - hd)))
+    b = jnp.pad(b, ((0, 0), (0, 0), (0, _HDP - hd)))
+    w = w.transpose(0, 2, 1, 3).reshape(c, heads * 3 * _HDP)
+    b = b.transpose(1, 0, 2).reshape(heads * 3 * _HDP)
+    return w, b
+
+
+def _prep_proj_weights(proj: Params, heads: int, hd: int) -> jnp.ndarray:
+    """[C, C] kernel -> [heads*32, C]: rows scattered to the padded
+    head-major layout (zero rows under the pad lanes)."""
+    c = proj["kernel"].shape[1]
+    w = proj["kernel"].reshape(heads, hd, c)
+    return jnp.pad(w, ((0, 0), (0, _HDP - hd), (0, 0))).reshape(
+        heads * _HDP, c)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_core_kernel(q_ref, k_ref, v_ref, b_ref, cm_ref, o_ref, *,
+                      bwin: int, n: int, nww: int):
+    """Grid (heads, nwb // bwin).  Blocks: q/k/v/o [bwin, n, 32] slivers;
+    b_ref [1, 1, 2n, 2n] bias(+row mask) table; cm_ref [2n, 2n] last-
+    column delta."""
+    wb = pl.program_id(1)
+    is_last_col = (((wb + 1) * bwin) % nww == 0)
+    bias2 = b_ref[0, 0]
+    for i in range(bwin // 2):
+        q2 = jnp.concatenate([q_ref[2 * i], q_ref[2 * i + 1]], axis=0)
+        k2 = jnp.concatenate([k_ref[2 * i], k_ref[2 * i + 1]], axis=0)
+        v2 = jnp.concatenate([v_ref[2 * i], v_ref[2 * i + 1]], axis=0)
+        s = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias2
+        if i == bwin // 2 - 1:
+            # the block's last window may be the grid's last column
+            sel = jnp.where(is_last_col, 1.0, 0.0)
+            s = s + cm_ref[...] * sel
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / l).astype(v_ref.dtype)
+        o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o = o.astype(o_ref.dtype)
+        o_ref[2 * i] = o[:n]
+        o_ref[2 * i + 1] = o[n:]
+
+
+def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
+               colmask2: jnp.ndarray, *, heads: int, n: int, nwh: int,
+               nww: int, bwin: int, shifted: bool,
+               interpret: bool = False) -> jnp.ndarray:
+    """qkv_r: [nwb, n, heads*3*32] head-major padded qkv (scale folded);
+    tables: [ncls, heads, 2n, 2n]; colmask2: [2n, 2n].  Returns
+    [nwb, n, heads*32]."""
+    nwb = qkv_r.shape[0]
+
+    def row_cls(h, wb):
+        if not shifted:
+            return 0
+        i_row = ((wb * bwin) // nww) % nwh
+        return jnp.where(i_row == nwh - 1, 1, 0)
+
+    kern = functools.partial(_attn_core_kernel, bwin=bwin, n=n, nww=nww)
+    call = pl.pallas_call(
+        kern,
+        grid=(heads, nwb // bwin),
+        in_specs=[
+            pl.BlockSpec((bwin, n, _HDP), lambda h, wb: (wb, 0, 3 * h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwin, n, _HDP),
+                         lambda h, wb: (wb, 0, 3 * h + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwin, n, _HDP),
+                         lambda h, wb: (wb, 0, 3 * h + 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * n, 2 * n),
+                         lambda h, wb: (row_cls(h, wb), h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n, 2 * n), lambda h, wb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bwin, n, _HDP), lambda h, wb: (wb, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwb, n, heads * _HDP),
+                                       qkv_r.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nwb * heads * n * n * _HDP,
+            bytes_accessed=2 * qkv_r.size * qkv_r.dtype.itemsize,
+            transcendentals=nwb * heads * n * n,
+        ),
+        name="swin_window_attention",
+        interpret=interpret or _INTERPRET,
+    )
+    return call(qkv_r, qkv_r, qkv_r, tables, colmask2)
+
+
+# ---------------------------------------------------------------------------
+# Public entry: full window attention (qkv linear -> core -> proj)
+# ---------------------------------------------------------------------------
+
+
+def pick_bwin(nww: int) -> int:
+    """Largest supported windows-per-block that divides the window-grid
+    width (keeps every block within one window row, pairs within the
+    block).  0 means the kernel path cannot run (odd grid width)."""
+    for b in (8, 4, 2):
+        if nww % b == 0:
+            return b
+    return 0
+
+
+def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
+                          ws: int, grid_hw: Tuple[int, int], shift: int,
+                          bias_hnn: jnp.ndarray, *,
+                          precision: Precision,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in replacement for `swinir._window_attention` on the kernel
+    path: wins [nwb, N, C] post-LN windows in (batch, row, col) order;
+    bias_hnn [heads, N, N] gathered relative-position bias.  Returns
+    [nwb, N, C] (proj applied)."""
+    nwb, n, c = wins.shape
+    hd = c // heads
+    h_img, w_img = grid_hw
+    nwh, nww = h_img // ws, w_img // ws
+    bwin = pick_bwin(nww)
+    dtype = precision.compute_dtype
+
+    wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
+    qkv_r = jnp.einsum("wnc,cd->wnd", wins.astype(dtype), wq.astype(dtype),
+                       preferred_element_type=jnp.float32)
+    qkv_r = (qkv_r + bq.astype(jnp.float32)).astype(
+        precision.storage_dtype)
+
+    bias2 = _block_diag2(bias_hnn)                 # [H, 2n, 2n]
+    if shift:
+        mrow, mcol = _band_masks(ws, shift)
+        tables = jnp.stack([bias2,
+                            _block_diag2(bias_hnn + jnp.asarray(mrow))])
+        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
+        colmask2 = colmask2.at[n:, n:].set(jnp.asarray(mcol))
+    else:
+        tables = bias2[None]
+        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
+
+    out = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n, nwh=nwh,
+                     nww=nww, bwin=bwin, shifted=bool(shift),
+                     interpret=interpret)
+
+    wp = _prep_proj_weights(p["proj"], heads, hd)
+    y = jnp.einsum("wnd,dc->wnc", out.astype(dtype), wp.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + p["proj"]["bias"].astype(jnp.float32)
+    return y.astype(precision.storage_dtype)
+
+
+def use_swin_kernel(precision: Precision, h_img: int, w_img: int,
+                    ws: int) -> bool:
+    """Kernel-path gate: TPU fast mode with an even window-grid width.
+    Parity mode keeps the XLA path (the reference-fidelity contract).
+    `precision.swin_attn` forces either executor ("xla" / "pallas")."""
+    knob = getattr(precision, "swin_attn", "auto")
+    if knob == "xla":
+        return False
+    ok = (h_img % ws == 0 and w_img % ws == 0
+          and pick_bwin(w_img // ws) > 0)
+    if knob == "pallas":
+        assert ok, (
+            f"swin_attn='pallas' but the {h_img}x{w_img} grid (window "
+            f"{ws}) has no supported window-block size")
+        return True
+    return (precision.mode == "fast" and jax.default_backend() == "tpu"
+            and ok)

@@ -12,9 +12,12 @@ public upsampler heads — and loads the official checkpoint key schema.
 TPU-first notes: activations stay NHWC ([B, H, W, C], channels on the
 lane dim); window partition is pure reshape/transpose; attention is
 batched matmuls over [windows, heads, N, N] with N = window**2 (64 for
-the standard window 8) — tiny sequences in huge batches, exactly the MXU
-batched-GEMM shape, so no flash kernel is warranted (the decoder's flash
-attention in kernels/attention.py targets long single sequences instead).
+the standard window 8) — tiny sequences in huge batches.  On TPU in fast
+mode the window attention runs as the fused Pallas kernel in
+kernels/swin_attention.py (scores stay in VMEM; the XLA formulation's
+layout copies and score HBM round trips dominate its profile,
+PERF_NOTES.md section 5.6); the einsum path below remains the parity
+reference and the non-TPU fallback.
 Shift masks and relative-position indices are static numpy, computed at
 trace time.  Matmuls run in Precision.compute_dtype with float32
 accumulation; LayerNorm statistics are float32.
@@ -32,6 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hdrvae.core.config import Precision
+from hdrvae.kernels.swin_attention import (swin_window_attention,
+                                           use_swin_kernel)
 from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
 from hdrvae.models.params import conv_kernel_to_hwio
 
@@ -142,6 +147,15 @@ def _linear(x: jnp.ndarray, p: Params,
         precision.storage_dtype)
 
 
+def _gather_bias(p: Params, ws: int) -> jnp.ndarray:
+    """Relative-position bias from the table: [heads, N, N]."""
+    rpi = _relative_position_index(ws)                     # [N, N]
+    n = ws * ws
+    bias = p["relative_position_bias_table"][rpi.reshape(-1)]
+    heads = bias.shape[-1]
+    return bias.reshape(n, n, heads).transpose(2, 0, 1)
+
+
 def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
                       mask: np.ndarray | None,
                       precision: Precision) -> jnp.ndarray:
@@ -158,9 +172,7 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
     attn = jnp.einsum("bhnd,bhmd->bhnm", q.astype(dtype), k.astype(dtype),
                       preferred_element_type=jnp.float32)
 
-    rpi = _relative_position_index(ws)                     # [N, N]
-    bias = p["relative_position_bias_table"][rpi.reshape(-1)]
-    bias = bias.reshape(n, n, heads).transpose(2, 0, 1)    # [h, N, N]
+    bias = _gather_bias(p, ws)                             # [h, N, N]
     attn = attn + bias.astype(jnp.float32)[None]
 
     if mask is not None:
@@ -186,11 +198,17 @@ def _swin_block(x: jnp.ndarray, p: Params, heads: int, ws: int,
     y = _layer_norm(x, p["norm1"])
     if shift:
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        mask = _shift_attn_mask(h, w, ws, shift)
-    else:
-        mask = None
     wins = _window_partition(y, ws)
-    wins = _window_attention(wins, p["attn"], heads, ws, mask, precision)
+    if use_swin_kernel(precision, h, w, ws):
+        # fused Pallas path: scores never leave VMEM, head views come
+        # from sliver BlockSpecs (kernels.swin_attention docstring)
+        wins = swin_window_attention(
+            wins, p["attn"], heads, ws, (h, w), shift,
+            _gather_bias(p["attn"], ws), precision=precision)
+    else:
+        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+        wins = _window_attention(wins, p["attn"], heads, ws, mask,
+                                 precision)
     y = _window_merge(wins, ws, h, w)
     if shift:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))

@@ -1,0 +1,137 @@
+"""Fused SwinIR window-attention kernel: interpret-mode parity.
+
+The kernel path (kernels/swin_attention.py) replaces the XLA einsum
+formulation on TPU in fast mode; these tests pin it against that einsum
+path — including the shifted-window masks, whose per-window [nW, N, N]
+table the kernel decomposes into row-class bias tables plus a
+last-column delta (corner windows get row+col masks additively; -200 vs
+the reference's -100 is softmax-equivalent, asserted here numerically).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hdrvae.kernels.swin_attention as ska
+from hdrvae.core.config import Precision
+from hdrvae.models.swinir import (SwinIRConfig, _gather_bias,
+                                  _shift_attn_mask, _window_attention,
+                                  _window_partition, init_swinir,
+                                  swinir_apply)
+
+
+def _attn_params(key, c, heads, ws):
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_bias = (2 * ws - 1) ** 2
+    return {
+        "qkv": {"kernel": jax.random.normal(k1, (c, 3 * c)) * 0.2,
+                "bias": jax.random.normal(k2, (3 * c,)) * 0.1},
+        "proj": {"kernel": jax.random.normal(k3, (c, c)) * 0.2,
+                 "bias": jnp.zeros((c,))},
+        "relative_position_bias_table": jax.random.normal(
+            jax.random.PRNGKey(9), (n_bias, heads)) * 0.3,
+    }
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize("b,hw", [(1, 32), (2, 16)])
+def test_kernel_matches_xla_window_attention(shift, b, hw):
+    """Window grid with interior/last-row/last-col/corner windows; the
+    head dim (30) exercises the 32-pad; batch 2 exercises row-class
+    periodicity across images."""
+    ws, heads, c = 8, 2, 60
+    key = jax.random.PRNGKey(0)
+    p = _attn_params(key, c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, c)) * 0.5
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    wins = _window_partition(x, ws)
+
+    prec = Precision()  # f32
+    mask = _shift_attn_mask(hw, hw, ws, shift) if shift else None
+    ref = _window_attention(wins, p, heads, ws, mask, prec)
+
+    got = ska.swin_window_attention(
+        wins, p, heads, ws, (hw, hw), shift, _gather_bias(p, ws),
+        precision=prec, interpret=True)
+    err = float(jnp.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"
+
+
+def test_band_mask_decomposition_matches_reference_table():
+    """mask_row/mask_col reconstruct _shift_attn_mask for every window
+    class up to the -100/-200 corner double-count (softmax-equivalent,
+    checked in the parity test above; here the -100-support sets must
+    match exactly)."""
+    hw, ws, shift = 32, 8, 4
+    nw = hw // ws
+    full = _shift_attn_mask(hw, hw, ws, shift)       # [nW, N, N]
+    mrow, mcol = ska._band_masks(ws, shift)
+    for i in range(nw):
+        for j in range(nw):
+            expect = np.zeros_like(mrow)
+            if i == nw - 1:
+                expect = expect + mrow
+            if j == nw - 1:
+                expect = expect + mcol
+            got_nonzero = expect < 0
+            ref_nonzero = full[i * nw + j] < 0
+            np.testing.assert_array_equal(got_nonzero, ref_nonzero,
+                                          err_msg=f"window ({i},{j})")
+
+
+def test_full_swinir_forward_kernel_vs_xla():
+    """End-to-end swinir_apply equivalence with the kernel path forced
+    (interpret mode) against the einsum path."""
+    cfg = SwinIRConfig(embed_dim=24, depths=(2,), num_heads=(2,),
+                       window_size=8, num_feat=8, scale=2,
+                       upsampler="pixelshuffledirect")
+    params = init_swinir(jax.random.PRNGKey(2), cfg)
+    x = np.random.default_rng(0).uniform(
+        0, 1, (1, 24, 16, 3)).astype(np.float32)
+
+    ref = np.asarray(swinir_apply(
+        params, jnp.asarray(x), cfg,
+        precision=Precision(swin_attn="xla")))
+
+    ska._INTERPRET = True
+    try:
+        got = np.asarray(swinir_apply(
+            params, jnp.asarray(x), cfg,
+            precision=Precision(swin_attn="pallas")))
+    finally:
+        ska._INTERPRET = False
+    err = float(np.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"
+
+
+def test_pick_bwin_and_gate():
+    assert ska.pick_bwin(64) == 8
+    assert ska.pick_bwin(12) == 4
+    assert ska.pick_bwin(6) == 2
+    assert ska.pick_bwin(7) == 0
+    # parity mode or odd grids keep the XLA path under "auto"
+    assert not ska.use_swin_kernel(Precision(), 64, 64, 8)
+    assert not ska.use_swin_kernel(Precision.fast(), 64, 56, 8)
+
+
+def test_padded_head_lanes_are_exact_zero():
+    """v's pad lanes are zero, so out's pad lanes are exact zeros (the
+    proj row-scatter relies on it)."""
+    ws, heads, c = 8, 2, 60
+    p = _attn_params(jax.random.PRNGKey(4), c, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 16, c))
+    wins = _window_partition(x, ws)
+    prec = Precision()
+    wq, bq = ska._prep_qkv_weights(p["qkv"], heads, c // heads)
+    qkv_r = jnp.einsum("wnc,cd->wnd", wins, wq) + bq
+    tables = ska._block_diag2(_gather_bias(p, ws))[None]
+    colmask2 = jnp.zeros((128, 128), jnp.float32)
+    out = ska._attn_core(qkv_r, tables, colmask2, heads=heads, n=64,
+                         nwh=2, nww=2, bwin=2, shifted=False,
+                         interpret=True)
+    pads = np.asarray(out).reshape(-1, 64, heads, 32)[..., 30:]
+    assert np.abs(pads).max() == 0.0
