@@ -215,12 +215,14 @@ def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def pick_bwin(nww: int) -> int:
+def pick_bwin(nww: int, n: int = 64) -> int:
     """Largest supported windows-per-block that divides the window-grid
     width (keeps every block within one window row, pairs within the
-    block).  0 means the kernel path cannot run (odd grid width)."""
+    block) while bounding the block's VMEM token count (HAT's window 16
+    has N=256 tokens/window — 4x SwinIR's).  0 means the kernel path
+    cannot run (odd grid width)."""
     for b in (8, 4, 2):
-        if nww % b == 0:
+        if b * n <= 512 and nww % b == 0:
             return b
     return 0
 
@@ -238,7 +240,7 @@ def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
     hd = c // heads
     h_img, w_img = grid_hw
     nwh, nww = h_img // ws, w_img // ws
-    bwin = pick_bwin(nww)
+    bwin = pick_bwin(nww, n)
     dtype = precision.compute_dtype
 
     wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
@@ -278,7 +280,7 @@ def use_swin_kernel(precision: Precision, h_img: int, w_img: int,
     if knob == "xla":
         return False
     ok = (h_img % ws == 0 and w_img % ws == 0
-          and pick_bwin(w_img // ws) > 0)
+          and pick_bwin(w_img // ws, ws * ws) > 0)
     if knob == "pallas":
         assert ok, (
             f"swin_attn='pallas' but the {h_img}x{w_img} grid (window "

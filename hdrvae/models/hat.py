@@ -38,8 +38,11 @@ import numpy as np
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d
 from hdrvae.models.params import conv_kernel_to_hwio
-from hdrvae.models.swinir import (_RGB_MEAN, _layer_norm, _linear,
-                                  _pixel_shuffle, _relative_position_index,
+from hdrvae.kernels.swin_attention import (swin_window_attention,
+                                           use_swin_kernel)
+from hdrvae.models.swinir import (_RGB_MEAN, _gather_bias, _layer_norm,
+                                  _linear, _pixel_shuffle,
+                                  _relative_position_index,
                                   _shift_attn_mask, _window_merge,
                                   _window_partition)
 
@@ -159,16 +162,19 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     shortcut = x
     y = _layer_norm(x, p["norm1"])
     conv_x = _cab(y, p["conv_block"], precision)
-    if shift:
-        ya = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-        mask = _shift_attn_mask(h, w, ws, shift)
-    else:
-        ya = y
-        mask = None
+    ya = jnp.roll(y, (-shift, -shift), axis=(1, 2)) if shift else y
     wins = _window_partition(ya, ws)
-    wins = _window_attention_rpi(wins, p["attn"], heads,
-                                 _relative_position_index(ws), mask,
-                                 precision)
+    if use_swin_kernel(precision, h, w, ws):
+        # HAB window attention is SwinIR's math with a shared rpi; the
+        # fused kernel (kernels.swin_attention) applies unchanged.
+        wins = swin_window_attention(
+            wins, p["attn"], heads, ws, (h, w), shift,
+            _gather_bias(p["attn"], ws), precision=precision)
+    else:
+        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+        wins = _window_attention_rpi(wins, p["attn"], heads,
+                                     _relative_position_index(ws), mask,
+                                     precision)
     ya = _window_merge(wins, ws, h, w)
     if shift:
         ya = jnp.roll(ya, (shift, shift), axis=(1, 2))

@@ -135,3 +135,24 @@ def test_padded_head_lanes_are_exact_zero():
                          interpret=True)
     pads = np.asarray(out).reshape(-1, 64, heads, 32)[..., 30:]
     assert np.abs(pads).max() == 0.0
+
+
+def test_full_hat_forward_kernel_vs_xla():
+    """HAT's HAB attention through the same kernel (shared rpi, window
+    16 semantics at the small fixture's window 4)."""
+    from hdrvae.models.hat import HATConfig, hat_apply, init_hat
+    cfg = HATConfig().with_small()       # window 4, depths (2, 2)
+    params = init_hat(jax.random.PRNGKey(3), cfg)
+    x = np.random.default_rng(1).uniform(
+        0, 1, (1, 16, 16, 3)).astype(np.float32)
+
+    ref = np.asarray(hat_apply(params, jnp.asarray(x), cfg,
+                               precision=Precision(swin_attn="xla")))
+    ska._INTERPRET = True
+    try:
+        got = np.asarray(hat_apply(params, jnp.asarray(x), cfg,
+                                   precision=Precision(swin_attn="pallas")))
+    finally:
+        ska._INTERPRET = False
+    err = float(np.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"
