@@ -202,8 +202,11 @@ class Precision:
     # Window-attention executor for SwinIR-family upscalers: "auto" runs
     # the fused Pallas kernel (kernels.swin_attention) on TPU in fast
     # mode, the XLA einsum path otherwise; "xla" forces the einsum path;
-    # "pallas" asserts the kernel path is used.
-    swin_attn: str = "auto"
+    # "pallas" asserts the kernel path is used.  Default "xla" until the
+    # kernel is timed on hardware (interpret-mode parity is pinned in
+    # tests/test_swin_kernel.py; the TPU chip was unreachable when the
+    # kernel landed — flip to "auto" with the measured numbers).
+    swin_attn: str = "xla"
 
     @classmethod
     def fast(cls) -> "Precision":
