@@ -132,6 +132,14 @@ class HDRDecodeConfig:
     # (`hdr_vae_decode.py:106`: hdr_pixels > 0 or max > 1.1).
     accept_max_threshold: float = 1.1
 
+    # Full analysis record: also report conv_out re-applied alone
+    # (`hdr_vae_decode.py:877-881` "conv_only_result") and the conv_out
+    # weight/bias statistics the reference logs (`:900-910`).  Costs one
+    # extra 128->3 conv over the pre map; whole-image path only (the
+    # tiled/sharded executors report the param-derived weight/bias stats
+    # but skip conv_only — per-tile logging analog).
+    full_analysis: bool = False
+
     # HDR-data gate on the pre-conv_out map (`hdr_vae_decode.py:1076-1078`).
     hdr_tol: float = 1e-3
 

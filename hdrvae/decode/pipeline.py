@@ -164,6 +164,18 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
         "norm_kind": analysis.norm_kind,
         "output": hdr_stats(image),
     }
+    if cfg.full_analysis:
+        # The reference's extended analysis record: conv_out re-applied
+        # to the captured features alone (`hdr_vae_decode.py:877-881`)
+        # and the layer's weight/bias stats (`:900-910`) — in-graph
+        # reductions instead of hook captures + host syncs.
+        from hdrvae.core.stats import tensor_stats
+        from hdrvae.models.layers import conv2d
+        conv_only = conv2d(out.pre_conv_out, params["conv_out"],
+                           precision=precision)
+        stats["conv_only"] = tensor_stats(conv_only)
+        stats["conv_weight"] = tensor_stats(params["conv_out"]["kernel"])
+        stats["conv_bias"] = tensor_stats(params["conv_out"]["bias"])
     # Not returning the standard decode lets XLA reuse its buffer for the
     # HDR image instead of keeping both full-res float32 tensors live.
     standard = out.rgb if cfg.keep_standard else None

@@ -433,6 +433,13 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
         "norm_kind": analysis.norm_kind,
         "output": hdr_stats(image),
     }
+    if cfg.full_analysis:
+        # Param-derived part of the reference's extended analysis record
+        # (`hdr_vae_decode.py:900-910`); conv_only is whole-image-only
+        # (HDRDecodeConfig.full_analysis docstring).
+        from hdrvae.core.stats import tensor_stats
+        stats["conv_weight"] = tensor_stats(params["conv_out"]["kernel"])
+        stats["conv_bias"] = tensor_stats(params["conv_out"]["bias"])
     return image, rgb, stats, used_fallback
 
 

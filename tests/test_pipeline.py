@@ -232,3 +232,41 @@ def test_batched_decode_matches_batched_forward(small_cfg, small_params,
     np.testing.assert_allclose(np.asarray(result.image),
                                np.asarray(image_ref), atol=1e-5, rtol=1e-5)
     assert result.image.shape[0] == 3
+
+
+def test_full_analysis_record(small_cfg):
+    """cfg.full_analysis adds the reference's extended analysis record:
+    conv_only_result stats (`hdr_vae_decode.py:877-881`) and conv_out
+    weight/bias stats (`:900-910`)."""
+    import dataclasses
+
+    import jax
+
+    from hdrvae.core.config import HDRDecodeConfig
+    from hdrvae.core.stats import stats_to_host
+    from hdrvae.decode.pipeline import decode_summary, hdr_decode
+    from hdrvae.models.decoder import init_decoder
+    from hdrvae.models.layers import conv2d
+
+    params = init_decoder(jax.random.PRNGKey(0), small_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1),
+                          (1, 8, 8, small_cfg.z_channels))
+    cfg = HDRDecodeConfig(full_analysis=True)
+    res = hdr_decode(params, z, small_cfg, cfg)
+    summary = decode_summary(res)
+    for key in ("conv_only", "conv_weight", "conv_bias"):
+        assert set(summary[key]) == {"min", "max", "mean", "std"}, key
+
+    # conv_only is conv_out applied alone (no output postprocess): its
+    # max must exceed the clamped-postprocessed post max when the raw
+    # conv output leaves [0, 1] — check against an independent compute.
+    from hdrvae.models.decoder import decoder_apply
+    out = decoder_apply(params, z, small_cfg)
+    raw = conv2d(out.pre_conv_out, params["conv_out"])
+    import numpy as np
+    expect = float(np.asarray(raw, np.float32).max())
+    assert abs(summary["conv_only"]["max"] - expect) < 1e-4
+
+    # default config omits the record
+    res2 = hdr_decode(params, z, small_cfg, HDRDecodeConfig())
+    assert "conv_only" not in res2.stats
