@@ -51,6 +51,44 @@ def get_full_path(kind: str, name: str) -> str:
         f"HDRVAE_MODELS_DIR or call register_model_folder()")
 
 
+def discover_comfyui_output(start_dir: str,
+                            levels: int = 5) -> str | None:
+    """The reference's output-dir discovery heuristic
+    (`linear_exr_export.py:443-463`): walk up from ``start_dir`` looking
+    for a ComfyUI root (a directory holding both ``custom_nodes`` and
+    ``models``) and return its ``output`` subdirectory."""
+    search = os.path.abspath(start_dir)
+    for _ in range(levels):
+        if (os.path.isdir(os.path.join(search, "custom_nodes"))
+                and os.path.isdir(os.path.join(search, "models"))):
+            return os.path.join(search, "output")
+        parent = os.path.dirname(search)
+        if parent == search:
+            break
+        search = parent
+    return None
+
+
 def get_output_directory() -> str:
-    return os.environ.get("HDRVAE_OUTPUT_DIR", os.path.join(os.getcwd(),
-                                                            "output"))
+    """Output-dir resolution, mirroring the reference's fallback chain
+    (`linear_exr_export.py:431-472`) with a framework-native override:
+
+      1. ``HDRVAE_OUTPUT_DIR`` env var;
+      2. ComfyUI's ``folder_paths`` module when hosted inside ComfyUI;
+      3. the reference's tree-walk heuristic from this package's
+         install location (`:443-463`);
+      4. ``./output`` relative to the working directory.
+    """
+    env = os.environ.get("HDRVAE_OUTPUT_DIR")
+    if env:
+        return env
+    try:
+        import folder_paths  # ComfyUI host runtime
+        return folder_paths.get_output_directory()
+    except Exception:
+        pass
+    found = discover_comfyui_output(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    if found:
+        return found
+    return os.path.join(os.getcwd(), "output")

@@ -145,3 +145,22 @@ class TestComfyAdapter:
         assert isinstance(image, torch.Tensor)
         assert image.dtype == torch.float32
         assert image.shape[-1] == 3
+
+
+def test_output_dir_discovery_heuristic(tmp_path, monkeypatch):
+    """The reference's ComfyUI-root tree walk
+    (`linear_exr_export.py:443-463`): a directory holding custom_nodes +
+    models marks the root; env var wins over discovery."""
+    from hdrvae.api import folders
+
+    root = tmp_path / "ComfyUI"
+    (root / "custom_nodes" / "pack").mkdir(parents=True)
+    (root / "models").mkdir()
+    found = folders.discover_comfyui_output(str(root / "custom_nodes"
+                                                / "pack"))
+    assert found == str(root / "output")
+    assert folders.discover_comfyui_output(str(tmp_path)) in (
+        None, str(root / "output"))  # tmp_path itself is not a root
+
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", "/somewhere/else")
+    assert folders.get_output_directory() == "/somewhere/else"
