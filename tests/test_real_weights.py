@@ -224,3 +224,34 @@ def test_real_esrgan_hdr_upscale_golden():
     assert out.shape == (1, 32 * cfg.scale, 32 * cfg.scale, 3)
     assert np.isfinite(out).all()
     _check_golden("esrgan_upscale", _fingerprint(out))
+
+
+def _all_upscaler_ckpts():
+    if not MODELS_DIR or not os.path.isdir(MODELS_DIR):
+        return []
+    return [n for n in sorted(os.listdir(MODELS_DIR))
+            if n.endswith((".pth", ".safetensors"))
+            and n != "ae.safetensors"]
+
+
+@pytest.mark.parametrize("name", _all_upscaler_ckpts() or ["<none>"])
+def test_real_zoo_checkpoint_loads_and_upscales(name):
+    """ANY upscaler checkpoint dropped into HDRVAE_MODELS_DIR must be
+    detected by the zoo (ESRGAN/RealESRGAN/SwinIR/HAT/Compact/SPAN key
+    schemas), upscale a fixed image, pick a reversal per the reference's
+    name map, and golden-fingerprint the result."""
+    if name == "<none>":
+        pytest.skip("set HDRVAE_MODELS_DIR with upscaler checkpoints")
+    import jax.numpy as jnp
+    from hdrvae.models.zoo import load_upscale_model, upscaler_apply
+    from hdrvae.upscale.pipeline import get_reversal_fn
+
+    params, cfg, arch = load_upscale_model(os.path.join(MODELS_DIR, name))
+    rng = np.random.default_rng(11)
+    x = np.clip(rng.standard_normal((1, 24, 24, 3)) * 0.2 + 0.4, 0, 1) \
+        .astype(np.float32)
+    y = np.asarray(upscaler_apply(params, jnp.asarray(x), cfg))
+    assert y.shape == (1, 24 * cfg.scale, 24 * cfg.scale, 3)
+    assert np.isfinite(y).all()
+    get_reversal_fn(arch)   # raises on unknown arch names
+    _check_golden(f"zoo_{os.path.splitext(name)[0]}", _fingerprint(y))
