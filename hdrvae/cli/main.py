@@ -139,9 +139,19 @@ def cmd_upscale(args) -> int:
                         upscale_method=args.upscale_method,
                         tiling=TilingConfig(tile=args.tile,
                                             overlap=args.overlap))
-    result = hdr_upscale(params, jnp.asarray(image, jnp.float32),
-                         model_cfg, cfg, architecture=arch)
+    if args.sharded:
+        # tile-grid data parallelism over the device mesh (the upscaler
+        # analog of `decode --sharded`)
+        from hdrvae.sharding.mesh import make_mesh, sharded_hdr_upscale
+        result = sharded_hdr_upscale(params,
+                                     jnp.asarray(image, jnp.float32),
+                                     model_cfg, cfg, architecture=arch,
+                                     mesh=make_mesh())
+    else:
+        result = hdr_upscale(params, jnp.asarray(image, jnp.float32),
+                             model_cfg, cfg, architecture=arch)
     print(json.dumps({"architecture": arch, "scale": model_cfg.scale,
+                      "sharded": bool(args.sharded),
                       "out_shape": list(result.image.shape)}))
     _export(np.asarray(result.image), args)
     return 0
@@ -296,6 +306,8 @@ def build_parser() -> argparse.ArgumentParser:
                             "bislerp"))
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--overlap", type=int, default=64)
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the tile grid over the device mesh")
     _add_export_args(p)
     p.set_defaults(func=cmd_upscale)
 

@@ -561,3 +561,130 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
         params, tiles, stats_latent, decoder_cfg, cfg, precision, plan,
         mesh, axis_name, global_stats)
     return image
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded two-pass HDR upscale (DP over the tile grid)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model_cfg", "architecture",
+                                    "precision", "mesh", "axis_name"))
+def _sharded_upscale_step(params: Params, both: jnp.ndarray, model_cfg,
+                          architecture: str, precision: Precision,
+                          mesh: Mesh, axis_name: str) -> jnp.ndarray:
+    """both: [2T_pad, B, th, tw, 3] sharded on the tile axis; each device
+    maps its chunk through the model + inverse activation."""
+    from hdrvae.models.zoo import upscaler_apply
+    from hdrvae.upscale.pipeline import get_reversal_fn
+
+    reversal = get_reversal_fn(architecture)
+
+    def run_chunk(p, chunk):
+        def one(t):
+            return reversal(upscaler_apply(p, t, model_cfg,
+                                           precision=precision))
+        return jax.lax.map(one, chunk)
+
+    return shard_map(run_chunk, mesh=mesh,
+                     in_specs=(P(), P(axis_name)),
+                     out_specs=P(axis_name),
+                     check_vma=False)(params, both)
+
+
+def sharded_hdr_upscale(params: Params, image: jnp.ndarray,
+                        model_cfg, cfg=None, *,
+                        architecture: str = "ESRGAN",
+                        mesh: Optional[Mesh] = None,
+                        precision: Precision = Precision()):
+    """Two-pass HDR upscale with the tile grid sharded over a device mesh.
+
+    The upscaler is perfectly data-parallel over tiles — unlike the
+    decoder there are no cross-tile statistics (no GroupNorm tape, no
+    psum), so BOTH passes' tiles (unclamped + clamped,
+    `hdr_upscale_with_model.py:180-186`) are stacked on one axis and
+    sharded across the mesh; each device runs its chunk through
+    ``lax.map`` (batch-1 conv optimum, PERF_NOTES.md section 1) and only
+    the stitched full-resolution tensors are assembled for the YCbCr
+    recombination.  Semantics match :func:`hdrvae.upscale.pipeline.
+    hdr_upscale` exactly (asserted in test_sharding.py).
+    """
+    from hdrvae.core.config import UpscaleConfig
+    from hdrvae.upscale.filters import gaussian_blur
+    from hdrvae.upscale.pipeline import (_recombine, _select_pass_tile,
+                                         UpscaleResult)
+
+    if cfg is None:
+        cfg = UpscaleConfig()
+    if image.ndim != 4 or image.shape[-1] != 3:
+        raise ValueError(f"expected [B, H, W, 3] image, got {image.shape}")
+    if mesh is None:
+        mesh = make_mesh()
+    axis_name = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    image = image.astype(jnp.float32)
+
+    in_filtered = image
+    if cfg.small_blur:
+        in_filtered = gaussian_blur(image, kernel_size=3, sigma=0.1)
+    clamped_in = jnp.clip(in_filtered, cfg.color_stable_min,
+                          cfg.color_stable_max)
+
+    tile = _select_pass_tile(in_filtered, model_cfg, cfg, precision)
+
+    replicated = NamedSharding(mesh, P())
+    first_leaf = jax.tree_util.tree_leaves(params)[0]
+    if getattr(first_leaf, "sharding", None) != replicated:
+        params = jax.device_put(params, replicated)
+    shard = NamedSharding(mesh, P(axis_name))
+
+    def run_both(t1, t2):
+        """Stack both passes' tiles on the sharded axis, run, split."""
+        both = jnp.concatenate([t1, t2], axis=0)
+        both, _ = _pad_tiles(both, n_dev)
+        both = jax.device_put(both, shard)
+        out = _sharded_upscale_step(params, both, model_cfg, architecture,
+                                    precision, mesh, axis_name)
+        n = t1.shape[0]
+        return out[:n], out[n:2 * n]
+
+    if cfg.tiling.seam_mode == "comfy":
+        # ComfyUI grid semantics: variable-size edge tiles — shard each
+        # same-shape group (at most four model shapes, same grouping as
+        # tiled_apply_comfy).
+        from hdrvae.tiling.tiled import blend_tiles_comfy, plan_tiles_comfy
+        plan_c = plan_tiles_comfy(image.shape[1], image.shape[2], tile,
+                                  cfg.tiling.overlap)
+        groups: Dict[Tuple[int, int], list] = {}
+        for i, (_, _, th, tw) in enumerate(plan_c.tiles):
+            groups.setdefault((th, tw), []).append(i)
+        outs_u = [None] * plan_c.num_tiles
+        outs_c = [None] * plan_c.num_tiles
+        for (th, tw), idxs in groups.items():
+            t1 = jnp.stack([in_filtered[:, y:y + th, x0:x0 + tw, :]
+                            for (y, x0, _, _) in
+                            (plan_c.tiles[i] for i in idxs)], axis=0)
+            t2 = jnp.stack([clamped_in[:, y:y + th, x0:x0 + tw, :]
+                            for (y, x0, _, _) in
+                            (plan_c.tiles[i] for i in idxs)], axis=0)
+            ou, oc = run_both(t1, t2)
+            for j, i in enumerate(idxs):
+                outs_u[i] = ou[j]
+                outs_c[i] = oc[j]
+        s_unclamped = blend_tiles_comfy(outs_u, plan_c,
+                                        scale=model_cfg.scale)
+        s_clamped = blend_tiles_comfy(outs_c, plan_c,
+                                      scale=model_cfg.scale)
+    else:
+        plan = plan_tiles(image.shape[1], image.shape[2], tile,
+                          cfg.tiling.overlap)
+        ou, oc = run_both(extract_tiles(in_filtered, plan),
+                          extract_tiles(clamped_in, plan))
+        s_unclamped = blend_tiles(ou, plan, scale=model_cfg.scale,
+                                  mode=cfg.tiling.seam_mode)
+        s_clamped = blend_tiles(oc, plan, scale=model_cfg.scale,
+                                mode=cfg.tiling.seam_mode)
+    s_final = _recombine(s_unclamped, s_clamped, in_filtered, cfg)
+    return UpscaleResult(image=s_final.astype(jnp.float32),
+                         unclamped=s_unclamped, clamped=s_clamped)

@@ -170,7 +170,16 @@ def tiled_apply_comfy(fn: Callable[[jnp.ndarray], jnp.ndarray],
             for j, i in enumerate(idxs):
                 outs[i] = res[j]
 
-    b = x.shape[0]
+    return blend_tiles_comfy(outs, plan, scale=scale)
+
+
+def blend_tiles_comfy(outs: List[jnp.ndarray], plan: ComfyTilePlan, *,
+                      scale: int = 1) -> jnp.ndarray:
+    """ComfyUI ``tiled_scale`` feather accumulation over per-tile outputs
+    (emission order, variable tile shapes): weighted add + divide by
+    accumulated weight."""
+    feather = round(plan.overlap * scale)
+    b = outs[0].shape[0]
     c = outs[0].shape[-1]
     out_h, out_w = plan.height * scale, plan.width * scale
     acc = jnp.zeros((b, out_h, out_w, c), jnp.float32)

@@ -303,3 +303,73 @@ def test_first3_fallback_uniform_across_executors(small_cfg, rng):
     signal = max(1.0, float(np.abs(np.asarray(whole.image)).max()))
     err = float(np.abs(np.asarray(tiled) - np.asarray(whole.image)).max())
     assert err <= 0.02 * signal, f"tile-grid first3 err {err:.3e}"
+
+
+class TestShardedUpscale:
+    """Mesh-sharded two-pass HDR upscale == the single-device pipeline
+    (the upscaler is pure tile-DP: no cross-tile statistics)."""
+
+    def _setup(self, tile, overlap):
+        import dataclasses
+
+        from hdrvae.core.config import (Precision, TilingConfig,
+                                        UpscaleConfig)
+        from hdrvae.models.rrdbnet import RRDBNetConfig, init_rrdbnet
+        cfg_m = RRDBNetConfig(nf=8, gc=4, nb=1, scale=2)
+        params = init_rrdbnet(jax.random.PRNGKey(0), cfg_m)
+        ucfg = UpscaleConfig(tiling=TilingConfig(tile=tile,
+                                                 overlap=overlap))
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(-0.3, 2.0, (1, 40, 48, 3)),
+                          jnp.float32)
+        return params, cfg_m, ucfg, img, Precision.parity()
+
+    @pytest.mark.parametrize("seam", ["feather", "crop"])
+    def test_matches_single_device(self, seam):
+        import dataclasses
+
+        from hdrvae.core.config import TilingConfig
+        from hdrvae.sharding.mesh import make_mesh, sharded_hdr_upscale
+        from hdrvae.upscale.pipeline import hdr_upscale
+
+        params, cfg_m, ucfg, img, prec = self._setup(16, 4)
+        ucfg = dataclasses.replace(
+            ucfg, tiling=dataclasses.replace(ucfg.tiling, seam_mode=seam))
+        ref = hdr_upscale(params, img, cfg_m, ucfg,
+                          architecture="ESRGAN", precision=prec)
+        mesh = make_mesh()
+        got = sharded_hdr_upscale(params, img, cfg_m, ucfg,
+                                  architecture="ESRGAN", mesh=mesh,
+                                  precision=prec)
+        err = float(jnp.abs(got.image - ref.image).max())
+        assert err <= 1e-5, f"seam={seam}: max-abs {err:.3e}"
+
+    def test_uneven_tile_count(self):
+        """Tile count not divisible by the mesh size (pad path)."""
+        from hdrvae.sharding.mesh import make_mesh, sharded_hdr_upscale
+        from hdrvae.upscale.pipeline import hdr_upscale
+
+        params, cfg_m, ucfg, img, prec = self._setup(24, 4)
+        ref = hdr_upscale(params, img, cfg_m, ucfg,
+                          architecture="ESRGAN", precision=prec)
+        got = sharded_hdr_upscale(params, img, cfg_m, ucfg,
+                                  architecture="ESRGAN",
+                                  mesh=make_mesh(3), precision=prec)
+        err = float(jnp.abs(got.image - ref.image).max())
+        assert err <= 1e-5, f"max-abs {err:.3e}"
+
+    def test_comfy_seam_matches_single_device(self):
+        """Default comfy seam mode (reference tiled_scale semantics,
+        variable-size edge tiles) through the sharded path."""
+        from hdrvae.sharding.mesh import make_mesh, sharded_hdr_upscale
+        from hdrvae.upscale.pipeline import hdr_upscale
+
+        params, cfg_m, ucfg, img, prec = self._setup(16, 4)
+        assert ucfg.tiling.seam_mode == "comfy"
+        ref = hdr_upscale(params, img, cfg_m, ucfg,
+                          architecture="ESRGAN", precision=prec)
+        got = sharded_hdr_upscale(params, img, cfg_m, ucfg,
+                                  architecture="ESRGAN", mesh=make_mesh(),
+                                  precision=prec)
+        err = float(jnp.abs(got.image - ref.image).max())
+        assert err <= 1e-5, f"max-abs {err:.3e}"
