@@ -211,8 +211,175 @@ def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Companion kernels: fused LN1+qkv prologue and proj+LN2+MLP epilogue
+#
+# PERF_NOTES 5.6 buckets ~36 ms of LayerNorm and a tail of separate
+# elementwise passes per SwinIR pass; XLA does not fuse LN into the
+# adjacent projections.  These two kernels bracket the attention core so
+# a whole Swin block runs as three Pallas calls on the windows layout —
+# every intermediate (LN output, qkv, attention out, MLP hidden) exists
+# in HBM at most once, with no layout changes between them.
+# ---------------------------------------------------------------------------
+
+
+def _ln(x32, gamma, beta, eps=1e-5):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
+                   bwin: int, n: int, cdt):
+    """LN1 -> qkv projection, per window (M=n dots keep Mosaic off the
+    outer-dim collapse path)."""
+    for w in range(bwin):
+        x32 = x_ref[w].astype(jnp.float32)               # [n, C]
+        y = _ln(x32, g_ref[0], be_ref[0]).astype(cdt)
+        qkv = jax.lax.dot_general(y, w_ref[...].astype(cdt),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[w] = (qkv + b_ref[0]).astype(o_ref.dtype)
+
+
+def _proj_mlp_kernel(a_ref, x_ref, wp_ref, bp_ref, g2_ref, be2_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                     bwin: int, n: int, cdt):
+    """attention-out -> proj -> +residual -> LN2 -> fc1 -> exact GELU ->
+    fc2 -> +residual (the Swin block's whole tail)."""
+    for w in range(bwin):
+        a = a_ref[w]                                     # [n, H*32]
+        proj = jax.lax.dot_general(a.astype(cdt), wp_ref[...].astype(cdt),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        x2 = x_ref[w].astype(jnp.float32) + proj + bp_ref[0]
+        y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
+        h = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = h + b1_ref[0]
+        # exact (erf) GELU, matching torch nn.GELU default
+        h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+        out = jax.lax.dot_general(h.astype(cdt), w2_ref[...].astype(cdt),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        o_ref[w] = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
+
+
+def _resident(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda wb: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
+           bwin: int, precision: Precision,
+           interpret: bool = False) -> jnp.ndarray:
+    """wins: [nwb, n, C] RAW windows (pre-LN); returns head-major padded
+    qkv [nwb, n, heads*3*32] with LN1 fused in."""
+    nwb, n, c = wins.shape
+    hd = c // heads
+    cdt = precision.compute_dtype
+    wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
+    call = pl.pallas_call(
+        functools.partial(_ln_qkv_kernel, bwin=bwin, n=n, cdt=cdt),
+        grid=(nwb // bwin,),
+        in_specs=[
+            pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _resident((c, heads * 3 * _HDP)),
+            _resident((1, heads * 3 * _HDP)),
+            _resident((1, c)),
+            _resident((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bwin, n, heads * 3 * _HDP),
+                               lambda wb: (wb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwb, n, heads * 3 * _HDP),
+                                       precision.storage_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nwb * n * c * heads * 3 * _HDP,
+            bytes_accessed=wins.size * wins.dtype.itemsize * 4,
+            transcendentals=0,
+        ),
+        name="swin_ln_qkv",
+        interpret=interpret or _INTERPRET,
+    )
+    return call(wins, wq.astype(jnp.float32), bq[None].astype(jnp.float32),
+                norm1["scale"][None].astype(jnp.float32),
+                norm1["bias"][None].astype(jnp.float32))
+
+
+def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
+             norm2: Params, mlp: Params, heads: int, *, bwin: int,
+             precision: Precision, interpret: bool = False) -> jnp.ndarray:
+    """attn_out: [nwb, n, heads*32] padded head-major core output; wins:
+    the block's RAW input windows (residual).  Returns the Swin block's
+    output windows [nwb, n, C]."""
+    nwb, n, c = wins.shape
+    hd = c // heads
+    cdt = precision.compute_dtype
+    wp = _prep_proj_weights(p["proj"], heads, hd)
+    hidden = mlp["fc1"]["kernel"].shape[1]
+    call = pl.pallas_call(
+        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, cdt=cdt),
+        grid=(nwb // bwin,),
+        in_specs=[
+            pl.BlockSpec((bwin, n, heads * _HDP), lambda wb: (wb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _resident((heads * _HDP, c)),
+            _resident((1, c)),
+            _resident((1, c)),
+            _resident((1, c)),
+            _resident((c, hidden)),
+            _resident((1, hidden)),
+            _resident((hidden, c)),
+            _resident((1, c)),
+        ],
+        out_specs=pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwb, n, c),
+                                       precision.storage_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nwb * n * c * (heads * _HDP + 2 * hidden),
+            bytes_accessed=wins.size * wins.dtype.itemsize * 4,
+            transcendentals=nwb * n * hidden,
+        ),
+        name="swin_proj_mlp",
+        interpret=interpret or _INTERPRET,
+    )
+    return call(attn_out, wins, wp.astype(jnp.float32),
+                p["proj"]["bias"][None].astype(jnp.float32),
+                norm2["scale"][None].astype(jnp.float32),
+                norm2["bias"][None].astype(jnp.float32),
+                mlp["fc1"]["kernel"].astype(jnp.float32),
+                mlp["fc1"]["bias"][None].astype(jnp.float32),
+                mlp["fc2"]["kernel"].astype(jnp.float32),
+                mlp["fc2"]["bias"][None].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Public entry: full window attention (qkv linear -> core -> proj)
 # ---------------------------------------------------------------------------
+
+
+def build_bias_tables(bias_hnn: jnp.ndarray, ws: int, shift: int,
+                      n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(tables [ncls, H, 2n, 2n], colmask2 [2n, 2n]) for the attention
+    core: block-diagonal bias with -1e9 off blocks; shifted grids add a
+    last-row class and a last-column delta (module docstring)."""
+    bias2 = _block_diag2(bias_hnn)                 # [H, 2n, 2n]
+    if shift:
+        mrow, mcol = _band_masks(ws, shift)
+        tables = jnp.stack([bias2,
+                            _block_diag2(bias_hnn + jnp.asarray(mrow))])
+        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
+        colmask2 = colmask2.at[n:, n:].set(jnp.asarray(mcol))
+    else:
+        tables = bias2[None]
+        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
+    return tables, colmask2
 
 
 def pick_bwin(nww: int, n: int = 64) -> int:
@@ -249,16 +416,7 @@ def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
     qkv_r = (qkv_r + bq.astype(jnp.float32)).astype(
         precision.storage_dtype)
 
-    bias2 = _block_diag2(bias_hnn)                 # [H, 2n, 2n]
-    if shift:
-        mrow, mcol = _band_masks(ws, shift)
-        tables = jnp.stack([bias2,
-                            _block_diag2(bias_hnn + jnp.asarray(mrow))])
-        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
-        colmask2 = colmask2.at[n:, n:].set(jnp.asarray(mcol))
-    else:
-        tables = bias2[None]
-        colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
+    tables, colmask2 = build_bias_tables(bias_hnn, ws, shift, n)
 
     out = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n, nwh=nwh,
                      nww=nww, bwin=bwin, shifted=bool(shift),

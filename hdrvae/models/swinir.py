@@ -189,26 +189,51 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
                    precision)
 
 
+def _swin_block_kernel(x: jnp.ndarray, p: Params, heads: int, ws: int,
+                       shift: int, precision: Precision) -> jnp.ndarray:
+    """The whole Swin block as three Pallas calls on the windows layout:
+    LN1+qkv prologue -> attention core (scores in VMEM) -> proj+LN2+MLP
+    epilogue.  LN is pointwise, so it commutes with roll/partition — the
+    RAW x is partitioned once and serves as both kernel input and
+    residual; only roll/partition/merge remain as XLA layout ops."""
+    from hdrvae.kernels.swin_attention import (_attn_core,
+                                               build_bias_tables, ln_qkv,
+                                               pick_bwin, proj_mlp)
+    b, h, w, c = x.shape
+    n = ws * ws
+    nwh, nww = h // ws, w // ws
+    ya = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    wins = _window_partition(ya, ws)
+    bwin = pick_bwin(nww, n)
+    qkv_r = ln_qkv(wins, p["attn"], p["norm1"], heads, bwin=bwin,
+                   precision=precision)
+    tables, colmask2 = build_bias_tables(_gather_bias(p["attn"], ws),
+                                         ws, shift, n)
+    core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
+                      nwh=nwh, nww=nww, bwin=bwin, shifted=bool(shift))
+    out_w = proj_mlp(core, wins, p["attn"], p["norm2"], p["mlp"], heads,
+                     bwin=bwin, precision=precision)
+    y = _window_merge(out_w, ws, h, w)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    return y
+
+
 def _swin_block(x: jnp.ndarray, p: Params, heads: int, ws: int,
                 shift: int, precision: Precision) -> jnp.ndarray:
     """One SwinTransformerBlock on an NHWC grid ([B, H, W, C], H/W
     multiples of ws)."""
     b, h, w, c = x.shape
+    if use_swin_kernel(precision, h, w, ws):
+        return _swin_block_kernel(x, p, heads, ws, shift, precision)
     shortcut = x
     y = _layer_norm(x, p["norm1"])
     if shift:
         y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
     wins = _window_partition(y, ws)
-    if use_swin_kernel(precision, h, w, ws):
-        # fused Pallas path: scores never leave VMEM, head views come
-        # from sliver BlockSpecs (kernels.swin_attention docstring)
-        wins = swin_window_attention(
-            wins, p["attn"], heads, ws, (h, w), shift,
-            _gather_bias(p["attn"], ws), precision=precision)
-    else:
-        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
-        wins = _window_attention(wins, p["attn"], heads, ws, mask,
-                                 precision)
+    mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+    wins = _window_attention(wins, p["attn"], heads, ws, mask,
+                             precision)
     y = _window_merge(wins, ws, h, w)
     if shift:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
