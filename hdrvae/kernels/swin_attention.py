@@ -241,17 +241,24 @@ def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
         o_ref[w] = (qkv + b_ref[0]).astype(o_ref.dtype)
 
 
-def _proj_mlp_kernel(a_ref, x_ref, wp_ref, bp_ref, g2_ref, be2_ref,
-                     w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                     bwin: int, n: int, cdt):
-    """attention-out -> proj -> +residual -> LN2 -> fc1 -> exact GELU ->
-    fc2 -> +residual (the Swin block's whole tail)."""
+def _proj_mlp_kernel(*refs, bwin: int, n: int, cdt, has_extra: bool):
+    """attention-out -> proj -> +residual (+optional extra residual, the
+    HAT CAB branch) -> LN2 -> fc1 -> exact GELU -> fc2 -> +residual."""
+    if has_extra:
+        (a_ref, x_ref, e_ref, wp_ref, bp_ref, g2_ref, be2_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+    else:
+        (a_ref, x_ref, wp_ref, bp_ref, g2_ref, be2_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
+        e_ref = None
     for w in range(bwin):
         a = a_ref[w]                                     # [n, H*32]
         proj = jax.lax.dot_general(a.astype(cdt), wp_ref[...].astype(cdt),
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         x2 = x_ref[w].astype(jnp.float32) + proj + bp_ref[0]
+        if e_ref is not None:
+            x2 = x2 + e_ref[w].astype(jnp.float32)
         y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
         h = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
                                 (((1,), (0,)), ((), ())),
@@ -311,34 +318,53 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
 
 def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
              norm2: Params, mlp: Params, heads: int, *, bwin: int,
-             precision: Precision, interpret: bool = False) -> jnp.ndarray:
+             precision: Precision, extra: jnp.ndarray | None = None,
+             interpret: bool = False) -> jnp.ndarray:
     """attn_out: [nwb, n, heads*32] padded head-major core output; wins:
-    the block's RAW input windows (residual).  Returns the Swin block's
-    output windows [nwb, n, C]."""
+    the block's RAW input windows (residual); ``extra``: an optional
+    additional pre-scaled residual in the same windows layout (HAT's
+    ``conv_scale * cab``).  Returns the block's output windows
+    [nwb, n, C]."""
     nwb, n, c = wins.shape
     hd = c // heads
     cdt = precision.compute_dtype
     wp = _prep_proj_weights(p["proj"], heads, hd)
     hidden = mlp["fc1"]["kernel"].shape[1]
+    win_spec = pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((bwin, n, heads * _HDP), lambda wb: (wb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        win_spec,
+    ]
+    args = [attn_out, wins]
+    if extra is not None:
+        in_specs.append(win_spec)
+        args.append(extra)
+    in_specs += [
+        _resident((heads * _HDP, c)),
+        _resident((1, c)),
+        _resident((1, c)),
+        _resident((1, c)),
+        _resident((c, hidden)),
+        _resident((1, hidden)),
+        _resident((hidden, c)),
+        _resident((1, c)),
+    ]
+    args += [wp.astype(jnp.float32),
+             p["proj"]["bias"][None].astype(jnp.float32),
+             norm2["scale"][None].astype(jnp.float32),
+             norm2["bias"][None].astype(jnp.float32),
+             mlp["fc1"]["kernel"].astype(jnp.float32),
+             mlp["fc1"]["bias"][None].astype(jnp.float32),
+             mlp["fc2"]["kernel"].astype(jnp.float32),
+             mlp["fc2"]["bias"][None].astype(jnp.float32)]
     call = pl.pallas_call(
-        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, cdt=cdt),
+        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, cdt=cdt,
+                          has_extra=extra is not None),
         grid=(nwb // bwin,),
-        in_specs=[
-            pl.BlockSpec((bwin, n, heads * _HDP), lambda wb: (wb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _resident((heads * _HDP, c)),
-            _resident((1, c)),
-            _resident((1, c)),
-            _resident((1, c)),
-            _resident((c, hidden)),
-            _resident((1, hidden)),
-            _resident((hidden, c)),
-            _resident((1, c)),
-        ],
-        out_specs=pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=win_spec,
         out_shape=jax.ShapeDtypeStruct((nwb, n, c),
                                        precision.storage_dtype),
         cost_estimate=pl.CostEstimate(
@@ -349,14 +375,7 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
         name="swin_proj_mlp",
         interpret=interpret or _INTERPRET,
     )
-    return call(attn_out, wins, wp.astype(jnp.float32),
-                p["proj"]["bias"][None].astype(jnp.float32),
-                norm2["scale"][None].astype(jnp.float32),
-                norm2["bias"][None].astype(jnp.float32),
-                mlp["fc1"]["kernel"].astype(jnp.float32),
-                mlp["fc1"]["bias"][None].astype(jnp.float32),
-                mlp["fc2"]["kernel"].astype(jnp.float32),
-                mlp["fc2"]["bias"][None].astype(jnp.float32))
+    return call(*args)
 
 
 # ---------------------------------------------------------------------------

@@ -38,8 +38,7 @@ import numpy as np
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d
 from hdrvae.models.params import conv_kernel_to_hwio
-from hdrvae.kernels.swin_attention import (swin_window_attention,
-                                           use_swin_kernel)
+from hdrvae.kernels.swin_attention import use_swin_kernel
 from hdrvae.models.swinir import (_RGB_MEAN, _gather_bias, _layer_norm,
                                   _linear, _pixel_shuffle,
                                   _relative_position_index,
@@ -162,19 +161,45 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     shortcut = x
     y = _layer_norm(x, p["norm1"])
     conv_x = _cab(y, p["conv_block"], precision)
+    if use_swin_kernel(precision, h, w, ws):
+        # The whole HAB as the SwinIR 3-kernel block (HAB window
+        # attention is SwinIR's math with a shared rpi): LN1+qkv ->
+        # attention core -> proj + residual + CAB residual + LN2 + MLP.
+        # Every piece past the CAB convs is pointwise per token, so it
+        # commutes with roll/partition and runs in rolled window space.
+        from hdrvae.kernels.swin_attention import (_attn_core,
+                                                   build_bias_tables,
+                                                   ln_qkv, pick_bwin,
+                                                   proj_mlp)
+        n = ws * ws
+        nwh, nww = h // ws, w // ws
+        xa = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        cx = conv_x * cfg.conv_scale
+        if shift:
+            cx = jnp.roll(cx, (-shift, -shift), axis=(1, 2))
+        wins = _window_partition(xa, ws)
+        extra = _window_partition(cx.astype(x.dtype), ws)
+        bwin = pick_bwin(nww, n)
+        qkv_r = ln_qkv(wins, p["attn"], p["norm1"], heads, bwin=bwin,
+                       precision=precision)
+        tables, colmask2 = build_bias_tables(
+            _gather_bias(p["attn"], ws), ws, shift, n)
+        core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
+                          nwh=nwh, nww=nww, bwin=bwin,
+                          shifted=bool(shift))
+        out_w = proj_mlp(core, wins, p["attn"], p["norm2"], p["mlp"],
+                         heads, bwin=bwin, precision=precision,
+                         extra=extra)
+        out = _window_merge(out_w, ws, h, w)
+        if shift:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out
     ya = jnp.roll(y, (-shift, -shift), axis=(1, 2)) if shift else y
     wins = _window_partition(ya, ws)
-    if use_swin_kernel(precision, h, w, ws):
-        # HAB window attention is SwinIR's math with a shared rpi; the
-        # fused kernel (kernels.swin_attention) applies unchanged.
-        wins = swin_window_attention(
-            wins, p["attn"], heads, ws, (h, w), shift,
-            _gather_bias(p["attn"], ws), precision=precision)
-    else:
-        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
-        wins = _window_attention_rpi(wins, p["attn"], heads,
-                                     _relative_position_index(ws), mask,
-                                     precision)
+    mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+    wins = _window_attention_rpi(wins, p["attn"], heads,
+                                 _relative_position_index(ws), mask,
+                                 precision)
     ya = _window_merge(wins, ws, h, w)
     if shift:
         ya = jnp.roll(ya, (shift, shift), axis=(1, 2))

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hdrvae.core.config import Precision
-from hdrvae.kernels.swin_attention import (swin_window_attention,
-                                           use_swin_kernel)
+from hdrvae.kernels.swin_attention import use_swin_kernel
 from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
 from hdrvae.models.params import conv_kernel_to_hwio
 
