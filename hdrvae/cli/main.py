@@ -107,6 +107,45 @@ def cmd_decode(args) -> int:
     hdr_cfg = HDRDecodeConfig(
         hdr_mode=args.mode,
         conservative_ev_multiplier=args.ev_multiplier)
+    if args.pipelined:
+        # frame-sequence config 5: decode frame N+1 on device while frame
+        # N is fetched and frame N-1 encodes/writes (io.pipeline); each
+        # frame optionally decodes via the sharded slab path.
+        from hdrvae.api import folders
+        from hdrvae.core.config import ExportConfig
+        from hdrvae.io.pipeline import export_stream
+
+        if args.tiled:
+            from hdrvae.sharding.mesh import make_mesh, sharded_slab_decode
+            mesh = make_mesh(num_devices=args.mesh)
+
+        def make_frame(i):
+            def f():
+                one = jnp.asarray(latent[i:i + 1])
+                if args.tiled:
+                    r = sharded_slab_decode(vae.params, one, cfg, hdr_cfg,
+                                            mesh=mesh, precision=precision)
+                else:
+                    r = hdr_decode(vae.params, one, cfg, hdr_cfg,
+                                   precision)
+                return r.image[0]
+            return f
+
+        exp_cfg = ExportConfig(filename_prefix=args.prefix,
+                               output_path=args.output_path,
+                               format=args.format,
+                               bit_depth=args.bit_depth,
+                               compression=args.compression,
+                               versioning=args.versioning,
+                               frame_sequence=latent.shape[0] > 1)
+        res = export_stream(
+            [make_frame(i) for i in range(latent.shape[0])], exp_cfg,
+            default_output_dir=folders.get_output_directory())
+        if res.error:
+            raise SystemExit(res.error)
+        print(json.dumps({"frames": len(res.filepaths),
+                          "last": res.last, **res.verify_stats}))
+        return 0
     if args.tiled:
         # BASELINE.json config 5 from one command: sharded decode over the
         # device mesh (exact slab path: whole-image mid attention + GN
@@ -292,6 +331,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(BASELINE.json config 5)")
     p.add_argument("--mesh", type=int, default=None,
                    help="device count for --tiled (default: all)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="overlap decode, device->host fetch, and EXR "
+                        "write across the frame sequence (composes "
+                        "with --tiled)")
     _add_export_args(p)
     p.set_defaults(func=cmd_decode)
 

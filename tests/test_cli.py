@@ -90,3 +90,15 @@ class TestCLI:
         with pytest.raises(ValueError, match="unsupported latent format"):
             from hdrvae.cli.main import _load_latent
             _load_latent(str(tmp_path / "x.txt"))
+
+
+def test_decode_pipelined_frames(tmp_path, monkeypatch):
+    """decode --pipelined: frame-sequence export through the overlapped
+    stream (decode || fetch || write), composing with --tiled."""
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path))
+    from hdrvae.cli.main import main
+    rc = main(["decode", "--size", "32", "--batch", "2", "--pipelined",
+               "--prefix", "seq", "--bit-depth", "16bit"])
+    assert rc == 0
+    names = sorted(p.name for p in tmp_path.glob("seq_frame_*.exr"))
+    assert len(names) == 2
