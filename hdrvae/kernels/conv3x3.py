@@ -822,7 +822,7 @@ def _zero_frames2(xs, sl, bi, bj, *, nr, nj, br, wb, cin):
 
 def _upconv_gn_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
                            w: int, emit: bool, gs: int, nc: int,
-                           store_dtype=None):
+                           store_dtype=None, tap_outer: bool = False):
     """One grid step of conv3x3(silu(gn(conv_up(nearest2x(x))))):
 
     The low-res slab (2-row halo) is upsample-convolved into a
@@ -951,25 +951,49 @@ def _upconv_gn_conv_kernel(*refs, br: int, wb: int, cb: int, h: int,
         p = (u + d) % 2
         return p, 1 + (u + d - p) // 2
 
-    outs = []
-    for u in range(2):
-        row_out = []
-        for v in range(2):
-            acc = None
-            for di in (-1, 0, 1):
-                p, rs = _tap(u, di)
-                for dj in (-1, 0, 1):
-                    q, cs = _tap(v, dj)
-                    patch = band[p, q, rs:rs + br, cs:cs + wb, :]
-                    part = jax.lax.dot_general(
-                        patch, w1_ref[3 * (di + 1) + (dj + 1), :,
-                                      pl.ds(co * cb, cb)],
-                        dimension_numbers=(((2,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )                       # [br, wb, cb]
-                    acc = part if acc is None else acc + part
-            row_out.append(acc)
-        outs.append(row_out)
+    if tap_outer:
+        # Same tap products in the same per-phase order (bit-identical
+        # sums), but each of the 9 conv weights is loaded ONCE and
+        # reused across the four phase dots (9 MXU weight switches
+        # instead of 36) at the cost of four live accumulators (already
+        # counted by pick_blocks_upconv_fused's acc2 term).
+        outs = [[None, None], [None, None]]
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                wsl = w1_ref[3 * (di + 1) + (dj + 1), :,
+                             pl.ds(co * cb, cb)]
+                for u in range(2):
+                    p, rs = _tap(u, di)
+                    for v in range(2):
+                        q, cs = _tap(v, dj)
+                        patch = band[p, q, rs:rs + br, cs:cs + wb, :]
+                        part = jax.lax.dot_general(
+                            patch, wsl,
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                   # [br, wb, cb]
+                        outs[u][v] = (part if outs[u][v] is None
+                                      else outs[u][v] + part)
+    else:
+        outs = []
+        for u in range(2):
+            row_out = []
+            for v in range(2):
+                acc = None
+                for di in (-1, 0, 1):
+                    p, rs = _tap(u, di)
+                    for dj in (-1, 0, 1):
+                        q, cs = _tap(v, dj)
+                        patch = band[p, q, rs:rs + br, cs:cs + wb, :]
+                        part = jax.lax.dot_general(
+                            patch, w1_ref[3 * (di + 1) + (dj + 1), :,
+                                          pl.ds(co * cb, cb)],
+                            dimension_numbers=(((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                   # [br, wb, cb]
+                        acc = part if acc is None else acc + part
+                row_out.append(acc)
+            outs.append(row_out)
     bb = b1_ref[0, pl.ds(co * cb, cb)].astype(jnp.float32)
     t0 = jnp.stack([outs[0][0] + bb, outs[0][1] + bb], axis=2)
     t1 = jnp.stack([outs[1][0] + bb, outs[1][1] + bb], axis=2)
@@ -1041,7 +1065,8 @@ def upconv_gn_conv3x3(x: jnp.ndarray, up_kernel: jnp.ndarray,
                       store_dtype=None,
                       block_rows: Optional[int] = None,
                       block_cols: Optional[int] = None,
-                      cout_block: Optional[int] = None):
+                      cout_block: Optional[int] = None,
+                      tap_outer: bool = False):
     """conv3x3(silu(gn_affine(conv3x3(nearest2x(x))))) as ONE kernel —
     the streaming upsample junction (pass 2; pass 1 is
     `upsample_conv3x3(stats_only=True)` producing gamma/beta's
@@ -1086,7 +1111,7 @@ def upconv_gn_conv3x3(x: jnp.ndarray, up_kernel: jnp.ndarray,
     pk = phase_kernels(up_kernel)
     kern = functools.partial(_upconv_gn_conv_kernel, br=br, wb=wb, cb=cb,
                              h=h, w=w, emit=emit_stats, gs=gs, nc=nc,
-                             store_dtype=store_dtype)
+                             store_dtype=store_dtype, tap_outer=tap_outer)
     vm = dict(memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),

@@ -343,3 +343,30 @@ class TestUpstack:
         r = np.asarray(ref.rgb, np.float32)
         g = np.asarray(got.rgb, np.float32)
         assert np.abs(g - r).max() <= 0.02
+
+
+class TestJunctionTapOuter:
+    """The conv2 loop-order variant of the streaming junction kernel
+    (tap-outer: 9 MXU weight loads instead of 36) must be BIT-identical
+    to the phase-outer order — same tap products accumulated in the same
+    per-phase (di, dj) sequence."""
+
+    def test_bit_identical(self):
+        from hdrvae.kernels.conv3x3 import _MG, upconv_gn_conv3x3
+        h, w, cin, cm, cout = 8, 16, 8, 8, 8
+        x = _rand(0, (h + 4, w + 2 * _MG, cin))
+        upk = _rand(1, (3, 3, cin, cm), 0.2)
+        upb = _rand(2, (cm,))
+        gamma, beta = _rand(3, (cm,), 0.5), _rand(4, (cm,), 0.5)
+        k2, b2 = _rand(5, (3, 3, cm, cout), 0.2), _rand(6, (cout,))
+        outs = []
+        for tap_outer in (False, True):
+            with pltpu.force_tpu_interpret_mode():
+                y, (ssum, ssq) = upconv_gn_conv3x3(
+                    x, upk, upb, gamma, beta, k2, b2, emit_stats=True,
+                    num_groups=4, block_rows=4, block_cols=8,
+                    tap_outer=tap_outer)
+            outs.append((np.asarray(y), np.asarray(ssum),
+                         np.asarray(ssq)))
+        for a, b in zip(outs[0], outs[1]):
+            np.testing.assert_array_equal(a, b)
