@@ -194,7 +194,8 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                decoder_cfg: DecoderConfig = DecoderConfig(),
                cfg: HDRDecodeConfig = HDRDecodeConfig(),
                precision: Precision = Precision(),
-               *, shape_bucket: int = 0) -> HDRDecodeResult:
+               *, shape_bucket: int = 0,
+               pad_to: Tuple[int, int] | None = None) -> HDRDecodeResult:
     """Decode a latent to a linear HDR image.
 
     Args:
@@ -225,7 +226,16 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
 
     orig_h, orig_w = latent.shape[1], latent.shape[2]
     valid_hw = None
-    if shape_bucket > 0:
+    if pad_to is not None:
+        # explicit bucket target (decode.buckets.BucketPolicy.snap_hw)
+        if pad_to[0] < orig_h or pad_to[1] < orig_w:
+            raise ValueError(f"pad_to {pad_to} smaller than latent "
+                             f"{(orig_h, orig_w)}")
+        if pad_to != (orig_h, orig_w):
+            latent = jnp.pad(latent, ((0, 0), (0, pad_to[0] - orig_h),
+                                      (0, pad_to[1] - orig_w), (0, 0)))
+            valid_hw = (orig_h, orig_w)
+    elif shape_bucket > 0:
         pad_h = -orig_h % shape_bucket
         pad_w = -orig_w % shape_bucket
         if pad_h or pad_w:
