@@ -40,6 +40,7 @@ def test_plan_buckets_weighted_choice():
     assert p2.edges == (24, 64)
 
 
+@pytest.mark.slow
 def test_policy_padded_decode_is_exact(small_cfg):
     from hdrvae.core.config import HDRDecodeConfig
     from hdrvae.decode.pipeline import hdr_decode

@@ -344,6 +344,7 @@ class TestShardedUpscale:
         err = float(jnp.abs(got.image - ref.image).max())
         assert err <= 1e-5, f"seam={seam}: max-abs {err:.3e}"
 
+    @pytest.mark.slow
     def test_uneven_tile_count(self):
         """Tile count not divisible by the mesh size (pad path)."""
         from hdrvae.sharding.mesh import make_mesh, sharded_hdr_upscale
@@ -358,6 +359,7 @@ class TestShardedUpscale:
         err = float(jnp.abs(got.image - ref.image).max())
         assert err <= 1e-5, f"max-abs {err:.3e}"
 
+    @pytest.mark.slow
     def test_comfy_seam_matches_single_device(self):
         """Default comfy seam mode (reference tiled_scale semantics,
         variable-size edge tiles) through the sharded path."""

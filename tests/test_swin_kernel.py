@@ -83,6 +83,7 @@ def test_band_mask_decomposition_matches_reference_table():
                                           err_msg=f"window ({i},{j})")
 
 
+@pytest.mark.slow
 def test_full_swinir_forward_kernel_vs_xla():
     """End-to-end swinir_apply equivalence with the kernel path forced
     (interpret mode) against the einsum path."""
@@ -137,6 +138,7 @@ def test_padded_head_lanes_are_exact_zero():
     assert np.abs(pads).max() == 0.0
 
 
+@pytest.mark.slow
 def test_full_hat_forward_kernel_vs_xla():
     """HAT's HAB attention through the same kernel (shared rpi, window
     16 semantics at the small fixture's window 4)."""
