@@ -17,6 +17,8 @@ JAX forwards:
                                        -> models.srvgg
   - SPAN (Swift Parameter-free Attention Network; Conv3XC fused at load)
                                        -> models.span
+  - RealPLKSR (partial large-kernel blocks; PixelShuffle or DySample head)
+                                       -> models.plksr
 
 ``load_upscale_model`` returns (params, model_cfg, architecture_name);
 ``upscaler_apply`` dispatches on the config type so the HDR upscale
@@ -33,6 +35,9 @@ import numpy as np
 from hdrvae.core.config import Precision
 from hdrvae.models.hat import (HATConfig, hat_apply, hat_from_state_dict,
                                is_hat_state_dict)
+from hdrvae.models.plksr import (RealPLKSRConfig, is_realplksr_state_dict,
+                                 realplksr_apply,
+                                 realplksr_from_state_dict)
 from hdrvae.models.rrdbnet import (RRDBNetConfig, rrdbnet_apply,
                                    rrdbnet_from_state_dict)
 from hdrvae.models.span import (SPANConfig, is_span_state_dict,
@@ -44,7 +49,7 @@ from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
 
 Params = Dict[str, Any]
 ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig, SRVGGConfig,
-                    SPANConfig]
+                    SPANConfig, RealPLKSRConfig]
 
 
 def _load_state_dict(path: str) -> Mapping[str, Any]:
@@ -76,6 +81,10 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     if is_swinir_state_dict(sd):
         params, cfg = swinir_from_state_dict(sd)
         return params, cfg, "SwinIR"
+    if is_realplksr_state_dict(sd):
+        params, cfg = realplksr_from_state_dict(sd)
+        # NOT in the reference's atanh list -> default logit reversal.
+        return params, cfg, "RealPLKSR"
     if is_span_state_dict(sd):
         params, cfg = span_from_state_dict(sd)
         # NOT in the reference's atanh list -> default logit reversal.
@@ -101,6 +110,8 @@ def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         return swinir_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SPANConfig):
         return span_apply(params, x, cfg, precision=precision)
+    if isinstance(cfg, RealPLKSRConfig):
+        return realplksr_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SRVGGConfig):
         return srvgg_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, RRDBNetConfig):
@@ -130,5 +141,8 @@ def working_set_bytes_per_pixel(cfg: ModelConfig,
     if isinstance(cfg, SPANConfig):
         # conv stack plus the 4x num_feat concat before conv_cat
         return float(cfg.num_feat * 6 * elsize + out_bytes)
+    if isinstance(cfg, RealPLKSRConfig):
+        # DCCM's 2x-dim hidden alongside the block skip
+        return float(cfg.dim * 3 * elsize + out_bytes)
     # densest RRDB concat holds nf + 4*gc channels, live twice
     return float((cfg.nf + 4 * cfg.gc) * 2 * elsize + out_bytes)
