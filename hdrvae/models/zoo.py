@@ -94,11 +94,40 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
         # spandrel's name for SRVGGNetCompact; NOT in the reference's
         # atanh list -> takes the default logit reversal (`:266-279`).
         return params, cfg, "Compact"
-    from hdrvae.models.rrdbnet import detect_architecture
-    params, cfg = rrdbnet_from_state_dict(sd)
-    arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
-        else "RealESRGAN"
-    return params, cfg, arch
+    if "body.0.rdb1.conv1.weight" in sd or \
+            "model.1.sub.0.RDB1.conv1.0.weight" in sd:
+        from hdrvae.models.rrdbnet import detect_architecture
+        params, cfg = rrdbnet_from_state_dict(sd)
+        arch = "ESRGAN" if detect_architecture(sd) == "esrgan-old" \
+            else "RealESRGAN"
+        return params, cfg, arch
+    raise ValueError(
+        f"unsupported upscaler checkpoint schema "
+        f"({_guess_architecture(sd)}); supported architectures: "
+        "ESRGAN/RealESRGAN (RRDBNet), SwinIR, HAT, Compact "
+        "(SRVGGNetCompact), SPAN, RealPLKSR")
+
+
+# Key fingerprints of spandrel-supported families hdrvae does not
+# implement, so the rejection names what the user actually has.
+_FOREIGN_FINGERPRINTS = (
+    ("before_RG.1.weight", "looks like DAT"),
+    ("residual_layer.0.residual_layer.0.layer.0.fn.0.weight",
+     "looks like OmniSR"),
+    ("layers.0.residual_group.blocks.0.attn.relative_position_bias_table",
+     "looks like Swin2SR"),
+    ("unet1.conv1.conv.0.weight", "looks like RealCUGAN"),
+    ("feats.1.lk.conv.weight", "original PLKSR (only RealPLKSR is "
+                               "implemented)"),
+)
+
+
+def _guess_architecture(sd: Mapping[str, Any]) -> str:
+    for key, name in _FOREIGN_FINGERPRINTS:
+        if key in sd:
+            return name
+    head = ", ".join(sorted(sd)[:3])
+    return f"unrecognized; first keys: {head}"
 
 
 def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,

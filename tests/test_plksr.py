@@ -238,3 +238,17 @@ def test_realplksr_hdr_reversal_is_logit():
     from hdrvae.decode.modes import inverse_sigmoid
     from hdrvae.upscale.pipeline import get_reversal_fn
     assert get_reversal_fn("RealPLKSR") is inverse_sigmoid
+
+
+def test_zoo_rejects_foreign_schema_with_named_guess(tmp_path):
+    """An unsupported spandrel-family checkpoint (e.g. DAT) must be
+    rejected with the supported-architecture list and a best-effort
+    name, not a key-mapping crash."""
+    from hdrvae.models.zoo import load_upscale_model
+    sd = {"conv_first.weight": torch.zeros(8, 3, 3, 3),
+          "conv_first.bias": torch.zeros(8),
+          "before_RG.1.weight": torch.zeros(8)}
+    path = tmp_path / "dat.pth"
+    torch.save(sd, path)
+    with pytest.raises(ValueError, match="looks like DAT"):
+        load_upscale_model(str(path))
