@@ -385,6 +385,34 @@ def main() -> int:
                                   "warmup_s": round(warm, 1)}),
                       file=sys.stderr)
 
+            # RealPLKSR (official x4 shape: dim 64, 28 blocks, 17x17
+            # partial conv) on a 512^2 tile.
+            from hdrvae.models.plksr import (RealPLKSRConfig,
+                                             init_realplksr,
+                                             realplksr_apply)
+            pk_cfg = RealPLKSRConfig()
+            pk_params = init_realplksr(jax.random.PRNGKey(9), pk_cfg)
+
+            @jax.jit
+            def plksr_step(x):
+                y = realplksr_apply(pk_params, x, pk_cfg,
+                                    precision=precision)
+                return x + y.mean() * 1e-6
+
+            best, mean, warm = bench_step(plksr_step, tile, sync,
+                                          runs=3, warmup=1)
+            mp_out = (512 * pk_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "realplksr_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "realplksr_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
     if extra_rows:
         result["extra_metrics"] = extra_rows
     print(json.dumps(result))
