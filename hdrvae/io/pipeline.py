@@ -95,6 +95,7 @@ def export_stream(frames: Iterable[Frame],
         return result
     want_half = (reduced_precision_fetch and cfg.format == "exr"
                  and cfg.bit_depth == "16bit")
+    paths: Dict[int, str] = {}
 
     try:
         output_dir, template, sequenced = plan_output(
@@ -111,18 +112,27 @@ def export_stream(frames: Iterable[Frame],
                 _write_sidecar(filepath, prompt, extra_pnginfo)
             if pbar is not None:
                 pbar.update(1)
-            return filepath
+            paths[i] = filepath   # recorded on the (single) writer
+            return filepath       # thread so failures report partials
 
-        paths: Dict[int, str] = {}
         with cf.ThreadPoolExecutor(1) as fetcher, \
                 cf.ThreadPoolExecutor(1) as writer:
             fetch_q: deque = deque()
             write_q: deque = deque()
 
+            def drain_write():
+                fut = write_q.popleft()[1]
+                fut.result()   # propagate write errors in order
+
             def drain_fetch():
                 i, fut = fetch_q.popleft()
                 write_q.append((i, writer.submit(write_one, i,
                                                  fut.result())))
+                # bound pending writes too: when encode+write is the
+                # slowest stage, fetched frames must not pile up in the
+                # writer queue (each is a full-resolution host array)
+                while len(write_q) > depth:
+                    drain_write()
 
             for i, frame in enumerate(frames):
                 if callable(frame):
@@ -134,8 +144,8 @@ def export_stream(frames: Iterable[Frame],
                     drain_fetch()
             while fetch_q:
                 drain_fetch()
-            for i, fut in write_q:
-                paths[i] = fut.result()
+            while write_q:
+                drain_write()
 
         result.filepaths = [paths[i] for i in sorted(paths)]
         if result.filepaths:
@@ -145,4 +155,7 @@ def export_stream(frames: Iterable[Frame],
     except Exception as e:  # node contract: report, don't raise
         logger.error("pipelined export failed: %s", e, exc_info=True)
         result.error = f"ERROR: {e}"
+        # frames written before the failure exist on disk — report them
+        # (matching the serial exporter, which appends as it writes)
+        result.filepaths = [paths[i] for i in sorted(paths)]
         return result

@@ -37,7 +37,11 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import (conv_from_sd as _conv_from,
+                                  conv_kernel_to_hwio,
+                                  linear_from_sd as _lin_from,
+                                  norm_affine_from_sd as _ln_from,
+                                  to_np as _to_np)
 from hdrvae.kernels.swin_attention import use_swin_kernel
 from hdrvae.models.swinir import (_RGB_MEAN, _gather_bias, _layer_norm,
                                   _linear, _pixel_shuffle,
@@ -433,25 +437,7 @@ def is_hat_state_dict(sd: Mapping[str, Any]) -> bool:
                for k in sd)
 
 
-def _to_np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
-
-
-def _lin_from(sd, prefix):
-    return {"kernel": _to_np(sd[prefix + ".weight"]).T,
-            "bias": _to_np(sd[prefix + ".bias"])}
-
-
-def _conv_from(sd, prefix):
-    return {"kernel": conv_kernel_to_hwio(_to_np(sd[prefix + ".weight"])),
-            "bias": _to_np(sd[prefix + ".bias"])}
-
-
-def _ln_from(sd, prefix):
-    return {"scale": _to_np(sd[prefix + ".weight"]),
-            "bias": _to_np(sd[prefix + ".bias"])}
+# shared state-dict extractors (hdrvae.models.params)
 
 
 def hat_from_state_dict(sd: Mapping[str, Any]) -> tuple[Params, HATConfig]:

@@ -25,16 +25,45 @@ from hdrvae.core.config import DecoderConfig
 Params = Dict[str, Any]
 
 
-def _to_np(t) -> np.ndarray:
+def to_np(t) -> np.ndarray:
     """Accept torch tensors, numpy arrays, or jax arrays."""
     if hasattr(t, "detach"):  # torch
         t = t.detach().cpu().numpy()
     return np.asarray(t, dtype=np.float32)
 
 
+_to_np = to_np
+
+
 def conv_kernel_to_hwio(w: np.ndarray) -> np.ndarray:
     """OIHW (torch Conv2d) -> HWIO (jax NHWC conv)."""
     return np.transpose(w, (2, 3, 1, 0))
+
+
+# Shared state-dict extractors for the upscaler-zoo loaders (one source
+# of truth for tensor conversion across the model families).
+
+def linear_from_sd(sd: Mapping[str, Any], prefix: str) -> Params:
+    """torch nn.Linear -> {'kernel' [in, out], 'bias' [out]}."""
+    return {"kernel": to_np(sd[prefix + ".weight"]).T,
+            "bias": to_np(sd[prefix + ".bias"])}
+
+
+def conv_from_sd(sd: Mapping[str, Any], prefix: str) -> Params:
+    """torch nn.Conv2d -> {'kernel' HWIO, 'bias' [O]}; bias-free convs
+    get explicit zeros (the conv2d epilogue always adds one)."""
+    kernel = conv_kernel_to_hwio(to_np(sd[prefix + ".weight"]))
+    if prefix + ".bias" in sd:
+        bias = to_np(sd[prefix + ".bias"])
+    else:
+        bias = np.zeros((kernel.shape[-1],), np.float32)
+    return {"kernel": kernel, "bias": bias}
+
+
+def norm_affine_from_sd(sd: Mapping[str, Any], prefix: str) -> Params:
+    """torch LayerNorm/GroupNorm affine -> {'scale', 'bias'}."""
+    return {"scale": to_np(sd[prefix + ".weight"]),
+            "bias": to_np(sd[prefix + ".bias"])}
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:

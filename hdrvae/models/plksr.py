@@ -47,7 +47,8 @@ import numpy as np
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, group_norm, init_conv2d, \
     init_group_norm
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import conv_from_sd as _conv, \
+    to_np as _to_np
 from hdrvae.models.swinir import _pixel_shuffle
 
 Params = Dict[str, Any]
@@ -251,19 +252,6 @@ def is_realplksr_state_dict(sd: Mapping[str, Any]) -> bool:
     no per-block GroupNorm — not supported here, detect and reject)."""
     return "feats.0.weight" in sd and "feats.1.lk.conv.weight" in sd and \
         "feats.1.norm.weight" in sd
-
-
-def _to_np(v) -> np.ndarray:
-    return np.asarray(getattr(v, "numpy", lambda: v)())
-
-
-def _conv(sd: Mapping[str, Any], prefix: str) -> Params:
-    p = {"kernel": conv_kernel_to_hwio(_to_np(sd[f"{prefix}.weight"]))}
-    if f"{prefix}.bias" in sd:
-        p["bias"] = _to_np(sd[f"{prefix}.bias"])
-    else:
-        p["bias"] = np.zeros((p["kernel"].shape[-1],), np.float32)
-    return p
 
 
 def realplksr_from_state_dict(sd: Mapping[str, Any]

@@ -40,7 +40,8 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import conv_kernel_to_hwio, \
+    to_np as _to_np
 from hdrvae.models.swinir import _pixel_shuffle
 
 Params = Dict[str, Any]
@@ -131,12 +132,6 @@ def init_span(key: jax.Array, cfg: SPANConfig = SPANConfig()) -> Params:
 
 def is_span_state_dict(sd: Mapping[str, Any]) -> bool:
     return "block_1.c1_r.sk.weight" in sd and "conv_cat.weight" in sd
-
-
-def _to_np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
 
 
 def _fuse_conv3xc(sd: Mapping[str, Any], prefix: str) -> Params:

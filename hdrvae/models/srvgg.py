@@ -28,7 +28,8 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import conv_kernel_to_hwio, \
+    to_np as _to_np
 from hdrvae.models.swinir import _pixel_shuffle
 
 Params = Dict[str, Any]
@@ -105,10 +106,6 @@ def is_srvgg_state_dict(sd: Mapping[str, Any]) -> bool:
     w = sd["body.0.weight"]
     return getattr(w, "ndim", len(getattr(w, "shape", ()))) == 4 or \
         len(w.shape) == 4
-
-
-def _to_np(v) -> np.ndarray:
-    return np.asarray(getattr(v, "numpy", lambda: v)())
 
 
 def srvgg_from_state_dict(sd: Mapping[str, Any]

@@ -37,7 +37,11 @@ import numpy as np
 from hdrvae.core.config import Precision
 from hdrvae.kernels.swin_attention import use_swin_kernel
 from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import (conv_from_sd as _conv_from,
+                                  conv_kernel_to_hwio,
+                                  linear_from_sd as _lin_from,
+                                  norm_affine_from_sd as _ln_from,
+                                  to_np as _to_np)
 
 Params = Dict[str, Any]
 
@@ -448,28 +452,17 @@ _BLOCK_RE = re.compile(
 
 
 def is_swinir_state_dict(sd: Mapping[str, Any]) -> bool:
-    return any(_BLOCK_RE.match(k) for k in sd)
+    """SwinIR v1 spine.  Swin2SR shares the residual_group.blocks spine
+    but replaces the learned relative_position_bias_table with a
+    continuous-position MLP (attn.logit_scale / attn.cpb_mlp.*) — those
+    checkpoints must NOT dispatch here (the zoo rejects them by name)."""
+    if not any(_BLOCK_RE.match(k) for k in sd):
+        return False
+    return not any(k.endswith((".attn.logit_scale", ".attn.cpb_mlp.0.weight"))
+                   for k in sd)
 
 
-def _to_np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
-
-
-def _lin_from(sd, prefix):
-    return {"kernel": _to_np(sd[prefix + ".weight"]).T,
-            "bias": _to_np(sd[prefix + ".bias"])}
-
-
-def _conv_from(sd, prefix):
-    return {"kernel": conv_kernel_to_hwio(_to_np(sd[prefix + ".weight"])),
-            "bias": _to_np(sd[prefix + ".bias"])}
-
-
-def _ln_from(sd, prefix):
-    return {"scale": _to_np(sd[prefix + ".weight"]),
-            "bias": _to_np(sd[prefix + ".bias"])}
+# shared state-dict extractors (hdrvae.models.params)
 
 
 def swinir_from_state_dict(sd: Mapping[str, Any]

@@ -114,7 +114,7 @@ _FOREIGN_FINGERPRINTS = (
     ("before_RG.1.weight", "looks like DAT"),
     ("residual_layer.0.residual_layer.0.layer.0.fn.0.weight",
      "looks like OmniSR"),
-    ("layers.0.residual_group.blocks.0.attn.relative_position_bias_table",
+    ("layers.0.residual_group.blocks.0.attn.logit_scale",
      "looks like Swin2SR"),
     ("unet1.conv1.conv.0.weight", "looks like RealCUGAN"),
     ("feats.1.lk.conv.weight", "original PLKSR (only RealPLKSR is "

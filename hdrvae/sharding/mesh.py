@@ -652,7 +652,11 @@ def sharded_hdr_upscale(params: Params, image: jnp.ndarray,
     if cfg.tiling.seam_mode == "comfy":
         # ComfyUI grid semantics: variable-size edge tiles — shard each
         # same-shape group (at most four model shapes, same grouping as
-        # tiled_apply_comfy).
+        # tiled_apply_comfy).  Grid + blending semantics live ONLY in
+        # plan_tiles_comfy/blend_tiles_comfy (shared with tiled.py);
+        # this branch re-implements just the stack/scatter mechanics,
+        # and test_sharding asserts equality with the single-device
+        # pipeline.
         from hdrvae.tiling.tiled import blend_tiles_comfy, plan_tiles_comfy
         plan_c = plan_tiles_comfy(image.shape[1], image.shape[2], tile,
                                   cfg.tiling.overlap)

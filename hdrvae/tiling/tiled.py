@@ -104,14 +104,22 @@ class ComfyTilePlan:
 
 def plan_tiles_comfy(height: int, width: int, tile: int,
                      overlap: int) -> ComfyTilePlan:
-    """ComfyUI ``tiled_scale`` grid semantics: starts every
-    ``tile - overlap``; each start clamped to ``max(0, min(size - overlap,
-    start))``; tile length ``min(tile, size - pos)``.  Edge tiles shrink
-    instead of shifting — including the overlap-wide sliver tiles the
-    algorithm emits when ``size`` exceeds the stride (e.g. a 512 image
-    with tile 512 yields 4 tiles: 512x512, 512x64, 64x512, 64x64)."""
+    """ComfyUI ``tiled_scale`` grid semantics.  When the ENTIRE image
+    fits one tile (H <= tile and W <= tile) the published algorithm
+    early-outs with a single un-feathered model call ("handle entire
+    input fitting in a single tile" in ``tiled_scale_multidim``).
+    Otherwise: starts every ``tile - overlap``; each start clamped to
+    ``max(0, min(size - overlap, start))``; tile length ``min(tile,
+    size - pos)``.  Edge tiles shrink instead of shifting — including
+    the overlap-wide sliver tiles the algorithm emits whenever ``size``
+    exceeds the stride on either axis (e.g. a 513-wide image with tile
+    512 yields sliver columns; a 512x600 image tiles BOTH axes, 512
+    included, because only the both-axes-fit case takes the early-out)."""
     if overlap >= tile:
         raise ValueError(f"overlap {overlap} must be < tile {tile}")
+    if height <= tile and width <= tile:
+        return ComfyTilePlan(height, width, overlap,
+                             ((0, 0, height, width),))
 
     def axis(size: int) -> List[Tuple[int, int]]:
         out = []
@@ -178,6 +186,10 @@ def blend_tiles_comfy(outs: List[jnp.ndarray], plan: ComfyTilePlan, *,
     """ComfyUI ``tiled_scale`` feather accumulation over per-tile outputs
     (emission order, variable tile shapes): weighted add + divide by
     accumulated weight."""
+    if plan.tiles == ((0, 0, plan.height, plan.width),):
+        # single-tile early-out: ComfyUI returns the model output
+        # directly, no feather mask / divide round trip
+        return outs[0].astype(jnp.float32)
     feather = round(plan.overlap * scale)
     b = outs[0].shape[0]
     c = outs[0].shape[-1]

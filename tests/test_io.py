@@ -483,3 +483,59 @@ class TestPipelinedExport:
         res = export_stream(self._frames(1), bad,
                             default_output_dir=str(tmp_path))
         assert res.error is not None and res.error.startswith("ERROR")
+
+    def test_midstream_failure_reports_written_files(self, tmp_path):
+        """A frame failing mid-sequence: earlier frames already on disk
+        are reported alongside the error (serial-exporter contract)."""
+        import os
+        from hdrvae.io.pipeline import export_stream
+        frames = self._frames(4)
+
+        def boom():
+            raise RuntimeError("device died")
+
+        seq = ExportConfig(filename_prefix="part", frame_sequence=True)
+        res = export_stream(frames[:2] + [boom] + frames[3:], seq,
+                            default_output_dir=str(tmp_path))
+        assert res.error is not None and "device died" in res.error
+        assert len(res.filepaths) >= 1          # frame 0 was written
+        assert all(os.path.exists(p) for p in res.filepaths)
+
+    def test_writer_queue_is_bounded(self, tmp_path):
+        """With a slow writer, fetched-but-unwritten frames must stay
+        bounded by depth (no unbounded write_q growth)."""
+        import threading
+        import time as _time
+        import hdrvae.io.pipeline as pl
+        from hdrvae.io.pipeline import export_stream
+        state = {"fetched": 0, "written": 0, "max_gap": 0}
+        lock = threading.Lock()
+        orig_fetch, orig_save = pl._fetch, pl._save_one
+
+        def counting_fetch(*a, **k):
+            out = orig_fetch(*a, **k)
+            with lock:
+                state["fetched"] += 1
+                state["max_gap"] = max(state["max_gap"],
+                                       state["fetched"]
+                                       - state["written"])
+            return out
+
+        def slow_save(*a, **k):
+            _time.sleep(0.05)
+            out = orig_save(*a, **k)
+            with lock:
+                state["written"] += 1
+            return out
+
+        pl._fetch, pl._save_one = counting_fetch, slow_save
+        try:
+            seq = ExportConfig(filename_prefix="bq", frame_sequence=True)
+            res = export_stream(self._frames(10), seq, depth=2,
+                                default_output_dir=str(tmp_path))
+        finally:
+            pl._fetch, pl._save_one = orig_fetch, orig_save
+        assert res.error is None, res.error
+        assert len(res.filepaths) == 10
+        # <= depth in the fetch queue + depth+1 pending writes
+        assert state["max_gap"] <= 2 * 2 + 1, state

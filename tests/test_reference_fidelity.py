@@ -112,6 +112,13 @@ def comfy_tiled_scale(samples, function, tile_x=512, tile_y=512,
     the accumulated weight."""
     import torch as _t
     b, c, h, w = samples.shape
+    if h <= tile_y and w <= tile_x:
+        # "handle entire input fitting in a single tile": one
+        # un-feathered model call per batch element
+        out = _t.cat([function(samples[i:i + 1]) for i in range(b)])
+        if pbar is not None:
+            pbar.update(b)
+        return out
     out_h = round(h * upscale_amount)
     out_w = round(w * upscale_amount)
     out = out_div = None
@@ -729,6 +736,26 @@ def test_comfy_tiled_scale_parity():
                                  overlap=8, scale=2, mode="comfy"))
     assert got.shape == ref.shape
     assert _max_abs(got, ref) <= 1e-5, _max_abs(got, ref)
+
+    # exact-fit image: ComfyUI's single-tile early-out (one un-feathered
+    # model call, NOT a 2x2 grid with sliver tiles)
+    x1 = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    calls = {"n": 0}
+
+    def fn_torch_counted(t):
+        calls["n"] += 1
+        return fn_torch(t)
+
+    ref1 = comfy_tiled_scale(torch.from_numpy(
+        np.transpose(x1, (0, 3, 1, 2)).copy()), fn_torch_counted,
+        tile_x=32, tile_y=32, overlap=8, upscale_amount=2)
+    assert calls["n"] == 1
+    ref1 = np.transpose(ref1.numpy(), (0, 2, 3, 1))
+    got1 = np.asarray(tiled_apply(fn_jax, jnp.asarray(x1), tile=32,
+                                  overlap=8, scale=2, mode="comfy"))
+    assert _max_abs(got1, ref1) <= 1e-5, _max_abs(got1, ref1)
+    np.testing.assert_allclose(got1, np.asarray(fn_jax(jnp.asarray(x1))),
+                               atol=1e-6)
 
 
 def test_comfy_bislerp_parity():

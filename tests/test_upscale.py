@@ -96,6 +96,19 @@ class TestTiling:
         assert plan.num_tiles == 1
         assert plan.tile_h == 20
 
+    def test_comfy_exact_fit_single_tile(self):
+        """ComfyUI's 'entire input fits in a single tile' early-out: a
+        512^2 image with tile 512 is ONE un-feathered call, not a 2x2
+        grid with overlap-wide slivers."""
+        from hdrvae.tiling.tiled import plan_tiles_comfy
+        plan = plan_tiles_comfy(512, 512, tile=512, overlap=64)
+        assert plan.tiles == ((0, 0, 512, 512),)
+        # ... but a single OVERSIZE axis tiles BOTH axes (the early-out
+        # requires every dim to fit)
+        plan2 = plan_tiles_comfy(512, 600, tile=512, overlap=64)
+        assert len({y for y, _, _, _ in plan2.tiles}) > 1
+        assert len({x for _, x, _, _ in plan2.tiles}) > 1
+
     def test_extract_blend_identity(self, rng):
         """Identity function through feather tiling reproduces the input."""
         x = jnp.asarray(rng.standard_normal((1, 50, 38, 3)), jnp.float32)
