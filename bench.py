@@ -81,6 +81,30 @@ def main() -> int:
                              "shows per-stream throttling)")
     args = parser.parse_args()
 
+    # Fail fast if the accelerator backend is unreachable (the axon
+    # tunnel, when down, hangs backend init indefinitely): probe device
+    # discovery in a subprocess with a timeout and exit non-zero with
+    # NO metric line rather than hanging or emitting a bogus value.
+    import os
+    import subprocess
+    probe_s = float(os.environ.get("HDRVAE_BENCH_PROBE_TIMEOUT", "600"))
+    if probe_s > 0:
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_s, check=True)
+        except subprocess.TimeoutExpired:
+            print(f"bench: accelerator backend unreachable "
+                  f"(device discovery exceeded {probe_s:.0f}s); "
+                  "no metrics emitted", file=sys.stderr)
+            return 2
+        except subprocess.CalledProcessError as e:
+            print("bench: backend probe failed:\n"
+                  + e.stderr.decode(errors="replace")[-500:],
+                  file=sys.stderr)
+            return 2
+
     import jax
     import jax.numpy as jnp
     import numpy as np
