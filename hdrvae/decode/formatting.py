@@ -40,14 +40,41 @@ def collapse_channels_maxpool(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _channels_last(shape) -> bool:
+    """Layout guess for a 4D tensor where neither the second nor the last
+    axis is 3 (the unambiguous cases are handled before this is called).
+
+    The reference's rule (`hdr_vae_decode.py:219`: any 3 < shape[1] < 2000
+    is NCHW) misreads every wide NHWC tensor; a plain size comparison
+    misreads NCHW maps whose spatial dims exceed the channel count (e.g.
+    [B, 128, 512, 512]).  Layered tie-breaks instead:
+
+      1. exactly one axis is 128 -> that axis is channels (the Flux
+         pre-conv_out signature width, `hdr_vae_decode.py:227`);
+      2. equal spatial pair: [B, C, S, S] -> NCHW, [B, S, S, C] -> NHWC
+         (square images are the overwhelmingly common decode shape);
+      3. otherwise the SMALLER of the two candidate axes is channels,
+         ties resolved NCHW (the reference's default order).
+    """
+    c_first, c_last = shape[1], shape[-1]
+    if (c_first == 128) != (c_last == 128):
+        return c_last == 128
+    if shape[2] == shape[3] and shape[1] != shape[2]:
+        return False                      # [B, C, S, S]
+    if shape[1] == shape[2] and shape[2] != shape[3]:
+        return True                       # [B, S, S, C]
+    return c_last < c_first
+
+
 def to_nhwc_rgb(x: jnp.ndarray) -> jnp.ndarray:
     """Normalize an arbitrary decode output to [B, H, W, 3] float32.
 
-    Accepts 3D/4D tensors in either NHWC or NCHW using the reference's shape
-    heuristics (`hdr_vae_decode.py:203-336`): a trailing dim of 3 means NHWC;
-    a second dim of 3 or a "reasonable channel count" (< 2000, smaller than
-    the spatial dims) means NCHW and is transposed; wide channel dims are
-    collapsed with the MAX-pool.
+    Accepts 3D/4D tensors in either NHWC or NCHW per the reference's shape
+    heuristics (`hdr_vae_decode.py:203-336`): a trailing dim of 3 means
+    NHWC; a second dim of 3 means NCHW.  When NEITHER axis is 3 the layout
+    is guessed by :func:`_channels_last` (see its docstring — the
+    reference's own shape[1]-first rule misreads wide NHWC tensors), and
+    wide channel dims are collapsed with the MAX-pool.
     """
     if x.ndim == 3:
         x = x[None]
@@ -58,13 +85,11 @@ def to_nhwc_rgb(x: jnp.ndarray) -> jnp.ndarray:
         out = x
     elif x.shape[1] == 3:
         out = jnp.transpose(x, (0, 2, 3, 1))
-    elif x.shape[1] > x.shape[-1] and 3 < x.shape[1] < 2000:
-        # Neither axis is 3: the larger of axis 1 / axis 3 is the channel
-        # axis (improves on the reference's shape[1]-first guess at
-        # `hdr_vae_decode.py:219`, which misreads wide NHWC tensors).
+    elif x.shape[-1] in (1, 2):
+        out = collapse_channels_maxpool(x)
+    elif not _channels_last(x.shape):
         out = collapse_channels_maxpool(jnp.transpose(x, (0, 2, 3, 1)))
     else:
-        # NHWC with non-3 channel count.
         out = collapse_channels_maxpool(x)
 
     if out.shape[-1] > 3:

@@ -118,19 +118,9 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
                                    pre_first3)
 
 
-def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
-                    decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
-                    precision: Precision,
-                    valid_hw: Tuple[int, int] | None = None):
-    tape = None
-    if valid_hw is not None and valid_hw != latent.shape[1:3]:
-        # Shape-bucketed decode: the latent is zero-padded to a bucket
-        # size; the PadMask tape keeps the pad region out of every GN
-        # statistic, attention softmax, and conv halo, making the bucketed
-        # decode EXACT (not approximate) for the valid region.
-        from hdrvae.models.layers import PadMask
-        tape = PadMask(latent.shape[1], latent.shape[2], *valid_hw)
-
+def _decode_batched(params: Params, latent: jnp.ndarray,
+                    decoder_cfg: DecoderConfig, precision: Precision,
+                    tape=None) -> DecodeOutput:
     if latent.shape[0] > 1:
         # Decode batch entries SEQUENTIALLY: XLA:TPU convs at these shapes
         # run ~2.2x slower per image with batch >= 2 (measured 219 vs
@@ -143,18 +133,16 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
                               precision=precision, tape=tape)
             return o.rgb[0], o.pre_conv_out[0]
         rgb, pre = jax.lax.map(one, latent)
-        out = DecodeOutput(rgb=rgb, pre_conv_out=pre)
-    else:
-        out = decoder_apply(params, latent, decoder_cfg,
-                            precision=precision, tape=tape)
-    if valid_hw is not None and valid_hw != latent.shape[1:3]:
-        # Crop BEFORE the epilogue so its global reductions (pre stats,
-        # recovery-map min/max, acceptance) never see pad pixels.
-        s = decoder_cfg.spatial_scale
-        out = DecodeOutput(
-            rgb=out.rgb[:, :valid_hw[0] * s, :valid_hw[1] * s],
-            pre_conv_out=out.pre_conv_out[:, :valid_hw[0] * s,
-                                          :valid_hw[1] * s])
+        return DecodeOutput(rgb=rgb, pre_conv_out=pre)
+    return decoder_apply(params, latent, decoder_cfg,
+                         precision=precision, tape=tape)
+
+
+def _epilogue_and_stats(conv_out_params: Params, out: DecodeOutput,
+                        latent: jnp.ndarray, cfg: HDRDecodeConfig,
+                        precision: Precision):
+    """Epilogue + the stats record.  ``latent`` must be the UNPADDED
+    latent so stats['input'] never includes pad pixels."""
     image, used_fallback, analysis = hdr_epilogue(out.rgb, out.pre_conv_out,
                                                   cfg)
     stats = {
@@ -171,23 +159,60 @@ def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
         # reductions instead of hook captures + host syncs.
         from hdrvae.core.stats import tensor_stats
         from hdrvae.models.layers import conv2d
-        conv_only = conv2d(out.pre_conv_out, params["conv_out"],
+        conv_only = conv2d(out.pre_conv_out, conv_out_params,
                            precision=precision)
         stats["conv_only"] = tensor_stats(conv_only)
-        stats["conv_weight"] = tensor_stats(params["conv_out"]["kernel"])
-        stats["conv_bias"] = tensor_stats(params["conv_out"]["bias"])
+        stats["conv_weight"] = tensor_stats(conv_out_params["kernel"])
+        stats["conv_bias"] = tensor_stats(conv_out_params["bias"])
     # Not returning the standard decode lets XLA reuse its buffer for the
     # HDR image instead of keeping both full-res float32 tensors live.
     standard = out.rgb if cfg.keep_standard else None
     return image, standard, stats, used_fallback
 
 
+def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
+                    decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
+                    precision: Precision):
+    out = _decode_batched(params, latent, decoder_cfg, precision)
+    return _epilogue_and_stats(params["conv_out"], out, latent, cfg,
+                               precision)
+
+
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
-                                             "precision", "valid_hw"))
-def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision,
-                         valid_hw=None):
-    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision,
-                           valid_hw)
+                                             "precision"))
+def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision):
+    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision)
+
+
+@functools.partial(jax.jit, static_argnames=("decoder_cfg", "precision"))
+def _decoder_forward_bucketed(params, latent, valid_hw, decoder_cfg,
+                              precision):
+    """Zero-padded (bucket-shaped) decoder forward.  ``valid_hw`` is a
+    TRACED [2] int32 array — PadMask only compares iotas against it and
+    divides by the valid count, so every original resolution sharing a
+    bucket reuses ONE compiled program (the point of bucketing; a static
+    valid_hw would recompile the 49M-param decoder per original size).
+    The PadMask tape keeps the pad region out of every GN statistic,
+    attention softmax, and conv halo, making the bucketed decode EXACT
+    for the valid region.  Returns PADDED (rgb, pre_conv_out); the
+    caller crops outside jit and runs the (small, per-shape-compiled)
+    epilogue program on the crop."""
+    from hdrvae.models.layers import PadMask
+    tape = PadMask(latent.shape[1], latent.shape[2],
+                   valid_hw[0], valid_hw[1])
+    out = _decode_batched(params, latent, decoder_cfg, precision, tape)
+    return out.rgb, out.pre_conv_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "precision"))
+def _epilogue_compiled(conv_out_params, out_rgb, pre_conv_out, latent,
+                       cfg, precision):
+    """Standalone epilogue for the bucketed path: compiles per ORIGINAL
+    shape, but is a few reductions + pointwise math — seconds, not the
+    decoder's minutes."""
+    out = DecodeOutput(rgb=out_rgb, pre_conv_out=pre_conv_out)
+    return _epilogue_and_stats(conv_out_params, out, latent, cfg,
+                               precision)
 
 
 def hdr_decode(params: Params, latent: jnp.ndarray,
@@ -225,6 +250,7 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                 f"(expected NHWC or NCHW with z_channels={zc})")
 
     orig_h, orig_w = latent.shape[1], latent.shape[2]
+    orig_latent = latent
     valid_hw = None
     if pad_to is not None:
         # explicit bucket target (decode.buckets.BucketPolicy.snap_hw)
@@ -243,8 +269,21 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                                       (0, 0)))
             valid_hw = (orig_h, orig_w)
 
-    image, standard, stats, used_fallback = _hdr_decode_compiled(
-        params, latent, decoder_cfg, cfg, precision, valid_hw)
+    if valid_hw is not None:
+        rgb, pre = _decoder_forward_bucketed(
+            params, latent, jnp.asarray(valid_hw, jnp.int32),
+            decoder_cfg, precision)
+        # Crop to the valid region OUTSIDE jit (shapes can't be dynamic
+        # in-graph), then run the small per-shape epilogue program so
+        # its global reductions never see pad pixels.
+        s = decoder_cfg.spatial_scale
+        rgb = rgb[:, :orig_h * s, :orig_w * s]
+        pre = pre[:, :orig_h * s, :orig_w * s]
+        image, standard, stats, used_fallback = _epilogue_compiled(
+            params["conv_out"], rgb, pre, orig_latent, cfg, precision)
+    else:
+        image, standard, stats, used_fallback = _hdr_decode_compiled(
+            params, latent, decoder_cfg, cfg, precision)
     return HDRDecodeResult(image=image, standard=standard, stats=stats,
                            used_fallback=used_fallback)
 

@@ -15,7 +15,7 @@ import logging
 import os
 import re
 from dataclasses import dataclass, field
-from glob import glob
+from glob import escape as glob_escape, glob
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -31,7 +31,9 @@ logger = logging.getLogger(__name__)
 def get_highest_numbered_file(directory: str, prefix: str) -> int:
     """Highest existing ``<prefix>_v<N>...`` version in a directory, or 0
     (`linear_exr_export.py:43-78`)."""
-    pattern = os.path.join(directory, f"{prefix}*")
+    # glob.escape: a prefix like "shot[1]" must match literally, or the
+    # existing version is missed and the next export OVERWRITES it
+    pattern = os.path.join(glob_escape(directory), f"{glob_escape(prefix)}*")
     regex = re.compile(r"^" + re.escape(prefix) + r"_v(\d+).*$")
     max_num = 0
     for file_path in glob(pattern):
@@ -79,7 +81,9 @@ def plan_output(cfg: ExportConfig, default_output_dir: str,
         output_dir = os.path.join(output_dir, *parts[:-1])
     os.makedirs(output_dir, exist_ok=True)
 
-    name_parts = [base_prefix]
+    # the template is %-formatted with the frame number; a literal "%"
+    # in the user prefix must not be treated as a format directive
+    name_parts = [base_prefix.replace("%", "%%")]
     if cfg.versioning:
         version = get_highest_numbered_file(
             os.path.normpath(output_dir), base_prefix) + 1
@@ -87,6 +91,9 @@ def plan_output(cfg: ExportConfig, default_output_dir: str,
     sequenced = batch > 1 or cfg.frame_sequence
     if sequenced:
         name_parts.append(f"_frame_%0{cfg.frame_pad}d")
+    elif "%" in base_prefix:
+        # un-sequenced template is used verbatim (no % substitution)
+        name_parts[0] = base_prefix
     template = "".join(name_parts) + f".{cfg.format}"
     return output_dir, template, sequenced
 

@@ -21,6 +21,7 @@ Format notes (OpenEXR spec):
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from typing import Dict, List, Tuple
@@ -455,6 +456,18 @@ def _build_header(w: int, h: int, pixel_type: int, compression_id: int,
 # ---------------------------------------------------------------------------
 
 
+def _channel_names(c: int) -> List[str]:
+    if c == 3:
+        return ["R", "G", "B"]
+    if c == 1:
+        return ["Y"]
+    # zero-padded so alphabetical chlist order == numeric order (the spec
+    # stores channels sorted by name; "channel10" would otherwise sort
+    # before "channel2" and permute the round trip for c >= 11)
+    width = len(str(c - 1))
+    return [f"channel{i:0{width}d}" for i in range(c)]
+
+
 def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
               compression: str = "zip", zip_level: int = 4) -> None:
     """Write an RGB (H, W, 3) or single-channel (H, W) float image.
@@ -467,12 +480,7 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
     if image.ndim == 2:
         image = image[..., None]
     h, w, c = image.shape
-    if c == 3:
-        names = ["R", "G", "B"]
-    elif c == 1:
-        names = ["Y"]
-    else:
-        names = [f"channel{i}" for i in range(c)]
+    names = _channel_names(c)
     ptype = PIXEL_HALF if pixel_type == "half" else PIXEL_FLOAT
     comp_id = COMPRESSION_IDS[compression]
     if comp_id == COMPRESSION_IDS["piz"]:
@@ -688,4 +696,10 @@ def read_exr(path: str) -> np.ndarray:
         if "A" in names:
             stack.append(planes["A"])
         return np.stack(stack, -1)
+    # generic channelN planes: numeric order (legacy unpadded writers
+    # stored channel10 alphabetically before channel2)
+    ms = [re.match(r"^channel(\d+)$", n) for n in names]
+    if len(names) > 1 and all(ms):
+        names = [n for _, n in sorted(
+            (int(m.group(1)), n) for m, n in zip(ms, names))]
     return np.stack([planes[n] for n in names], -1)

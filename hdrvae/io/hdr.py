@@ -45,32 +45,45 @@ def rgbe_to_rgb(rgbe: np.ndarray) -> np.ndarray:
 def _rle_component(comp: np.ndarray) -> bytes:
     """New-style Radiance RLE for one scanline component (length W):
     code > 128 -> (code - 128)-long run of the next byte; code <= 128 ->
-    code literal bytes."""
-    out = bytearray()
+    code literal bytes.
+
+    Segment-vectorized: equal-value segments come from one np.diff pass,
+    then only run segments (>= 4 long) and 128-byte literal chunks are
+    visited in Python — O(segments) instead of a per-byte interpreter
+    loop (a 4K scanline costs ~30 iterations, not ~4000)."""
     w = len(comp)
-    i = 0
-    while i < w:
-        run = 1
-        while i + run < w and comp[i + run] == comp[i] and run < 127:
-            run += 1
-        if run >= 4:
-            out.append(128 + run)
-            out.append(int(comp[i]))
-            i += run
-        else:
-            # literal stretch: until the next >=4 run starts, max 128 bytes
-            start = i
-            while i < w and i - start < 128:
-                run = 1
-                while (i + run < w and comp[i + run] == comp[i]
-                       and run < 4):
-                    run += 1
-                if run >= 4:
-                    break
-                i = min(i + run, start + 128)
-            count = i - start
-            out.append(count)
-            out.extend(comp[start:i].tobytes())
+    if w == 0:
+        return b""
+    comp = np.ascontiguousarray(comp, np.uint8)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(comp)) + 1))
+    lens = np.diff(np.concatenate((starts, [w])))
+    long_idx = np.flatnonzero(lens >= 4)
+
+    out = bytearray()
+    raw = comp.tobytes()
+    lit_start = 0
+
+    def flush_literals(upto: int) -> None:
+        nonlocal lit_start
+        while lit_start < upto:
+            n = min(128, upto - lit_start)
+            out.append(n)
+            out.extend(raw[lit_start:lit_start + n])
+            lit_start += n
+
+    for k in long_idx:
+        s, length = int(starts[k]), int(lens[k])
+        flush_literals(s)
+        v = int(comp[s])
+        r = length
+        while r >= 4:
+            n = min(127, r)
+            out.append(128 + n)
+            out.append(v)
+            r -= n
+        # a < 4 leftover joins the following literal stretch
+        lit_start = s + length - r
+    flush_literals(w)
     return bytes(out)
 
 

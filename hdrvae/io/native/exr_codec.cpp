@@ -150,9 +150,11 @@ size_t rle_decode(const uint8_t* d, size_t n, uint8_t* out, size_t cap) {
   size_t o = 0, i = 0;
   while (i < n && o < cap) {
     int8_t count = static_cast<int8_t>(d[i++]);
+    if (i >= n) break;  // count byte at end of input: nothing to copy
     if (count < 0) {
       size_t len = static_cast<size_t>(-count);
       if (len > cap - o) len = cap - o;
+      if (len > n - i) len = n - i;  // truncated literal: clamp the read
       std::memcpy(out + o, d + i, len);
       i += static_cast<size_t>(-count);
       o += len;
@@ -769,9 +771,16 @@ void put_attr(std::vector<uint8_t>* b, const char* name, const char* type,
 std::vector<std::string> channel_names(int channels) {
   if (channels == 3) return {"B", "G", "R"};  // alphabetical storage order
   if (channels == 1) return {"Y"};
+  // zero-padded so the spec's alphabetical chlist order IS numeric order
+  // ("channel10" would otherwise sort before "channel2" and permute the
+  // round trip for images with >= 11 channels)
+  int width = static_cast<int>(std::to_string(channels - 1).size());
   std::vector<std::string> names;
-  for (int i = 0; i < channels; ++i)
-    names.push_back("channel" + std::to_string(i));
+  char buf[32];
+  for (int i = 0; i < channels; ++i) {
+    std::snprintf(buf, sizeof(buf), "channel%0*d", width, i);
+    names.emplace_back(buf);
+  }
   return names;
 }
 
@@ -1171,6 +1180,29 @@ int exr_read(const char* path, float* out) {
       else if (rgb && i == bi) dst_idx[i] = 2;
       else dst_idx[i] = rgb ? extra++ : i;
     }
+    // generic channelN names: order output planes numerically so a
+    // legacy unpadded writer's alphabetical header order (channel10
+    // before channel2) still round-trips in channel-index order
+    if (!rgb && c > 1) {
+      std::vector<long> nums(c);
+      bool generic = true;
+      for (int i = 0; i < c && generic; ++i) {
+        const std::string& nm = p.channels[i].name;
+        if (nm.rfind("channel", 0) == 0 && nm.size() > 7 &&
+            nm.find_first_not_of("0123456789", 7) == std::string::npos)
+          nums[i] = std::stol(nm.substr(7));
+        else
+          generic = false;
+      }
+      if (generic) {
+        for (int i = 0; i < c; ++i) {
+          int rank = 0;
+          for (int j = 0; j < c; ++j)
+            if (nums[j] < nums[i]) ++rank;
+          dst_idx[i] = rank;
+        }
+      }
+    }
   }
 
   std::vector<uint8_t> raw(static_cast<size_t>(lines) * row_bytes);
@@ -1183,6 +1215,12 @@ int exr_read(const char* path, float* out) {
     if (off + 8 > buf.size()) return -4;
     int32_t y = get_i32(buf.data() + off) - p.y_min;
     int32_t size = get_i32(buf.data() + off + 4);
+    // file-supplied size: validate against the buffer before any decode
+    // touches data (a truncated/corrupt file must return an error code
+    // for the pure-Python fallback, not read out of bounds)
+    if (size < 0 ||
+        off + 8 + static_cast<uint64_t>(size) > buf.size())
+      return -4;
     const uint8_t* data = buf.data() + off + 8;
     int y1 = y + lines < p.height ? y + lines : p.height;
     int nrows = y1 - y;

@@ -89,17 +89,32 @@ def export_stream(frames: Iterable[Frame],
     last file read back and verified).
     """
     result = ExportResult()
-    frames = list(frames)
-    if not frames:
+    # consume the iterable LAZILY (one-frame lookahead to learn whether
+    # the sequence has > 1 frame): a generator of device arrays must not
+    # be fully materialized up front — that would dispatch every decode
+    # and hold every full-resolution output buffer on device at once,
+    # defeating the depth bound.
+    import itertools
+    frames_it = iter(frames)
+    try:
+        first = next(frames_it)
+    except StopIteration:
         result.error = "ERROR: no frames"
         return result
+    try:
+        second = next(frames_it)
+        n_hint = 2
+        frames_it = itertools.chain([first, second], frames_it)
+    except StopIteration:
+        n_hint = 1
+        frames_it = iter([first])
     want_half = (reduced_precision_fetch and cfg.format == "exr"
                  and cfg.bit_depth == "16bit")
     paths: Dict[int, str] = {}
 
     try:
         output_dir, template, sequenced = plan_output(
-            cfg, default_output_dir, len(frames))
+            cfg, default_output_dir, n_hint)
         import os
 
         def write_one(i: int, image: np.ndarray) -> str:
@@ -134,7 +149,7 @@ def export_stream(frames: Iterable[Frame],
                 while len(write_q) > depth:
                     drain_write()
 
-            for i, frame in enumerate(frames):
+            for i, frame in enumerate(frames_it):
                 if callable(frame):
                     frame = frame()   # async dispatch of device work
                 fetch_q.append(

@@ -94,8 +94,11 @@ class PadMask:
     Duck-typed GN "tape" (``reduce_stats`` hook in :func:`_gn_affine`,
     ``mask_output`` consumed by the norm/resnet layers, ``key_valid`` by the
     attention block).  ``base_h/w`` are the PADDED dims at the tape's entry
-    resolution (the latent for ``decoder_apply``); ``valid_h/w`` the real
-    dims.  All ints are static, so the tape is jit-trace-stable.
+    resolution (the latent for ``decoder_apply``) and must be static;
+    ``valid_h/w`` (the real dims) may be python ints OR traced scalars —
+    they are only ever compared against iotas and used as divisors, which
+    is what lets one compiled program serve every original resolution in
+    a bucket (decode.pipeline._decoder_forward_bucketed).
     """
 
     def __init__(self, base_h: int, base_w: int, valid_h: int,

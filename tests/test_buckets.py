@@ -66,3 +66,38 @@ def test_pad_to_rejects_shrink(small_cfg):
     z = jnp.zeros((1, 16, 16, small_cfg.z_channels))
     with pytest.raises(ValueError):
         hdr_decode(params, z, small_cfg, HDRDecodeConfig(), pad_to=(8, 8))
+
+
+def test_bucket_shares_one_decoder_compilation(small_cfg, small_params):
+    """Different original sizes snapping to one bucket must reuse ONE
+    compiled decoder program (valid_hw is a traced array, not a static
+    arg — the whole point of bucketing)."""
+    from hdrvae.core.config import HDRDecodeConfig
+    from hdrvae.decode.pipeline import (_decoder_forward_bucketed,
+                                        hdr_decode)
+    cfg = HDRDecodeConfig()
+    base = _decoder_forward_bucketed._cache_size()
+    for h, w in ((10, 12), (11, 13), (9, 15)):
+        z = jax.random.normal(jax.random.PRNGKey(h),
+                              (1, h, w, small_cfg.z_channels))
+        r = hdr_decode(params=small_params, latent=z,
+                       decoder_cfg=small_cfg, cfg=cfg, pad_to=(18, 18))
+        assert r.image.shape[1:3] == (h * small_cfg.spatial_scale,
+                                      w * small_cfg.spatial_scale)
+    assert _decoder_forward_bucketed._cache_size() == base + 1
+
+
+def test_bucketed_input_stats_exclude_pad(small_cfg, small_params):
+    """stats['input'] must describe the UNPADDED latent (a padded decode
+    of an all-positive latent must not report min 0.0 from pad zeros)."""
+    from hdrvae.core.config import HDRDecodeConfig
+    from hdrvae.decode.pipeline import decode_summary, hdr_decode
+    z = jnp.abs(jax.random.normal(
+        jax.random.PRNGKey(3), (1, 10, 12, small_cfg.z_channels))) + 0.2
+    got = hdr_decode(small_params, z, small_cfg, HDRDecodeConfig(),
+                     pad_to=(16, 16))
+    ref = hdr_decode(small_params, z, small_cfg, HDRDecodeConfig())
+    gs, rs = decode_summary(got)["input"], decode_summary(ref)["input"]
+    assert gs["min"] == rs["min"] > 0.0
+    assert gs["max"] == rs["max"]
+    assert gs["negative_pixels"] == rs["negative_pixels"] == 0

@@ -154,6 +154,33 @@ class TestMaxPoolCollapse:
         hwc = rng.standard_normal((4, 5, 3)).astype(np.float32)
         assert to_nhwc_rgb(jnp.asarray(hwc)).shape == (1, 4, 5, 3)
 
+    def test_to_nhwc_rgb_spatial_larger_than_channels(self, rng):
+        """The realistic big-image cases: a 128-channel map whose spatial
+        dims EXCEED the channel count must not have a spatial axis
+        collapsed as channels (in either layout)."""
+        nchw = rng.standard_normal((1, 128, 130, 140)).astype(np.float32)
+        out = np.asarray(to_nhwc_rgb(jnp.asarray(nchw)))
+        assert out.shape == (1, 130, 140, 3)
+        expected = np.asarray(collapse_channels_maxpool(
+            jnp.asarray(nchw.transpose(0, 2, 3, 1))))
+        np.testing.assert_array_equal(out, expected)
+
+        nhwc = rng.standard_normal((1, 130, 140, 128)).astype(np.float32)
+        out = np.asarray(to_nhwc_rgb(jnp.asarray(nhwc)))
+        assert out.shape == (1, 130, 140, 3)
+        np.testing.assert_array_equal(
+            out, np.asarray(collapse_channels_maxpool(jnp.asarray(nhwc))))
+
+    def test_to_nhwc_rgb_square_spatial_tiebreak(self, rng):
+        """Neither axis is 3 or 128: the equal spatial pair decides."""
+        nchw = rng.standard_normal((1, 64, 48, 48)).astype(np.float32)
+        assert to_nhwc_rgb(jnp.asarray(nchw)).shape == (1, 48, 48, 3)
+        nhwc = rng.standard_normal((1, 48, 48, 64)).astype(np.float32)
+        assert to_nhwc_rgb(jnp.asarray(nhwc)).shape == (1, 48, 48, 3)
+        gray = rng.standard_normal((1, 6, 7, 1)).astype(np.float32)
+        out = np.asarray(to_nhwc_rgb(jnp.asarray(gray)))
+        assert out.shape == (1, 6, 7, 3)
+
 
 class TestModes:
     """Mode math vs literal reference equations on synthetic maps."""

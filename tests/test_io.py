@@ -539,3 +539,202 @@ class TestPipelinedExport:
         assert len(res.filepaths) == 10
         # <= depth in the fetch queue + depth+1 pending writes
         assert state["max_gap"] <= 2 * 2 + 1, state
+
+
+class TestRobustness:
+    def test_versioning_with_glob_metachars(self, tmp_path):
+        """A prefix like 'shot[1]' must version correctly, not reset to
+        _v001 and overwrite (glob metachars must match literally)."""
+        from hdrvae.io.export import export_linear
+        img = np.full((4, 4, 3), 2.0, np.float32)[None]
+        cfg = ExportConfig(filename_prefix="shot[1]", versioning=True)
+        r1 = export_linear(img, cfg, default_output_dir=str(tmp_path))
+        r2 = export_linear(img, cfg, default_output_dir=str(tmp_path))
+        assert r1.error is None and r2.error is None
+        assert r1.filepaths != r2.filepaths, "second export overwrote v001"
+        assert "_v001" in r1.filepaths[0] and "_v002" in r2.filepaths[0]
+
+    def test_percent_in_prefix(self, tmp_path):
+        """'%' in the prefix must not be consumed as a format directive
+        by the frame template (or crash the export)."""
+        from hdrvae.io.export import export_linear
+        img = np.full((2, 4, 4, 3), 2.0, np.float32)
+        cfg = ExportConfig(filename_prefix="100%_render",
+                           frame_sequence=True)
+        res = export_linear(img, cfg, default_output_dir=str(tmp_path))
+        assert res.error is None, res.error
+        assert len(res.filepaths) == 2
+        assert all("100%_render_frame_" in os.path.basename(p)
+                   for p in res.filepaths)
+        # un-sequenced: prefix used verbatim
+        res1 = export_linear(img[:1], ExportConfig(
+            filename_prefix="take%d"), default_output_dir=str(tmp_path))
+        assert res1.error is None
+        assert os.path.basename(res1.filepaths[0]) == "take%d.exr"
+
+    def test_many_channel_roundtrip_numeric_order(self, tmp_path):
+        """12-channel EXR: channel10/channel11 must come back in numeric
+        position (zero-padded names; numeric read order), both codecs."""
+        from hdrvae.io.exr import read_exr, write_exr
+        rng = np.random.default_rng(0)
+        img = rng.standard_normal((6, 5, 12)).astype(np.float32)
+        for use_native in (True, False):
+            p = str(tmp_path / f"multi_{use_native}.exr")
+            write_exr(p, img, pixel_type="float", compression="zip",
+                      use_native=use_native)
+            got = read_exr(p, use_native=use_native)
+            np.testing.assert_array_equal(got, img)
+        # cross: native-written read by python and vice versa
+        got = read_exr(str(tmp_path / "multi_True.exr"), use_native=False)
+        np.testing.assert_array_equal(got, img)
+
+    def test_legacy_unpadded_channel_names_read_numerically(
+            self, tmp_path, monkeypatch):
+        """A file written with UNPADDED channelN names (legacy/external
+        writer: channel10 sorts alphabetically before channel2) reads
+        back in numeric order on both readers."""
+        import hdrvae.io.exr_py as exr_py
+        from hdrvae.io.exr import read_exr
+        rng = np.random.default_rng(1)
+        img = rng.standard_normal((4, 3, 11)).astype(np.float32)
+        monkeypatch.setattr(
+            exr_py, "_channel_names",
+            lambda c: [f"channel{i}" for i in range(c)])
+        p = str(tmp_path / "legacy.exr")
+        exr_py.write_exr(p, img, pixel_type="float", compression="zip")
+        for use_native in (True, False):
+            got = read_exr(p, use_native=use_native)
+            np.testing.assert_array_equal(got, img, err_msg=str(use_native))
+
+    def test_truncated_exr_errors_cleanly(self, tmp_path):
+        """A truncated EXR must raise a Python exception (native codec
+        returns an error code; no OOB read / crash)."""
+        from hdrvae.io.exr import read_exr, write_exr
+        p = str(tmp_path / "t.exr")
+        write_exr(p, np.random.default_rng(2).standard_normal(
+            (32, 32, 3)).astype(np.float32), compression="zip")
+        blob = open(p, "rb").read()
+        for cut in (len(blob) - 7, len(blob) // 2):
+            pt = str(tmp_path / f"cut{cut}.exr")
+            open(pt, "wb").write(blob[:cut])
+            with pytest.raises(Exception):
+                read_exr(pt)
+
+    def test_corrupt_chunk_size_errors_cleanly(self, tmp_path):
+        """A chunk-size field pointing past EOF must not be trusted."""
+        from hdrvae.io.exr import read_exr, write_exr
+        p = str(tmp_path / "c.exr")
+        write_exr(p, np.random.default_rng(3).standard_normal(
+            (32, 32, 3)).astype(np.float32), compression="none")
+        blob = bytearray(open(p, "rb").read())
+        # none-compressed single-line chunks: corrupt the LAST chunk's
+        # 4-byte size field (8 bytes before its data = 32*3*2 bytes)
+        row_bytes = 32 * 3 * 2
+        size_pos = len(blob) - row_bytes - 4
+        blob[size_pos:size_pos + 4] = (2 ** 31 - 1).to_bytes(4, "little")
+        pc = str(tmp_path / "corrupt.exr")
+        open(pc, "wb").write(bytes(blob))
+        # the native reader must REJECT the lying size field (no OOB
+        # read); the tolerant pure-Python fallback may still recover the
+        # pixels (the slice clamps to EOF) — either a clean exception or
+        # the true data is acceptable, never a crash or garbage.
+        try:
+            got = read_exr(pc)
+        except Exception:
+            got = None
+        if got is not None:
+            ref = read_exr(p)
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_hdr_rle_component_matches_bytewise_reference():
+    """The segment-vectorized Radiance RLE encoder must be byte-identical
+    to the per-byte reference algorithm (run cap 127, literal stretches
+    cut at 128 from stretch start, <4 run leftovers merged forward)."""
+    from hdrvae.io.hdr import _rle_component
+
+    def per_byte(comp):
+        out = bytearray()
+        w = len(comp)
+        i = 0
+        while i < w:
+            run = 1
+            while i + run < w and comp[i + run] == comp[i] and run < 127:
+                run += 1
+            if run >= 4:
+                out.append(128 + run)
+                out.append(int(comp[i]))
+                i += run
+            else:
+                start = i
+                while i < w and i - start < 128:
+                    run = 1
+                    while (i + run < w and comp[i + run] == comp[i]
+                           and run < 4):
+                        run += 1
+                    if run >= 4:
+                        break
+                    i = min(i + run, start + 128)
+                out.append(i - start)
+                out.extend(comp[start:i].tobytes())
+        return bytes(out)
+
+    rng = np.random.default_rng(0)
+    cases = [np.zeros(512, np.uint8),
+             np.arange(512).astype(np.uint8),
+             rng.integers(0, 256, 2048).astype(np.uint8),
+             rng.integers(0, 3, 2048).astype(np.uint8),
+             np.full(300, 7, np.uint8),
+             np.array([1, 1, 1, 1], np.uint8),
+             np.array([5], np.uint8)]
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(1, 800))
+        cases.append(np.repeat(r.integers(0, 5, n),
+                               r.integers(1, 10, n))[:1500].astype(np.uint8))
+    for i, c in enumerate(cases):
+        assert _rle_component(c) == per_byte(c), f"case {i}"
+
+
+def test_export_stream_consumes_generator_lazily(tmp_path):
+    """A GENERATOR of frames must be pulled at pipeline pace (bounded
+    ahead of the writes), not materialized up front."""
+    import threading
+    import time as _time
+    import hdrvae.io.pipeline as pl
+    from hdrvae.io.pipeline import export_stream
+    state = {"produced": 0, "written": 0, "max_gap": 0}
+    lock = threading.Lock()
+    rng = np.random.default_rng(0)
+    imgs = [rng.uniform(0, 2, (8, 6, 3)).astype(np.float32)
+            for _ in range(10)]
+
+    def gen():
+        for img in imgs:
+            with lock:
+                state["produced"] += 1
+                state["max_gap"] = max(state["max_gap"],
+                                       state["produced"]
+                                       - state["written"])
+            yield img
+
+    orig_save = pl._save_one
+
+    def slow_save(*a, **k):
+        _time.sleep(0.03)
+        out = orig_save(*a, **k)
+        with lock:
+            state["written"] += 1
+        return out
+
+    pl._save_one = slow_save
+    try:
+        res = export_stream(gen(), ExportConfig(filename_prefix="lazy",
+                                                frame_sequence=True),
+                            depth=2, default_output_dir=str(tmp_path))
+    finally:
+        pl._save_one = orig_save
+    assert res.error is None, res.error
+    assert len(res.filepaths) == 10
+    # lookahead(1) + depth fetches + depth+1 pending writes
+    assert state["max_gap"] <= 2 * 2 + 2, state
