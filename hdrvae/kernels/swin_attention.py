@@ -311,7 +311,12 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
         name="swin_ln_qkv",
         interpret=interpret or _INTERPRET,
     )
-    return call(wins, wq.astype(jnp.float32), bq[None].astype(jnp.float32),
+    # matmul weights ship pre-cast to the compute dtype (bf16 in fast
+    # mode): halves their resident VMEM + HBM traffic vs shipping f32
+    # and casting per grid step (biases/LN affines stay f32 — they add
+    # into f32 accumulators)
+    return call(wins, wq.astype(precision.compute_dtype),
+                bq[None].astype(jnp.float32),
                 norm1["scale"][None].astype(jnp.float32),
                 norm1["bias"][None].astype(jnp.float32))
 
@@ -351,13 +356,14 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
         _resident((hidden, c)),
         _resident((1, c)),
     ]
-    args += [wp.astype(jnp.float32),
+    # matmul weights pre-cast to compute dtype (see ln_qkv)
+    args += [wp.astype(cdt),
              p["proj"]["bias"][None].astype(jnp.float32),
              norm2["scale"][None].astype(jnp.float32),
              norm2["bias"][None].astype(jnp.float32),
-             mlp["fc1"]["kernel"].astype(jnp.float32),
+             mlp["fc1"]["kernel"].astype(cdt),
              mlp["fc1"]["bias"][None].astype(jnp.float32),
-             mlp["fc2"]["kernel"].astype(jnp.float32),
+             mlp["fc2"]["kernel"].astype(cdt),
              mlp["fc2"]["bias"][None].astype(jnp.float32)]
     call = pl.pallas_call(
         functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, cdt=cdt,
@@ -449,19 +455,22 @@ def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
 
 
 def use_swin_kernel(precision: Precision, h_img: int, w_img: int,
-                    ws: int) -> bool:
-    """Kernel-path gate: TPU fast mode with an even window-grid width.
-    Parity mode keeps the XLA path (the reference-fidelity contract).
-    `precision.swin_attn` forces either executor ("xla" / "pallas")."""
+                    ws: int, head_dim: int = _HDP) -> bool:
+    """Kernel-path gate: TPU fast mode with an even window-grid width
+    and head_dim <= the kernel's padded width (_prep_qkv_weights pads
+    heads to 32 lanes; a wider checkpoint must fall back to XLA, not
+    crash with a negative pad).  Parity mode keeps the XLA path (the
+    reference-fidelity contract).  `precision.swin_attn` forces either
+    executor ("xla" / "pallas")."""
     knob = getattr(precision, "swin_attn", "auto")
     if knob == "xla":
         return False
-    ok = (h_img % ws == 0 and w_img % ws == 0
+    ok = (h_img % ws == 0 and w_img % ws == 0 and head_dim <= _HDP
           and pick_bwin(w_img // ws, ws * ws) > 0)
     if knob == "pallas":
         assert ok, (
             f"swin_attn='pallas' but the {h_img}x{w_img} grid (window "
-            f"{ws}) has no supported window-block size")
+            f"{ws}, head_dim {head_dim}) is unsupported by the kernel")
         return True
     return (precision.mode == "fast" and jax.default_backend() == "tpu"
             and ok)

@@ -43,11 +43,12 @@ from hdrvae.models.params import (conv_from_sd as _conv_from,
                                   norm_affine_from_sd as _ln_from,
                                   to_np as _to_np)
 from hdrvae.kernels.swin_attention import use_swin_kernel
+from hdrvae.models.layers import _conv_precision
 from hdrvae.models.swinir import (_RGB_MEAN, _gather_bias, _layer_norm,
                                   _linear, _pixel_shuffle,
                                   _relative_position_index,
-                                  _shift_attn_mask, _window_merge,
-                                  _window_partition)
+                                  _shift_attn_mask, _window_attention,
+                                  _window_merge, _window_partition)
 
 Params = Dict[str, Any]
 
@@ -125,36 +126,6 @@ def _cab(x: jnp.ndarray, p: Params, precision: Precision) -> jnp.ndarray:
     return _channel_attention(y, p["attn"], precision)
 
 
-def _window_attention_rpi(x: jnp.ndarray, p: Params, heads: int,
-                          rpi: np.ndarray, mask: np.ndarray | None,
-                          precision: Precision) -> jnp.ndarray:
-    """HAB window attention — SwinIR math with the bias index passed in
-    (HAT shares one rpi across all blocks)."""
-    nwb, n, c = x.shape
-    hd = c // heads
-    dtype = precision.compute_dtype
-    qkv = _linear(x, p["qkv"], precision)
-    qkv = qkv.reshape(nwb, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    q = q * (hd ** -0.5)
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q.astype(dtype), k.astype(dtype),
-                      preferred_element_type=jnp.float32)
-    bias = p["relative_position_bias_table"][rpi.reshape(-1)]
-    bias = bias.reshape(n, n, heads).transpose(2, 0, 1)
-    attn = attn + bias.astype(jnp.float32)[None]
-    if mask is not None:
-        nw = mask.shape[0]
-        attn = attn.reshape(nwb // nw, nw, heads, n, n)
-        attn = attn + jnp.asarray(mask)[None, :, None]
-        attn = attn.reshape(nwb, heads, n, n)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype),
-                     v.astype(dtype), preferred_element_type=jnp.float32)
-    out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
-    return _linear(out.astype(precision.storage_dtype), p["proj"],
-                   precision)
-
-
 def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
          shift: int, precision: Precision) -> jnp.ndarray:
     """Hybrid Attention Block on an NHWC grid: window attention and the
@@ -165,7 +136,8 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     shortcut = x
     y = _layer_norm(x, p["norm1"])
     conv_x = _cab(y, p["conv_block"], precision)
-    if use_swin_kernel(precision, h, w, ws):
+    if use_swin_kernel(precision, h, w, ws,
+                       c // heads):
         # The whole HAB as the SwinIR 3-kernel block (HAB window
         # attention is SwinIR's math with a shared rpi): LN1+qkv ->
         # attention core -> proj + residual + CAB residual + LN2 + MLP.
@@ -201,9 +173,8 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     ya = jnp.roll(y, (-shift, -shift), axis=(1, 2)) if shift else y
     wins = _window_partition(ya, ws)
     mask = _shift_attn_mask(h, w, ws, shift) if shift else None
-    wins = _window_attention_rpi(wins, p["attn"], heads,
-                                 _relative_position_index(ws), mask,
-                                 precision)
+    wins = _window_attention(wins, p["attn"], heads, ws, mask, precision,
+                             rpi=_relative_position_index(ws))
     ya = _window_merge(wins, ws, h, w)
     if shift:
         ya = jnp.roll(ya, (shift, shift), axis=(1, 2))
@@ -259,6 +230,7 @@ def _ocab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     qh = qh * (hd ** -0.5)
     attn = jnp.einsum("bhnd,bhmd->bhnm", qh.astype(dtype),
                       kh.astype(dtype),
+                      precision=_conv_precision(precision),
                       preferred_element_type=jnp.float32)
     bias = p["relative_position_bias_table"][
         _rpi_oca(ws, wse).reshape(-1)]
@@ -266,7 +238,9 @@ def _ocab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     attn = attn + bias.astype(jnp.float32)[None]
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype),
-                     vh.astype(dtype), preferred_element_type=jnp.float32)
+                     vh.astype(dtype),
+                     precision=_conv_precision(precision),
+                     preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(nwb, nq, c)
     out = _linear(out.astype(precision.storage_dtype), p["proj"],
                   precision)

@@ -131,14 +131,16 @@ class PadMask:
         mask = self._mask2d(h, w)[None, :, :, None].astype(jnp.float32)
         n_valid = (self.valid_h * f) * (self.valid_w * f) * cpg
         xm = xf * mask
-        mean = jnp.einsum("bhwc,cg->bg", xm, onehot) / n_valid
+        mp = _conv_precision(precision)
+        mean = jnp.einsum("bhwc,cg->bg", xm, onehot, precision=mp) / n_valid
         if precision.mode == "parity":
             grp = jnp.arange(c) // cpg
             centered = (xf - mean[:, grp][:, None, None, :]) * mask
             var = jnp.einsum("bhwc,cg->bg", jnp.square(centered),
-                             onehot) / n_valid
+                             onehot, precision=mp) / n_valid
         else:
-            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot) / n_valid
+            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot,
+                            precision=mp) / n_valid
             var = jnp.maximum(sq - jnp.square(mean), 0.0)
         return mean, var
 
@@ -181,14 +183,19 @@ def _gn_affine(x: jnp.ndarray, p: Params, num_groups: int, eps: float,
         mean = override[0].astype(jnp.float32)   # [B, G]
         var = override[1].astype(jnp.float32)
     else:
-        mean = jnp.einsum("bhwc,cg->bg", xf, onehot) / n
+        # statistics einsums must honor parity precision: DEFAULT lowers
+        # f32 MXU dots to bf16, and the rounding enters every activation
+        # through gamma/beta
+        mp = _conv_precision(precision)
+        mean = jnp.einsum("bhwc,cg->bg", xf, onehot, precision=mp) / n
         if precision.mode == "parity":
             grp = jnp.arange(c) // cpg
             centered = xf - mean[:, grp][:, None, None, :]
             var = jnp.einsum("bhwc,cg->bg", jnp.square(centered),
-                             onehot) / n
+                             onehot, precision=mp) / n
         else:
-            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xf), onehot) / n
+            sq = jnp.einsum("bhwc,cg->bg", jnp.square(xf), onehot,
+                            precision=mp) / n
             var = jnp.maximum(sq - jnp.square(mean), 0.0)
         if tape is not None:
             tape.record(mean, var)

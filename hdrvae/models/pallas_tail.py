@@ -56,9 +56,8 @@ def _entry_moments(x: jnp.ndarray, num_groups: int) -> Moments:
     h, w, c = x.shape
     gs = c // num_groups
     xf = x.astype(jnp.float32)
-    grp = jnp.arange(c) // gs
-    onehot = jnp.zeros((c, num_groups), jnp.float32).at[
-        jnp.arange(c), grp].set(1.0)
+    from hdrvae.models.layers import _group_onehot
+    onehot = _group_onehot(c, num_groups)
     n = h * w * gs
     mean = jnp.einsum("hwc,cg->g", xf, onehot) / n
     sq = jnp.einsum("hwc,cg->g", jnp.square(xf), onehot) / n
@@ -347,9 +346,8 @@ def upstack_slab_apply(params: Params, x: jnp.ndarray, bounds,
         mask = ((rows >= lo) & (rows < hi)).astype(
             jnp.float32)[:, None, None]
         xf = xi.astype(jnp.float32) * mask
-        grp = jnp.arange(c) // gs
-        onehot = jnp.zeros((c, cfg.num_groups), jnp.float32).at[
-            jnp.arange(c), grp].set(1.0)
+        from hdrvae.models.layers import _group_onehot
+        onehot = _group_onehot(c, cfg.num_groups)
         n = entry_h * w * gs
         mean = jax.lax.psum(jnp.einsum("hwc,cg->g", xf, onehot),
                             axis_name) / n

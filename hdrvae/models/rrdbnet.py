@@ -25,7 +25,7 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
-from hdrvae.models.params import conv_kernel_to_hwio
+from hdrvae.models.params import conv_kernel_to_hwio, to_np as _to_np
 
 Params = Dict[str, Any]
 
@@ -154,12 +154,6 @@ _NEW_RDB_RE = re.compile(
     r"^body\.(\d+)\.rdb(\d)\.conv(\d)\.(weight|bias)$")
 
 
-def _to_np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
-
-
 def detect_architecture(sd: Mapping[str, Any]) -> str:
     if "model.0.weight" in sd:
         return "esrgan-old"
@@ -171,6 +165,7 @@ def detect_architecture(sd: Mapping[str, Any]) -> str:
 
 
 def _conv_from(sd, wkey: str, bkey: str) -> Params:
+    # shared extractor, but this schema addresses weight/bias separately
     return {"kernel": conv_kernel_to_hwio(_to_np(sd[wkey])),
             "bias": _to_np(sd[bkey])}
 

@@ -36,7 +36,8 @@ import numpy as np
 
 from hdrvae.core.config import Precision
 from hdrvae.kernels.swin_attention import use_swin_kernel
-from hdrvae.models.layers import conv2d, init_conv2d, nearest_upsample_2x
+from hdrvae.models.layers import _conv_precision, conv2d, init_conv2d, \
+    nearest_upsample_2x
 from hdrvae.models.params import (conv_from_sd as _conv_from,
                                   conv_kernel_to_hwio,
                                   linear_from_sd as _lin_from,
@@ -145,14 +146,19 @@ def _linear(x: jnp.ndarray, p: Params,
     dtype = precision.compute_dtype
     y = jnp.einsum("...i,io->...o", x.astype(dtype),
                    p["kernel"].astype(dtype),
+                   precision=_conv_precision(precision),
                    preferred_element_type=jnp.float32)
     return (y + p["bias"].astype(jnp.float32)).astype(
         precision.storage_dtype)
 
 
-def _gather_bias(p: Params, ws: int) -> jnp.ndarray:
-    """Relative-position bias from the table: [heads, N, N]."""
-    rpi = _relative_position_index(ws)                     # [N, N]
+def _gather_bias(p: Params, ws: int,
+                 rpi: np.ndarray | None = None) -> jnp.ndarray:
+    """Relative-position bias from the table: [heads, N, N].  ``rpi``
+    overrides the standard window index (HAT shares one precomputed rpi
+    across all blocks)."""
+    if rpi is None:
+        rpi = _relative_position_index(ws)                 # [N, N]
     n = ws * ws
     bias = p["relative_position_bias_table"][rpi.reshape(-1)]
     heads = bias.shape[-1]
@@ -161,9 +167,11 @@ def _gather_bias(p: Params, ws: int) -> jnp.ndarray:
 
 def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
                       mask: np.ndarray | None,
-                      precision: Precision) -> jnp.ndarray:
+                      precision: Precision,
+                      rpi: np.ndarray | None = None) -> jnp.ndarray:
     """x: [nWB, N, C] windows; relative position bias + optional shift
-    mask; official SwinIR WindowAttention math."""
+    mask; official SwinIR WindowAttention math.  Shared by HAT's HAB
+    (which passes its precomputed ``rpi``)."""
     nwb, n, c = x.shape
     hd = c // heads
     dtype = precision.compute_dtype
@@ -173,9 +181,10 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
     q, k, v = qkv[0], qkv[1], qkv[2]                       # [nWB, h, N, hd]
     q = q * (hd ** -0.5)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q.astype(dtype), k.astype(dtype),
+                      precision=_conv_precision(precision),
                       preferred_element_type=jnp.float32)
 
-    bias = _gather_bias(p, ws)                             # [h, N, N]
+    bias = _gather_bias(p, ws, rpi)                        # [h, N, N]
     attn = attn + bias.astype(jnp.float32)[None]
 
     if mask is not None:
@@ -186,7 +195,9 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
 
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype),
-                     v.astype(dtype), preferred_element_type=jnp.float32)
+                     v.astype(dtype),
+                     precision=_conv_precision(precision),
+                     preferred_element_type=jnp.float32)
     out = out.transpose(0, 2, 1, 3).reshape(nwb, n, c)
     return _linear(out.astype(precision.storage_dtype), p["proj"],
                    precision)
@@ -227,7 +238,8 @@ def _swin_block(x: jnp.ndarray, p: Params, heads: int, ws: int,
     """One SwinTransformerBlock on an NHWC grid ([B, H, W, C], H/W
     multiples of ws)."""
     b, h, w, c = x.shape
-    if use_swin_kernel(precision, h, w, ws):
+    if use_swin_kernel(precision, h, w, ws,
+                       c // heads):
         return _swin_block_kernel(x, p, heads, ws, shift, precision)
     shortcut = x
     y = _layer_norm(x, p["norm1"])
@@ -465,10 +477,17 @@ def is_swinir_state_dict(sd: Mapping[str, Any]) -> bool:
 # shared state-dict extractors (hdrvae.models.params)
 
 
-def swinir_from_state_dict(sd: Mapping[str, Any]
+def swinir_from_state_dict(sd: Mapping[str, Any],
+                           img_range: float | None = None
                            ) -> tuple[Params, SwinIRConfig]:
     """Build (params, config) from the official SwinIR checkpoint schema,
-    inferring every hyperparameter from tensor shapes/keys."""
+    inferring every hyperparameter that IS inferable from tensor
+    shapes/keys.  ``img_range`` is not stored in checkpoints and is an
+    architecture constant of the training config: every official SR
+    family uses 1.0 (the default), but the scale-1 ``""``-head
+    restoration families split — denoising ships with 1.0, JPEG-CAR
+    (grayscale) with 255.0.  Pass ``img_range`` explicitly for CAR
+    checkpoints; the ambiguous case logs a warning."""
     if not is_swinir_state_dict(sd):
         raise ValueError("not a SwinIR state dict")
 
@@ -519,12 +538,21 @@ def swinir_from_state_dict(sd: Mapping[str, Any]
         out_ch = _to_np(sd["conv_last.weight"]).shape[0]
         scale = 1
 
+    if img_range is None:
+        img_range = 1.0
+        if upsampler == "" and in_ch == 1:
+            import logging
+            logging.getLogger(__name__).warning(
+                "grayscale scale-1 SwinIR checkpoint: img_range is not "
+                "inferable (denoising models use 1.0, JPEG-CAR 255.0); "
+                "defaulting to 1.0 — pass img_range=255.0 for CAR")
     cfg = SwinIRConfig(in_channels=in_ch, out_channels=out_ch,
                        embed_dim=embed_dim, depths=depths,
                        num_heads=num_heads, window_size=window_size,
                        mlp_ratio=mlp_ratio, upsampler=upsampler,
                        resi_connection=resi, patch_norm=patch_norm,
-                       num_feat=num_feat, scale=scale)
+                       num_feat=num_feat, scale=scale,
+                       img_range=img_range)
 
     layers = []
     for li in range(n_layers):

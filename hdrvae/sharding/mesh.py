@@ -279,17 +279,22 @@ class SlabGNReducer:
         mask = self._row_mask(h, f)[None, :, None, None]
         n_global = (self.entry_h * f) * w * cpg
         xm = xf * mask
-        mean = jax.lax.psum(jnp.einsum("bhwc,cg->bg", xm, onehot),
+        from hdrvae.models.layers import _conv_precision
+        mp = _conv_precision(precision)
+        mean = jax.lax.psum(jnp.einsum("bhwc,cg->bg", xm, onehot,
+                                       precision=mp),
                             self.axis_name) / n_global
         if precision.mode == "parity":
             grp = jnp.arange(c) // cpg
             centered = (xf - mean[:, grp][:, None, None, :]) * mask
             var = jax.lax.psum(
-                jnp.einsum("bhwc,cg->bg", jnp.square(centered), onehot),
+                jnp.einsum("bhwc,cg->bg", jnp.square(centered), onehot,
+                           precision=mp),
                 self.axis_name) / n_global
         else:
             sq = jax.lax.psum(
-                jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot),
+                jnp.einsum("bhwc,cg->bg", jnp.square(xm), onehot,
+                           precision=mp),
                 self.axis_name) / n_global
             var = jnp.maximum(sq - jnp.square(mean), 0.0)
         return mean, var
