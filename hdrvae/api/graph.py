@@ -76,6 +76,7 @@ def convert_comfyui_workflow(workflow: Mapping[str, Any],
         return node["type"]
 
     out_nodes = []
+    referenced: set = set()
     for node in known:
         inputs: Dict[str, Any] = {}
         for inp in node.get("inputs") or []:
@@ -85,6 +86,7 @@ def convert_comfyui_workflow(workflow: Mapping[str, Any],
             src, slot = links[link_id]
             if src in unknown:
                 inputs[inp["name"]] = [external_key(src), slot]
+                referenced.add(external_key(src))
             else:
                 inputs[inp["name"]] = [src, slot]
         converted = {"id": node["id"], "type": node["type"],
@@ -99,8 +101,9 @@ def convert_comfyui_workflow(workflow: Mapping[str, Any],
             converted["widgets_values"] = widgets
         out_nodes.append(converted)
 
-    return {"nodes": out_nodes,
-            "external_keys": sorted({external_key(i) for i in unknown})}
+    # only keys the executable nodes actually reference: upstream-only
+    # drops (CLIP encoders feeding a dropped KSampler) need no external
+    return {"nodes": out_nodes, "external_keys": sorted(referenced)}
 
 
 def _input_names_in_order(node_cls) -> List[str]:
@@ -148,6 +151,11 @@ class GraphExecutor:
                     ext = self.external[src]
                     return ext[idx] if isinstance(ext, (list, tuple)) \
                         else ext
+                if not isinstance(src, str):
+                    # a 2-int list matching no node id (e.g. a literal
+                    # [512, 512] size) is DATA, not a dangling link; only
+                    # string targets are unambiguous references
+                    return value
                 raise GraphError(f"link target {src!r} is neither a node "
                                  f"id nor an external input")
             return value

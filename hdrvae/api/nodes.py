@@ -177,10 +177,10 @@ class LinearEXRExport:
                  "bit_depth", "compression", "save_workflow")
         return dict(zip(names, widgets))
 
-    def export_linear_exr(self, hdr_image, filename_prefix: str = "HDR_VAE",
-                          output_path: str = "", start_frame: int = 1,
-                          frame_pad: int = 4, versioning: bool = True,
-                          frame_sequence: bool = False, format: str = "hdr",
+    def export_linear_exr(self, hdr_image, filename_prefix: str = "comfyUI",
+                          output_path: str = "/HDR", start_frame: int = 1001,
+                          frame_pad: int = 4, versioning: bool = False,
+                          frame_sequence: bool = False, format: str = "exr",
                           bit_depth: str = "16bit", compression: str = "zip",
                           save_workflow: bool = False,
                           prompt: Optional[dict] = None,

@@ -222,25 +222,19 @@ def cmd_convert(args) -> int:
         out_sd = decoder_params_to_state_dict(params, DecoderConfig())
         save_file({f"decoder.{k}": v for k, v in out_sd.items()},
                   args.output)
-    else:  # upscaler
-        from hdrvae.models.rrdbnet import load_upscale_model
+    else:  # upscaler — ANY zoo architecture, not just RRDBNet
+        import dataclasses
+        from hdrvae.models.zoo import load_upscale_model
+        from hdrvae.utils.introspect import flatten_params
         params, cfg, arch = load_upscale_model(args.input)
-        flat = {}
-
-        def walk(prefix, node):
-            if isinstance(node, dict):
-                for k, v in node.items():
-                    walk(f"{prefix}.{k}" if prefix else k, v)
-            elif isinstance(node, list):
-                for i, v in enumerate(node):
-                    walk(f"{prefix}.{i}", v)
-            else:
-                flat[prefix] = np.asarray(node)
-
-        walk("", params)
+        flat = {path: np.asarray(leaf)
+                for path, leaf in flatten_params(params)}
         save_file(flat, args.output)
         print(json.dumps({"architecture": arch, "scale": cfg.scale,
-                          "nf": cfg.nf, "nb": cfg.nb}))
+                          "config": {k: v for k, v in
+                                     dataclasses.asdict(cfg).items()
+                                     if isinstance(v, (int, float, str,
+                                                       bool))}}))
     print(json.dumps({"output": args.output}))
     return 0
 
@@ -285,9 +279,29 @@ def cmd_run(args) -> int:
     if latent.ndim == 3:
         latent = latent[None]
 
-    results = GraphExecutor(
-        external_inputs={"latent_source": ({"samples": latent},),
-                         "vae_loader": (vae,)}).run(workflow)
+    # External inputs: internal-format graphs reference the fixed names
+    # latent_source / vae_loader; ComfyUI-export graphs are converted
+    # with externals keyed by the dropped source node's TYPE (e.g.
+    # KSampler, VAELoader) — map each key by what it plausibly feeds.
+    externals = {"latent_source": ({"samples": latent},),
+                 "vae_loader": (vae,)}
+    from hdrvae.api.graph import convert_comfyui_workflow, is_comfyui_format
+    if is_comfyui_format(workflow):
+        import hdrvae
+        converted = convert_comfyui_workflow(
+            workflow, {**hdrvae.NODE_CLASS_MAPPINGS})
+        for key in converted.get("external_keys", []):
+            low = key.lower()
+            if "vae" in low:
+                externals[key] = (vae,)
+            elif "sampler" in low or "latent" in low:
+                externals[key] = ({"samples": latent},)
+            else:
+                raise SystemExit(
+                    f"workflow needs external input {key!r}; only VAE "
+                    "and latent/sampler sources can be auto-supplied")
+
+    results = GraphExecutor(external_inputs=externals).run(workflow)
     for node_id, outputs in results.items():
         desc = [getattr(o, "shape", o) for o in outputs]
         print(json.dumps({"node": node_id,

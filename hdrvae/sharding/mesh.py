@@ -540,6 +540,15 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
     if norm_stats not in ("global", "per_tile"):
         raise ValueError(f"norm_stats must be 'global' or 'per_tile', "
                          f"got {norm_stats!r}")
+    zc = decoder_cfg.z_channels
+    if latent.ndim != 4:
+        raise ValueError(f"latent must be 4D, got shape {latent.shape}")
+    if latent.shape[-1] != zc:
+        if latent.shape[1] == zc:
+            latent = jnp.transpose(latent, (0, 2, 3, 1))  # NCHW -> NHWC
+        else:
+            raise ValueError(
+                f"latent shape {latent.shape} has no {zc}-channel axis")
     if mesh is None:
         mesh = make_mesh()
     axis_name = mesh.axis_names[0]

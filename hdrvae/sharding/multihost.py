@@ -93,13 +93,21 @@ def _worker_main(argv: List[str]) -> int:
 
 def launch_localhost_dryrun(num_processes: int = 2,
                             devices_per_process: int = 2,
-                            port: int = 12765,
+                            port: int = 0,
                             timeout: float = 600.0) -> List[dict]:
     """Spawn a localhost process group and slab-decode across it.
+
+    ``port`` 0 asks the OS for a free coordinator port (a fixed default
+    collides across concurrent/rapidly-repeated runs — TIME_WAIT flakes).
 
     Returns the per-process result records (checksum must agree across
     processes — they hold the same replicated output).
     """
+    if port == 0:
+        import socket
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)   # children must not grab the TPU
     env.pop("XLA_FLAGS", None)

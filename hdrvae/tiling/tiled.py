@@ -220,14 +220,18 @@ def extract_tiles(x: jnp.ndarray, plan: TilePlan) -> jnp.ndarray:
 def _feather_mask(tile_h: int, tile_w: int, feather: int) -> np.ndarray:
     """Linear ramps on all four edges (the reference blends every tile edge
     and normalizes by accumulated weight, so borders stay correct)."""
-    mask = np.ones((tile_h, tile_w), np.float32)
-    if feather > 0:
-        ramp = (np.arange(1, feather + 1, dtype=np.float32)) / (feather + 1)
-        mask[:feather, :] *= ramp[:, None]
-        mask[-feather:, :] *= ramp[::-1][:, None]
-        mask[:, :feather] *= ramp[None, :]
-        mask[:, -feather:] *= ramp[::-1][None, :]
-    return mask
+    # index-based ramps so tiles SMALLER than the feather width (a thin
+    # image dim while the other dim tiles) get overlapping up/down ramps
+    # instead of a broadcast crash
+    def ramp(n: int) -> np.ndarray:
+        idx = np.arange(n, dtype=np.float32)
+        up = np.where(idx < feather, (idx + 1) / (feather + 1), 1.0)
+        down = np.where(idx >= n - feather, (n - idx) / (feather + 1), 1.0)
+        return up * down
+
+    if feather <= 0:
+        return np.ones((tile_h, tile_w), np.float32)
+    return ramp(tile_h)[:, None] * ramp(tile_w)[None, :]
 
 
 def blend_tiles(tiles: jnp.ndarray, plan: TilePlan, *, scale: int = 1,

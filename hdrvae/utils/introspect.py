@@ -14,16 +14,29 @@ from typing import Any, Dict, List
 import numpy as np
 
 
+def flatten_params(params: Any) -> List[tuple]:
+    """[(dotted_path, leaf)] via jax's pytree traversal — the ONE
+    flattener shared by introspection and `cli convert` (replaces two
+    hand-rolled dict/list walkers)."""
+    import jax
+    out = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        parts = []
+        for e in path:
+            if hasattr(e, "key"):
+                parts.append(str(e.key))
+            elif hasattr(e, "idx"):
+                parts.append(str(e.idx))
+            else:
+                parts.append(str(e))
+        out.append((".".join(parts), leaf))
+    return out
+
+
 def _walk(node: Any, prefix: str, rows: List[tuple]) -> None:
-    if isinstance(node, dict):
-        for k in sorted(node, key=str):
-            _walk(node[k], f"{prefix}.{k}" if prefix else str(k), rows)
-    elif isinstance(node, (list, tuple)):
-        for i, v in enumerate(node):
-            _walk(v, f"{prefix}.{i}", rows)
-    else:
-        arr = np.asarray(node)
-        rows.append((prefix, tuple(arr.shape), str(arr.dtype), arr.size))
+    for path, leaf in flatten_params(node):
+        arr = np.asarray(leaf)
+        rows.append((path, tuple(arr.shape), str(arr.dtype), arr.size))
 
 
 def describe_params(params: Dict[str, Any], name: str = "model",
@@ -58,7 +71,14 @@ def describe_state_dict(path: str) -> str:
                 break
 
     keys = sorted(sd)
-    total = sum(int(np.prod(np.asarray(v).shape)) for v in sd.values())
+
+    def _shape_dtype(v):
+        # use metadata attributes: materializing via np.asarray copies
+        # the whole tensor and raises outright on torch bfloat16
+        shape = tuple(getattr(v, "shape", np.asarray(v).shape))
+        return shape, str(getattr(v, "dtype", type(v).__name__))
+
+    total = sum(int(np.prod(_shape_dtype(v)[0])) for v in sd.values())
     kind = "unknown"
     if any(k.startswith(("decoder.", "first_stage_model.decoder."))
            or k.startswith("conv_in.") for k in keys):
@@ -71,8 +91,8 @@ def describe_state_dict(path: str) -> str:
     lines = [f"{path}: {len(keys)} tensors, {total / 1e6:.2f}M params, "
              f"schema: {kind}"]
     for k in keys[:20]:
-        arr = np.asarray(sd[k])
-        lines.append(f"  {k}: {tuple(arr.shape)} {arr.dtype}")
+        shape, dtype = _shape_dtype(sd[k])
+        lines.append(f"  {k}: {shape} {dtype}")
     if len(keys) > 20:
         lines.append(f"  ... {len(keys) - 20} more")
     return "\n".join(lines)

@@ -164,3 +164,27 @@ def test_output_dir_discovery_heuristic(tmp_path, monkeypatch):
 
     monkeypatch.setenv("HDRVAE_OUTPUT_DIR", "/somewhere/else")
     assert folders.get_output_directory() == "/somewhere/else"
+
+
+def test_node_python_defaults_match_input_types():
+    """The FUNCTION's Python defaults must agree with the INPUT_TYPES
+    declared defaults — graphs that omit optional widgets fall through
+    to the Python signature, so two contradictory contracts would give
+    API-format graphs different behavior than UI graphs."""
+    import inspect
+    import hdrvae
+    for name, cls in hdrvae.NODE_CLASS_MAPPINGS.items():
+        fn = getattr(cls, cls.FUNCTION)
+        sig = inspect.signature(fn)
+        it = cls.INPUT_TYPES()
+        declared = {**it.get("required", {}), **it.get("optional", {})}
+        for pname, spec in declared.items():
+            if not (isinstance(spec, tuple) and len(spec) > 1
+                    and isinstance(spec[1], dict) and "default" in spec[1]):
+                continue
+            param = sig.parameters.get(pname)
+            if param is None or param.default is inspect.Parameter.empty:
+                continue
+            assert param.default == spec[1]["default"], (
+                f"{name}.{pname}: Python default {param.default!r} != "
+                f"declared {spec[1]['default']!r}")

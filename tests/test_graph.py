@@ -176,3 +176,44 @@ def test_shipped_example_workflow_executes(tmp_path, monkeypatch, small_cfg,
     assert os.path.exists(path) and path.endswith(".exr")
     from hdrvae.io import exr
     assert exr.read_exr(path).shape[:2] == upscaled.shape[1:3]
+
+
+def test_literal_two_int_list_is_not_a_link():
+    """A literal [512, 512] input value must pass through as data, not
+    be resolved as a node link (only string targets hard-error)."""
+    import hdrvae
+    from hdrvae.api.graph import GraphExecutor
+
+    class EchoNode:
+        @classmethod
+        def INPUT_TYPES(cls):
+            return {"required": {"size": ("LIST",)}}
+        RETURN_TYPES = ("LIST",)
+        FUNCTION = "go"
+
+        def go(self, size):
+            return (size,)
+
+    ex = GraphExecutor(registry={"Echo": EchoNode})
+    res = ex.run({"nodes": [{"id": "n1", "type": "Echo",
+                             "inputs": {"size": [512, 512]}}]})
+    assert res["n1"][0] == [512, 512]
+
+
+def test_cli_run_executes_reference_workflow(tmp_path, monkeypatch,
+                                             capsys):
+    """`hdrvae run` on the reference's shipped ComfyUI UI-export graph:
+    externals (KSampler latent, VAELoader vae) are auto-supplied."""
+    import json as _json
+    import os
+    if not os.path.exists(REF_WORKFLOW):
+        pytest.skip("reference workflow not present")
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path))
+    from hdrvae.cli.main import main
+    rc = main(["run", REF_WORKFLOW, "--size", "32"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert any("node" in ln for ln in out)
+    written = [f for r, _, fs in os.walk(tmp_path) for f in fs
+               if f.endswith(".exr")]
+    assert written, "exporter node produced no file"

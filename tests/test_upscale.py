@@ -409,3 +409,12 @@ class TestProgress:
             for _ in range(8):
                 quiet.update()
         assert any("8/8" in r.getMessage() for r in caplog.records)
+
+
+def test_feather_mask_tile_smaller_than_feather(rng):
+    """A thin image dim (< overlap) while the other dim tiles: feather
+    blending must produce overlapping ramps, not a broadcast crash."""
+    from hdrvae.tiling.tiled import tiled_apply
+    x = jnp.asarray(rng.standard_normal((1, 200, 10, 3)), jnp.float32)
+    out = tiled_apply(lambda t: t, x, tile=64, overlap=16, mode="feather")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
