@@ -1091,8 +1091,12 @@ bool parse_header(const std::vector<uint8_t>& buf, Parsed* out) {
     std::string name, type;
     if (!read_cstr(buf, &pos, &name) || !read_cstr(buf, &pos, &type))
       return false;
+    // the attribute size field is file data: bound it before ANY use
+    if (pos + 4 > buf.size()) return false;
     int32_t size = get_i32(buf.data() + pos);
     pos += 4;
+    if (size < 0 || pos + static_cast<size_t>(size) > buf.size())
+      return false;
     const uint8_t* payload = buf.data() + pos;
     if (name == "channels") {
       size_t cpos = 0;
@@ -1100,23 +1104,37 @@ bool parse_header(const std::vector<uint8_t>& buf, Parsed* out) {
       while (cpos < pay.size() && pay[cpos] != 0) {
         std::string cname;
         if (!read_cstr(pay, &cpos, &cname)) return false;
+        if (cpos + 16 > pay.size()) return false;
         int32_t pt = get_i32(pay.data() + cpos);
         cpos += 16;  // type + pLinear/reserved + sampling
         out->channels.push_back({cname, pt});
       }
     } else if (name == "compression") {
+      if (size < 1) return false;
       out->comp = payload[0];
     } else if (name == "dataWindow") {
+      if (size < 16) return false;
       int32_t x0 = get_i32(payload), y0 = get_i32(payload + 4);
       int32_t x1 = get_i32(payload + 8), y1 = get_i32(payload + 12);
-      out->width = x1 - x0 + 1;
-      out->height = y1 - y0 + 1;
+      // compute in 64-bit: extreme corrupted corners overflow int32
+      int64_t wid = static_cast<int64_t>(x1) - x0 + 1;
+      int64_t hei = static_cast<int64_t>(y1) - y0 + 1;
+      if (wid < 1 || hei < 1 || wid > (1 << 20) || hei > (1 << 20))
+        return false;
+      out->width = static_cast<int>(wid);
+      out->height = static_cast<int>(hei);
       out->y_min = y0;
     }
     pos += size;
   }
   out->offsets_pos = pos;
-  return out->width > 0 && out->height > 0 && !out->channels.empty();
+  // sanity bounds: corrupted dataWindow/chlist fields must not drive
+  // multi-GB allocations (std::length_error aborts) or index overflow
+  return out->width > 0 && out->height > 0 && !out->channels.empty() &&
+         out->width <= (1 << 20) && out->height <= (1 << 20) &&
+         out->channels.size() <= 1024 &&
+         static_cast<int64_t>(out->width) * out->height *
+             static_cast<int64_t>(out->channels.size()) <= (1ll << 31);
 }
 
 bool load_file(const char* path, std::vector<uint8_t>* buf) {
@@ -1136,19 +1154,26 @@ bool load_file(const char* path, std::vector<uint8_t>* buf) {
 // Returns 0 on success and fills width/height/channels.
 int exr_read_header(const char* path, int* width, int* height,
                     int* channels) {
-  std::vector<uint8_t> buf;
-  if (!load_file(path, &buf)) return -1;
-  Parsed p;
-  if (!parse_header(buf, &p)) return -2;
-  *width = p.width;
-  *height = p.height;
-  *channels = static_cast<int>(p.channels.size());
-  return 0;
+  try {
+    std::vector<uint8_t> buf;
+    if (!load_file(path, &buf)) return -1;
+    Parsed p;
+    if (!parse_header(buf, &p)) return -2;
+    *width = p.width;
+    *height = p.height;
+    *channels = static_cast<int>(p.channels.size());
+    return 0;
+  } catch (...) {
+    // corrupted input must surface as an error code across the ctypes
+    // boundary, never a C++ exception aborting the host process
+    return -99;
+  }
 }
 
 // Reads pixel data as float32 into out (height*width*channels), channels in
 // RGB(A) order when R/G/B are present, else storage order.
 int exr_read(const char* path, float* out) {
+  try {
   std::vector<uint8_t> buf;
   if (!load_file(path, &buf)) return -1;
   Parsed p;
@@ -1208,12 +1233,15 @@ int exr_read(const char* path, float* out) {
   std::vector<uint8_t> raw(static_cast<size_t>(lines) * row_bytes);
   std::vector<uint8_t> tmp(raw.size());
 
+  // the offset TABLE itself is file data: bound it before reading
+  if (p.offsets_pos + 8ull * n_chunks > buf.size()) return -4;
   const uint8_t* table = buf.data() + p.offsets_pos;
   for (int ci = 0; ci < n_chunks; ++ci) {
     uint64_t off;
     std::memcpy(&off, table + 8ull * ci, 8);
     if (off + 8 > buf.size()) return -4;
     int32_t y = get_i32(buf.data() + off) - p.y_min;
+    if (y < 0 || y >= p.height) return -4;   // lying scanline base
     int32_t size = get_i32(buf.data() + off + 4);
     // file-supplied size: validate against the buffer before any decode
     // touches data (a truncated/corrupt file must return an error code
@@ -1367,6 +1395,9 @@ int exr_read(const char* path, float* out) {
     }
   }
   return 0;
+  } catch (...) {
+    return -99;   // corrupted input: error code, never a C++ abort
+  }
 }
 
 }  // extern "C"
