@@ -28,10 +28,24 @@ class VAE:
     precision: Precision = Precision()
 
     @classmethod
-    def load(cls, path: str, config: DecoderConfig = DecoderConfig(),
+    def load(cls, path: str, config: DecoderConfig | None = None,
              precision: Precision = Precision()) -> "VAE":
-        return cls(params=load_decoder(path, config), config=config,
-                   precision=precision)
+        """Load from a safetensors checkpoint.
+
+        ``config=None`` infers the topology from the checkpoint shapes —
+        Flux.1 (z=16), SD1.5 (z=4), SDXL (z=4; pass an explicit config to
+        override the latent scale 0.18215 -> 0.13025) all load directly,
+        matching the reference's any-ComfyUI-VAE contract
+        (`hdr_vae_decode.py:62-67`).
+        """
+        from hdrvae.models.params import (infer_decoder_config,
+                                          load_safetensors)
+        sd = load_safetensors(path)
+        if config is None:
+            config = infer_decoder_config(sd)
+        from hdrvae.models.params import decoder_params_from_state_dict
+        return cls(params=decoder_params_from_state_dict(sd, config),
+                   config=config, precision=precision)
 
     @classmethod
     def random_init(cls, seed: int = 0,

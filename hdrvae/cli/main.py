@@ -209,17 +209,25 @@ def cmd_convert(args) -> int:
 
     if args.kind == "vae":
         import torch
-        from hdrvae.core.config import DecoderConfig
         from hdrvae.models.params import (decoder_params_from_state_dict,
-                                          decoder_params_to_state_dict)
+                                          decoder_params_to_state_dict,
+                                          infer_decoder_config)
         if args.input.endswith(".safetensors"):
             from hdrvae.models.params import load_safetensors
             sd = load_safetensors(args.input)
         else:
             sd = torch.load(args.input, map_location="cpu",
                             weights_only=True)
-        params = decoder_params_from_state_dict(sd, DecoderConfig())
-        out_sd = decoder_params_to_state_dict(params, DecoderConfig())
+        cfg = infer_decoder_config(sd)
+        print(json.dumps({"inferred_config": {
+            "z_channels": cfg.z_channels, "ch": cfg.ch,
+            "ch_mult": list(cfg.ch_mult),
+            "num_res_blocks": cfg.num_res_blocks,
+            "attn_mid": cfg.attn_mid,
+            "scale_factor": cfg.scale_factor,
+            "shift_factor": cfg.shift_factor}}))
+        params = decoder_params_from_state_dict(sd, cfg)
+        out_sd = decoder_params_to_state_dict(params, cfg)
         save_file({f"decoder.{k}": v for k, v in out_sd.items()},
                   args.output)
     else:  # upscaler — ANY zoo architecture, not just RRDBNet
@@ -227,7 +235,9 @@ def cmd_convert(args) -> int:
         from hdrvae.models.zoo import load_upscale_model
         from hdrvae.utils.introspect import flatten_params
         params, cfg, arch = load_upscale_model(args.input)
-        flat = {path: np.asarray(leaf)
+        # ascontiguousarray: safetensors save_file silently writes the raw
+        # buffer of strided views (see models/params.py put_conv)
+        flat = {path: np.ascontiguousarray(np.asarray(leaf))
                 for path, leaf in flatten_params(params)}
         save_file(flat, args.output)
         print(json.dumps({"architecture": arch, "scale": cfg.scale,

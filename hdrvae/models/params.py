@@ -124,10 +124,104 @@ def _resnet(sd: Mapping[str, Any], name: str) -> Params:
     return p
 
 
+def _shape(t) -> tuple:
+    return tuple(t.shape)
+
+
+def infer_decoder_config(state_dict: Mapping[str, Any]) -> DecoderConfig:
+    """Infer the decoder topology from an ldm-layout state dict (shapes only).
+
+    The reference works with whatever VAE object the host framework hands it
+    (`hdr_vae_decode.py:62-67` — Flux.1, SD1.5 and SDXL all share the
+    AutoencoderKL decoder topology and differ only in widths/latent
+    channels); this is the equivalent for checkpoints loaded directly.
+
+    Latent scale/shift are NOT recoverable from weights: z_channels == 16
+    selects the Flux.1 constants (0.3611 / 0.1159), z_channels == 4 the SD
+    family's (0.18215 / 0, diffusers ``z / scale + shift`` semantics) —
+    pass an explicit :class:`DecoderConfig` for SDXL's 0.13025 or any
+    non-standard VAE.  GroupNorm group count is likewise conventional (32
+    in every ldm release); it is reduced to the largest power of two that
+    divides every feature width only when 32 does not.
+    """
+    sd = _strip_prefix(state_dict)
+    try:
+        block_in, z_channels = _shape(sd["conv_in.weight"])[:2]
+        out_channels, pre_out = _shape(sd["conv_out.weight"])[:2]
+    except KeyError as e:
+        raise ValueError(f"not an AutoencoderKL decoder state dict "
+                         f"(missing {e})") from None
+    up_levels = set()
+    block_counts: Dict[int, int] = {}
+    for k in sd:
+        if not k.startswith("up."):
+            continue
+        parts = k.split(".")
+        level = int(parts[1])
+        up_levels.add(level)
+        if parts[2] == "attn":
+            raise ValueError(
+                "decoder has per-level attention blocks (VQ-style "
+                "topology) — not supported; only the AutoencoderKL "
+                "family (Flux.1 / SD / SDXL) is")
+        if parts[2] == "block":
+            j = int(parts[3])
+            block_counts[level] = max(block_counts.get(level, -1), j)
+    if not up_levels:
+        raise ValueError("decoder state dict has no up.{level} stages")
+    num_levels = max(up_levels) + 1
+    if up_levels != set(range(num_levels)):
+        raise ValueError(f"non-contiguous up levels: {sorted(up_levels)}")
+    num_res_blocks = block_counts[0]  # decoder runs num_res_blocks + 1
+    if any(c != num_res_blocks for c in block_counts.values()):
+        raise ValueError(f"ragged block counts per level: {block_counts}")
+
+    # Per-level output width from block.0.conv2 (always present, always
+    # [block_out, block_out, 3, 3] in OIHW).
+    widths = [int(_shape(sd[f"up.{lvl}.block.0.conv2.weight"])[0])
+              for lvl in range(num_levels)]
+    ch = widths[0]
+    if any(w % ch for w in widths):
+        raise ValueError(f"level widths {widths} are not multiples of the "
+                         f"base width {ch}")
+    ch_mult = tuple(w // ch for w in widths)
+    if ch * ch_mult[-1] != block_in:
+        raise ValueError(f"conv_in width {block_in} != ch*ch_mult[-1] = "
+                         f"{ch * ch_mult[-1]}")
+    if pre_out != ch * ch_mult[0]:
+        raise ValueError(f"conv_out input width {pre_out} != ch*ch_mult[0]"
+                         f" = {ch * ch_mult[0]}")
+
+    num_groups = 32
+    all_widths = set(widths) | {block_in}
+    while num_groups > 1 and any(w % num_groups for w in all_widths):
+        num_groups //= 2
+
+    base = DecoderConfig()
+    if z_channels == 16:
+        scale, shift = base.scale_factor, base.shift_factor  # Flux.1
+    elif z_channels == 4:
+        scale, shift = 0.18215, 0.0  # SD 1.x/2.x family
+    else:
+        scale, shift = 1.0, 0.0
+    import dataclasses as _dc
+    return _dc.replace(
+        base, z_channels=int(z_channels), ch=ch, ch_mult=ch_mult,
+        num_res_blocks=int(num_res_blocks), out_channels=int(out_channels),
+        attn_mid="mid.attn_1.norm.weight" in sd, num_groups=num_groups,
+        scale_factor=scale, shift_factor=shift)
+
+
 def decoder_params_from_state_dict(
         state_dict: Mapping[str, Any],
-        cfg: DecoderConfig = DecoderConfig()) -> Params:
-    """Build the decoder param pytree from an ldm-layout state dict."""
+        cfg: DecoderConfig | None = None) -> Params:
+    """Build the decoder param pytree from an ldm-layout state dict.
+
+    ``cfg=None`` infers the topology from the checkpoint shapes
+    (:func:`infer_decoder_config`).
+    """
+    if cfg is None:
+        cfg = infer_decoder_config(state_dict)
     sd = _strip_prefix(state_dict)
 
     params: Params = {
@@ -162,8 +256,14 @@ def decoder_params_from_state_dict(
 
 
 def load_decoder(path: str,
-                 cfg: DecoderConfig = DecoderConfig()) -> Params:
-    """Load a Flux.1 VAE decoder from a safetensors checkpoint file."""
+                 cfg: DecoderConfig | None = None) -> Params:
+    """Load an AutoencoderKL decoder from a safetensors checkpoint file.
+
+    ``cfg=None`` infers the topology from the checkpoint (Flux.1, SD1.5,
+    SDXL, ... — see :func:`infer_decoder_config`); use
+    ``infer_decoder_config(load_safetensors(path))`` when the caller also
+    needs the inferred config.
+    """
     return decoder_params_from_state_dict(load_safetensors(path), cfg)
 
 
@@ -179,8 +279,12 @@ def decoder_params_to_state_dict(params: Params,
     sd: Dict[str, np.ndarray] = {}
 
     def put_conv(name: str, p: Params):
-        sd[f"{name}.weight"] = np.transpose(np.asarray(p["kernel"]),
-                                            (3, 2, 0, 1))
+        # ascontiguousarray matters: safetensors' numpy save_file writes
+        # the raw buffer of a strided view without applying the transpose
+        # (silent corruption, verified on 0.8.0) — every tensor that may
+        # reach save_file must be materialized C-order.
+        sd[f"{name}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1)))
         sd[f"{name}.bias"] = np.asarray(p["bias"])
 
     def put_norm(name: str, p: Params):

@@ -22,6 +22,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# The suite is compile-dominated (hundreds of small jits on 1 CPU core);
+# the persistent cache makes every run after the first fast.  Kept under
+# a tests-specific dir so TPU/CLI cache entries are not mixed in.
+from hdrvae.core import runtime  # noqa: E402
+
+runtime.setup(os.path.expanduser("~/.cache/hdrvae/jax-tests"))
+
 assert jax.device_count() >= 8, (
     f"expected 8 virtual CPU devices, got {jax.device_count()} on "
     f"{jax.default_backend()}")

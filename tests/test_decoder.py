@@ -107,3 +107,81 @@ def test_upsample_conv_subpixel_equivalence(rng):
     got = upsample_conv_2x(x, p, precision=Precision.parity())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-6, rtol=1e-6)
+
+
+class TestConfigInference:
+    """infer_decoder_config: topology from checkpoint shapes alone —
+    the any-ComfyUI-VAE contract (`hdr_vae_decode.py:62-67`)."""
+
+    def _sd_for(self, cfg, seed=0):
+        params = init_decoder(jax.random.PRNGKey(seed), cfg)
+        sd = decoder_params_to_state_dict(params, cfg)
+        return {f"decoder.{k}": v for k, v in sd.items()}, params
+
+    def test_flux_shaped(self):
+        from hdrvae.models.params import infer_decoder_config
+        import dataclasses
+        cfg = dataclasses.replace(DecoderConfig(), ch=32, ch_mult=(1, 2),
+                                  num_res_blocks=1)
+        sd, _ = self._sd_for(cfg)
+        got = infer_decoder_config(sd)
+        assert got.z_channels == 16 and got.ch == 32
+        assert got.ch_mult == (1, 2) and got.num_res_blocks == 1
+        assert got.attn_mid and got.num_groups == 32
+        # z=16 selects the Flux.1 latent constants
+        assert got.scale_factor == pytest.approx(0.3611)
+        assert got.shift_factor == pytest.approx(0.1159)
+
+    def test_sd_family_shaped(self):
+        """SD1.5/SDXL decoder shape: z=4, no mid-attn variant also works."""
+        from hdrvae.models.params import infer_decoder_config
+        import dataclasses
+        cfg = dataclasses.replace(DecoderConfig(), z_channels=4, ch=32,
+                                  ch_mult=(1, 2, 4), num_res_blocks=2,
+                                  attn_mid=False)
+        sd, params = self._sd_for(cfg)
+        got = infer_decoder_config(sd)
+        assert got.z_channels == 4 and got.ch_mult == (1, 2, 4)
+        assert got.num_res_blocks == 2 and not got.attn_mid
+        # z=4 selects the SD-family latent scaling (diffusers z/scale)
+        assert got.scale_factor == pytest.approx(0.18215)
+        assert got.shift_factor == 0.0
+        # and the inferred config actually decodes the loaded weights
+        restored = decoder_params_from_state_dict(sd, None)
+        z = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 4, 4, 4)).astype(np.float32))
+        out = decoder_apply(restored, z, got)
+        assert out.rgb.shape == (1, 16, 16, 3)
+
+    def test_vae_load_infers_from_file(self, tmp_path):
+        from safetensors.numpy import save_file
+        from hdrvae.api.vae import VAE
+        import dataclasses
+        cfg = dataclasses.replace(DecoderConfig(), z_channels=4, ch=32,
+                                  ch_mult=(1, 2), num_res_blocks=1)
+        sd, params = self._sd_for(cfg)
+        p = str(tmp_path / "vae.safetensors")
+        save_file({k: np.asarray(v) for k, v in sd.items()}, p)
+        vae = VAE.load(p)
+        assert vae.config.z_channels == 4 and vae.config.ch == 32
+        z = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (1, 4, 4, 4)).astype(np.float32))
+        a = vae.decode(z)
+        # same weights under the inferred config (the z=4 latent constants
+        # differ from the fixture cfg's Flux defaults — that is the point)
+        b = decoder_apply(params, z, vae.config)
+        np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_rejects_non_decoder_and_vq_topologies(self):
+        from hdrvae.models.params import infer_decoder_config
+        with pytest.raises(ValueError, match="missing"):
+            infer_decoder_config({"encoder.conv_in.weight":
+                                  np.zeros((4, 3, 3, 3))})
+        import dataclasses
+        cfg = dataclasses.replace(DecoderConfig(), ch=32, ch_mult=(1, 2),
+                                  num_res_blocks=1)
+        sd, _ = self._sd_for(cfg)
+        sd["decoder.up.1.attn.0.norm.weight"] = np.zeros((64,))
+        with pytest.raises(ValueError, match="per-level attention"):
+            infer_decoder_config(sd)
