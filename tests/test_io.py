@@ -785,3 +785,37 @@ def test_native_reader_corruption_fuzz(tmp_path):
                 assert np.isfinite(out).any() or out.size >= 0
             except Exception:
                 pass                        # clean rejection is fine
+
+
+@pytest.mark.slow
+def test_hdr_reader_corruption_fuzz(tmp_path):
+    """Same contract as the EXR fuzz for the Radiance codec: corrupted
+    .hdr input must raise a clean Python exception or parse, never hang
+    or crash (the reader is pure numpy, so the risk class is unbounded
+    allocations / index errors from lying headers)."""
+    from hdrvae.io.hdr import read_hdr, write_hdr
+    rng = np.random.default_rng(0)
+    img = (rng.standard_normal((48, 40, 3)).astype(np.float32) ** 2) * 4
+    base = str(tmp_path / "base.hdr")
+    write_hdr(base, img)
+    blob = open(base, "rb").read()
+    pt = str(tmp_path / "fuzz.hdr")
+    for seed in range(120):
+        r = np.random.default_rng(seed)
+        b = bytearray(blob)
+        mode = seed % 3
+        if mode == 0:
+            b = bytes(b[:r.integers(4, len(b))])
+        elif mode == 1:
+            for _ in range(int(r.integers(1, 24))):
+                b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        else:  # header-focused: dimensions line and RLE opcodes
+            for _ in range(int(r.integers(1, 10))):
+                pos = int(r.integers(0, min(160, len(b))))
+                b[pos] = int(r.integers(0, 256))
+        open(pt, "wb").write(bytes(b))
+        try:
+            out = read_hdr(pt)
+            assert out.size < 10 ** 9   # no unbounded allocation
+        except Exception:
+            pass                        # clean rejection is fine
