@@ -210,11 +210,11 @@ class Precision:
     # Window-attention executor for SwinIR-family upscalers: "auto" runs
     # the fused Pallas kernel (kernels.swin_attention) on TPU in fast
     # mode, the XLA einsum path otherwise; "xla" forces the einsum path;
-    # "pallas" asserts the kernel path is used.  Default "xla" until the
-    # kernel is timed on hardware (interpret-mode parity is pinned in
-    # tests/test_swin_kernel.py; the TPU chip was unreachable when the
-    # kernel landed — flip to "auto" with the measured numbers).
-    swin_attn: str = "xla"
+    # "pallas" asserts the kernel path is used.  Measured on 1x v5e
+    # (SwinIR-M x4, 512^2 tile, fast mode): 480 ms vs 586 ms XLA
+    # (1.22x) — the kernel keeps scores in VMEM and drops the qkv/out
+    # head transposes; window partition/merge/roll copies remain XLA.
+    swin_attn: str = "auto"
 
     @classmethod
     def fast(cls) -> "Precision":

@@ -11,13 +11,19 @@ per-head views come from sliver BlockSpecs instead of transposes.
 Layout contract (chosen so no sub-128-lane slicing happens in-kernel —
 the Mosaic trap PERF_NOTES sections 3-4 document):
 
-  - The qkv projection's OUTPUT channels are permuted at trace time to
-    head-major ``[head][q|k|v][head_dim->32-pad]`` order
-    (`_prep_qkv_weights`), so q/k/v per (window-block, head) arrive as
-    three 32-lane sliver BlockSpecs over one [nwb, N, H*3*32] array —
-    zero in-kernel channel slicing.  Zero pad columns are exact (q.k
-    adds 0; P @ v_pad = 0), and the proj weights are row-scattered to
-    consume the padded layout (`_prep_proj_weights`).
+  - The qkv projection is split at trace time into head-major
+    ``[head][q|k|v]`` slot weights of 32 lanes each (head_dim 30 ->
+    32-pad, `_prep_qkv_weights`), and qkv is carried as a 4-D
+    [nwb, H*3, N, 32] array whose SLOT dim sits outside the tiled
+    last-two dims: per-(window-block, head) q/k/v blocks are then
+    (bwin, 1, N, 32) — the last block dim EQUALS the array dim, which
+    Mosaic's lowering requires (a 32-lane sliver over a wider lane
+    axis is rejected at lowering; interpret mode never checks this).
+    The slot layout is produced directly by per-slot dots in the
+    `ln_qkv` prologue — no XLA transpose and no in-kernel lane
+    slicing anywhere.  Zero pad columns are exact (q.k adds 0;
+    P @ v_pad = 0), and the proj consumes the padded layout with
+    per-head partial dots (`_prep_proj_weights`).
   - Windows are processed in PAIRS packed block-diagonally into one
     [2N, 2N] score dot (N=64 tokens at window 8): M=N=128 fills the MXU
     tile, and the off-diagonal cross-window blocks are killed by a -1e9
@@ -102,8 +108,9 @@ def _block_diag2(a: jnp.ndarray) -> jnp.ndarray:
 
 def _prep_qkv_weights(qkv: Params, heads: int, hd: int,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[C, 3C] kernel, [3C] bias -> head-major q|k|v 32-padded columns
-    with the softmax scale folded into q."""
+    """[C, 3C] kernel, [3C] bias -> per-slot weights [heads*3, C, 32]
+    and biases [heads*3, 1, 32] in head-major [head][q|k|v] slot order,
+    32-padded head dim, softmax scale folded into q."""
     c = qkv["kernel"].shape[0]
     scale = hd ** -0.5
     w = qkv["kernel"].reshape(c, 3, heads, hd)
@@ -112,18 +119,17 @@ def _prep_qkv_weights(qkv: Params, heads: int, hd: int,
     b = b.at[0].multiply(scale)
     w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, _HDP - hd)))
     b = jnp.pad(b, ((0, 0), (0, 0), (0, _HDP - hd)))
-    w = w.transpose(0, 2, 1, 3).reshape(c, heads * 3 * _HDP)
-    b = b.transpose(1, 0, 2).reshape(heads * 3 * _HDP)
+    w = w.transpose(2, 1, 0, 3).reshape(heads * 3, c, _HDP)
+    b = b.transpose(1, 0, 2).reshape(heads * 3, 1, _HDP)
     return w, b
 
 
 def _prep_proj_weights(proj: Params, heads: int, hd: int) -> jnp.ndarray:
-    """[C, C] kernel -> [heads*32, C]: rows scattered to the padded
-    head-major layout (zero rows under the pad lanes)."""
+    """[C, C] kernel -> [heads, 32, C]: per-head row blocks scattered to
+    the padded head-major layout (zero rows under the pad lanes)."""
     c = proj["kernel"].shape[1]
     w = proj["kernel"].reshape(heads, hd, c)
-    return jnp.pad(w, ((0, 0), (0, _HDP - hd), (0, 0))).reshape(
-        heads * _HDP, c)
+    return jnp.pad(w, ((0, 0), (0, _HDP - hd), (0, 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -133,16 +139,19 @@ def _prep_proj_weights(proj: Params, heads: int, hd: int) -> jnp.ndarray:
 
 def _attn_core_kernel(q_ref, k_ref, v_ref, b_ref, cm_ref, o_ref, *,
                       bwin: int, n: int, nww: int):
-    """Grid (heads, nwb // bwin).  Blocks: q/k/v/o [bwin, n, 32] slivers;
-    b_ref [1, 1, 2n, 2n] bias(+row mask) table; cm_ref [2n, 2n] last-
-    column delta."""
+    """Grid (heads, nwb // bwin).  Blocks: q/k/v/o [bwin, 1, n, 32]
+    per-slot views of the 4-D slot layout; b_ref [1, 1, 2n, 2n]
+    bias(+row mask) table; cm_ref [2n, 2n] last-column delta."""
     wb = pl.program_id(1)
     is_last_col = (((wb + 1) * bwin) % nww == 0)
     bias2 = b_ref[0, 0]
     for i in range(bwin // 2):
-        q2 = jnp.concatenate([q_ref[2 * i], q_ref[2 * i + 1]], axis=0)
-        k2 = jnp.concatenate([k_ref[2 * i], k_ref[2 * i + 1]], axis=0)
-        v2 = jnp.concatenate([v_ref[2 * i], v_ref[2 * i + 1]], axis=0)
+        q2 = jnp.concatenate([q_ref[2 * i, 0], q_ref[2 * i + 1, 0]],
+                             axis=0)
+        k2 = jnp.concatenate([k_ref[2 * i, 0], k_ref[2 * i + 1, 0]],
+                             axis=0)
+        v2 = jnp.concatenate([v_ref[2 * i, 0], v_ref[2 * i + 1, 0]],
+                             axis=0)
         s = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s + bias2
@@ -157,17 +166,17 @@ def _attn_core_kernel(q_ref, k_ref, v_ref, b_ref, cm_ref, o_ref, *,
         o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         o = o.astype(o_ref.dtype)
-        o_ref[2 * i] = o[:n]
-        o_ref[2 * i + 1] = o[n:]
+        o_ref[2 * i, 0] = o[:n]
+        o_ref[2 * i + 1, 0] = o[n:]
 
 
 def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
                colmask2: jnp.ndarray, *, heads: int, n: int, nwh: int,
                nww: int, bwin: int, shifted: bool,
                interpret: bool = False) -> jnp.ndarray:
-    """qkv_r: [nwb, n, heads*3*32] head-major padded qkv (scale folded);
-    tables: [ncls, heads, 2n, 2n]; colmask2: [2n, 2n].  Returns
-    [nwb, n, heads*32]."""
+    """qkv_r: [nwb, heads*3, n, 32] head-major padded slot qkv (scale
+    folded); tables: [ncls, heads, 2n, 2n]; colmask2: [2n, 2n].
+    Returns [nwb, heads, n, 32]."""
     nwb = qkv_r.shape[0]
 
     def row_cls(h, wb):
@@ -181,13 +190,14 @@ def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
         kern,
         grid=(heads, nwb // bwin),
         in_specs=[
-            pl.BlockSpec((bwin, n, _HDP), lambda h, wb: (wb, 0, 3 * h),
+            pl.BlockSpec((bwin, 1, n, _HDP),
+                         lambda h, wb: (wb, 3 * h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bwin, n, _HDP),
-                         lambda h, wb: (wb, 0, 3 * h + 1),
+            pl.BlockSpec((bwin, 1, n, _HDP),
+                         lambda h, wb: (wb, 3 * h + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bwin, n, _HDP),
-                         lambda h, wb: (wb, 0, 3 * h + 2),
+            pl.BlockSpec((bwin, 1, n, _HDP),
+                         lambda h, wb: (wb, 3 * h + 2, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * n, 2 * n),
                          lambda h, wb: (row_cls(h, wb), h, 0, 0),
@@ -195,9 +205,10 @@ def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
             pl.BlockSpec((2 * n, 2 * n), lambda h, wb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bwin, n, _HDP), lambda h, wb: (wb, 0, h),
+        out_specs=pl.BlockSpec((bwin, 1, n, _HDP),
+                               lambda h, wb: (wb, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwb, n, heads * _HDP),
+        out_shape=jax.ShapeDtypeStruct((nwb, heads, n, _HDP),
                                        qkv_r.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * nwb * heads * n * n * _HDP,
@@ -222,6 +233,19 @@ def _attn_core(qkv_r: jnp.ndarray, tables: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 erf, |err| <= 1.5e-7.  Pallas TPU has
+    no lowering for lax.erf (KernelType.TC: erf), so the exact-GELU
+    epilogue uses this polynomial in-kernel; the XLA path keeps true
+    erf, and the parity tests bound the difference (<=1e-6 in f32)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _ln(x32, gamma, beta, eps=1e-5):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -229,21 +253,29 @@ def _ln(x32, gamma, beta, eps=1e-5):
 
 
 def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
-                   bwin: int, n: int, cdt):
+                   bwin: int, n: int, nslots: int, cdt):
     """LN1 -> qkv projection, per window (M=n dots keep Mosaic off the
-    outer-dim collapse path)."""
+    outer-dim collapse path).  One dot per [head][q|k|v] slot writes the
+    4-D slot layout directly — a single [n, H*3*32] dot would need an
+    in-kernel lane-sliced store, which Mosaic rejects; the N=32 dots
+    idle MXU lanes but the qkv matmul is ~2% of the pass."""
     for w in range(bwin):
         x32 = x_ref[w].astype(jnp.float32)               # [n, C]
         y = _ln(x32, g_ref[0], be_ref[0]).astype(cdt)
-        qkv = jax.lax.dot_general(y, w_ref[...].astype(cdt),
-                                  (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        o_ref[w] = (qkv + b_ref[0]).astype(o_ref.dtype)
+        for s in range(nslots):
+            q = jax.lax.dot_general(y, w_ref[s],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[w, s] = (q + b_ref[s]).astype(o_ref.dtype)
 
 
-def _proj_mlp_kernel(*refs, bwin: int, n: int, cdt, has_extra: bool):
+def _proj_mlp_kernel(*refs, bwin: int, n: int, heads: int, cdt,
+                     has_extra: bool):
     """attention-out -> proj -> +residual (+optional extra residual, the
-    HAT CAB branch) -> LN2 -> fc1 -> exact GELU -> fc2 -> +residual."""
+    HAT CAB branch) -> LN2 -> fc1 -> exact GELU -> fc2 -> +residual.
+    The proj is per-head partial dots over the [heads, n, 32] slot
+    layout (a single [n, H*32] dot would need an in-kernel lane-sliced
+    load of the 4-D core output)."""
     if has_extra:
         (a_ref, x_ref, e_ref, wp_ref, bp_ref, g2_ref, be2_ref,
          w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
@@ -252,10 +284,15 @@ def _proj_mlp_kernel(*refs, bwin: int, n: int, cdt, has_extra: bool):
          w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
         e_ref = None
     for w in range(bwin):
-        a = a_ref[w]                                     # [n, H*32]
-        proj = jax.lax.dot_general(a.astype(cdt), wp_ref[...].astype(cdt),
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        proj = jax.lax.dot_general(
+            a_ref[w, 0].astype(cdt), wp_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for h in range(1, heads):
+            proj = proj + jax.lax.dot_general(
+                a_ref[w, h].astype(cdt), wp_ref[h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         x2 = x_ref[w].astype(jnp.float32) + proj + bp_ref[0]
         if e_ref is not None:
             x2 = x2 + e_ref[w].astype(jnp.float32)
@@ -264,8 +301,8 @@ def _proj_mlp_kernel(*refs, bwin: int, n: int, cdt, has_extra: bool):
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         h = h + b1_ref[0]
-        # exact (erf) GELU, matching torch nn.GELU default
-        h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))
+        # exact-erf GELU (torch nn.GELU default) via the A&S polynomial
+        h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
         out = jax.lax.dot_general(h.astype(cdt), w2_ref[...].astype(cdt),
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -282,26 +319,28 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
            bwin: int, precision: Precision,
            interpret: bool = False) -> jnp.ndarray:
     """wins: [nwb, n, C] RAW windows (pre-LN); returns head-major padded
-    qkv [nwb, n, heads*3*32] with LN1 fused in."""
+    slot qkv [nwb, heads*3, n, 32] with LN1 fused in."""
     nwb, n, c = wins.shape
     hd = c // heads
     cdt = precision.compute_dtype
     wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
+    nslots = heads * 3
     call = pl.pallas_call(
-        functools.partial(_ln_qkv_kernel, bwin=bwin, n=n, cdt=cdt),
+        functools.partial(_ln_qkv_kernel, bwin=bwin, n=n,
+                          nslots=nslots, cdt=cdt),
         grid=(nwb // bwin,),
         in_specs=[
             pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
                          memory_space=pltpu.VMEM),
-            _resident((c, heads * 3 * _HDP)),
-            _resident((1, heads * 3 * _HDP)),
+            _resident((nslots, c, _HDP)),
+            _resident((nslots, 1, _HDP)),
             _resident((1, c)),
             _resident((1, c)),
         ],
-        out_specs=pl.BlockSpec((bwin, n, heads * 3 * _HDP),
-                               lambda wb: (wb, 0, 0),
+        out_specs=pl.BlockSpec((bwin, nslots, n, _HDP),
+                               lambda wb: (wb, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nwb, n, heads * 3 * _HDP),
+        out_shape=jax.ShapeDtypeStruct((nwb, nslots, n, _HDP),
                                        precision.storage_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nwb * n * c * heads * 3 * _HDP,
@@ -316,7 +355,7 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
     # and casting per grid step (biases/LN affines stay f32 — they add
     # into f32 accumulators)
     return call(wins, wq.astype(precision.compute_dtype),
-                bq[None].astype(jnp.float32),
+                bq.astype(jnp.float32),
                 norm1["scale"][None].astype(jnp.float32),
                 norm1["bias"][None].astype(jnp.float32))
 
@@ -325,10 +364,10 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
              norm2: Params, mlp: Params, heads: int, *, bwin: int,
              precision: Precision, extra: jnp.ndarray | None = None,
              interpret: bool = False) -> jnp.ndarray:
-    """attn_out: [nwb, n, heads*32] padded head-major core output; wins:
-    the block's RAW input windows (residual); ``extra``: an optional
-    additional pre-scaled residual in the same windows layout (HAT's
-    ``conv_scale * cab``).  Returns the block's output windows
+    """attn_out: [nwb, heads, n, 32] padded head-major core output;
+    wins: the block's RAW input windows (residual); ``extra``: an
+    optional additional pre-scaled residual in the same windows layout
+    (HAT's ``conv_scale * cab``).  Returns the block's output windows
     [nwb, n, C]."""
     nwb, n, c = wins.shape
     hd = c // heads
@@ -338,7 +377,8 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
     win_spec = pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((bwin, n, heads * _HDP), lambda wb: (wb, 0, 0),
+        pl.BlockSpec((bwin, heads, n, _HDP),
+                     lambda wb: (wb, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         win_spec,
     ]
@@ -347,7 +387,7 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
         in_specs.append(win_spec)
         args.append(extra)
     in_specs += [
-        _resident((heads * _HDP, c)),
+        _resident((heads, _HDP, c)),
         _resident((1, c)),
         _resident((1, c)),
         _resident((1, c)),
@@ -366,8 +406,8 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
              mlp["fc2"]["kernel"].astype(cdt),
              mlp["fc2"]["bias"][None].astype(jnp.float32)]
     call = pl.pallas_call(
-        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, cdt=cdt,
-                          has_extra=extra is not None),
+        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, heads=heads,
+                          cdt=cdt, has_extra=extra is not None),
         grid=(nwb // bwin,),
         in_specs=in_specs,
         out_specs=win_spec,
@@ -436,9 +476,10 @@ def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
     dtype = precision.compute_dtype
 
     wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
-    qkv_r = jnp.einsum("wnc,cd->wnd", wins.astype(dtype), wq.astype(dtype),
+    qkv_r = jnp.einsum("wnc,scd->wsnd", wins.astype(dtype),
+                       wq.astype(dtype),
                        preferred_element_type=jnp.float32)
-    qkv_r = (qkv_r + bq.astype(jnp.float32)).astype(
+    qkv_r = (qkv_r + bq[None].astype(jnp.float32)).astype(
         precision.storage_dtype)
 
     tables, colmask2 = build_bias_tables(bias_hnn, ws, shift, n)
@@ -448,7 +489,7 @@ def swin_window_attention(wins: jnp.ndarray, p: Params, heads: int,
                      interpret=interpret)
 
     wp = _prep_proj_weights(p["proj"], heads, hd)
-    y = jnp.einsum("wnd,dc->wnc", out.astype(dtype), wp.astype(dtype),
+    y = jnp.einsum("whnd,hdc->wnc", out.astype(dtype), wp.astype(dtype),
                    preferred_element_type=jnp.float32)
     y = y + p["proj"]["bias"].astype(jnp.float32)
     return y.astype(precision.storage_dtype)

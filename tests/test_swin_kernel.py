@@ -128,13 +128,13 @@ def test_padded_head_lanes_are_exact_zero():
     wins = _window_partition(x, ws)
     prec = Precision()
     wq, bq = ska._prep_qkv_weights(p["qkv"], heads, c // heads)
-    qkv_r = jnp.einsum("wnc,cd->wnd", wins, wq) + bq
+    qkv_r = jnp.einsum("wnc,scd->wsnd", wins, wq) + bq[None]
     tables = ska._block_diag2(_gather_bias(p, ws))[None]
     colmask2 = jnp.zeros((128, 128), jnp.float32)
     out = ska._attn_core(qkv_r, tables, colmask2, heads=heads, n=64,
                          nwh=2, nww=2, bwin=2, shifted=False,
                          interpret=True)
-    pads = np.asarray(out).reshape(-1, 64, heads, 32)[..., 30:]
+    pads = np.asarray(out)[..., 30:]     # [nwb, heads, 64, 32-pad]
     assert np.abs(pads).max() == 0.0
 
 
@@ -158,3 +158,12 @@ def test_full_hat_forward_kernel_vs_xla():
         ska._INTERPRET = False
     err = float(np.abs(got - ref).max())
     assert err <= 1e-4, f"max-abs {err:.3e}"
+
+
+def test_erf_poly_accuracy():
+    """The in-kernel A&S erf polynomial (Pallas TPU has no erf lowering)
+    must stay within 1e-6 of lax.erf over the GELU-relevant range
+    (1.5e-7 analytic + f32 evaluation rounding)."""
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    err = float(jnp.abs(ska._erf_poly(x) - jax.lax.erf(x)).max())
+    assert err <= 1e-6, err
