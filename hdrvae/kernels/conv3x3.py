@@ -197,30 +197,27 @@ def _fused_conv_kernel(*refs, br: int, wb: int, cb: int, h: int, w: int,
             # whole-vector elementwise chains, so a slab-sized f32 chain
             # would cost 2x the slab in VMEM and force tiny row blocks),
             # and the work happens once per block instead of once per
-            # (block, cout-chunk) grid step.  Out-of-image rows/columns
-            # (the padded border) are zeroed via the mask: stale border
-            # memory and silu(gamma*0 + beta) != 0 must not leak into
-            # the taps.
-            cols = (jax.lax.broadcasted_iota(jnp.int32, (1, wm, cin), 1)
-                    + (bj * wb - _MG))
-            colmask = jnp.logical_and(cols >= 0, cols < w)
+            # (block, cout-chunk) grid step.
 
             def _row(r, _):
-                grow = bi * br - 1 + r
-                rowok = jnp.logical_and(grow >= 0, grow < h)
                 xr = xs[sl, pl.ds(r, 1)]          # [1, wm, cin]
                 z = (xr.astype(jnp.float32) * g_ref[0][None, None, :]
                      + bt_ref[0][None, None, :])
                 z = z * jax.nn.sigmoid(z)
-                ok = jnp.logical_and(rowok, colmask)
-                xs[sl, pl.ds(r, 1)] = jnp.where(ok, z, 0.0).astype(
-                    xs.dtype)
+                xs[sl, pl.ds(r, 1)] = z.astype(xs.dtype)
                 return 0
 
             jax.lax.fori_loop(0, br + 2, _row, 0, unroll=False)
-        else:
-            _zero_frames(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb,
-                         cin=cin)
+
+        # Out-of-image rows/columns (the padded border) are zeroed
+        # AFTER the prologue as conditional border writes — stale
+        # border memory and silu(gamma*0 + beta) != 0 must not leak
+        # into the taps, and the conditional writes replace a per-row
+        # iota/where mask (the same rewrite saved 30 ms/4K-call in the
+        # junction kernel, PERF_NOTES 5.2).  Interior blocks' margins
+        # hold valid neighbor halo data and are left untouched.
+        _zero_frames(xs, sl, bi, bj, nr=nr, nj=nj, br=br, wb=wb,
+                     cin=cin)
 
     slab = xs[sl]                         # [br+2, wm, cin]
     acc = None

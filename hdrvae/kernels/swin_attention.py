@@ -253,15 +253,22 @@ def _ln(x32, gamma, beta, eps=1e-5):
 
 
 def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
-                   bwin: int, n: int, nslots: int, cdt):
+                   ws: int, bwin: int, n: int, nslots: int, cdt):
     """LN1 -> qkv projection, per window (M=n dots keep Mosaic off the
     outer-dim collapse path).  One dot per [head][q|k|v] slot writes the
     4-D slot layout directly — a single [n, H*3*32] dot would need an
     in-kernel lane-sliced store, which Mosaic rejects; the N=32 dots
-    idle MXU lanes but the qkv matmul is ~2% of the pass."""
+    idle MXU lanes but the qkv matmul is ~2% of the pass.
+
+    x_ref is an IMAGE-layout block [1, ws, bwin*ws, C] (one window row
+    of bwin windows); the window partition happens in-register — a
+    sublane slice at a multiple of ws plus a tile-exact [ws, ws, C] ->
+    [n, C] reshape — so the [nwb, n, C] windows array never exists in
+    HBM (the partition/merge copies were ~1/5 of the SwinIR-M tile
+    pass, PERF_NOTES 5.6)."""
     for w in range(bwin):
-        x32 = x_ref[w].astype(jnp.float32)               # [n, C]
-        y = _ln(x32, g_ref[0], be_ref[0]).astype(cdt)
+        xw = x_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
+        y = _ln(xw.astype(jnp.float32), g_ref[0], be_ref[0]).astype(cdt)
         for s in range(nslots):
             q = jax.lax.dot_general(y, w_ref[s],
                                     (((1,), (0,)), ((), ())),
@@ -269,13 +276,15 @@ def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
             o_ref[w, s] = (q + b_ref[s]).astype(o_ref.dtype)
 
 
-def _proj_mlp_kernel(*refs, bwin: int, n: int, heads: int, cdt,
+def _proj_mlp_kernel(*refs, ws: int, bwin: int, n: int, heads: int, cdt,
                      has_extra: bool):
     """attention-out -> proj -> +residual (+optional extra residual, the
     HAT CAB branch) -> LN2 -> fc1 -> exact GELU -> fc2 -> +residual.
     The proj is per-head partial dots over the [heads, n, 32] slot
     layout (a single [n, H*32] dot would need an in-kernel lane-sliced
-    load of the 4-D core output)."""
+    load of the 4-D core output).  The residual/extra inputs and the
+    output are IMAGE-layout blocks [1, ws, bwin*ws, C]; the window
+    merge is the in-register inverse of `_ln_qkv_kernel`'s partition."""
     if has_extra:
         (a_ref, x_ref, e_ref, wp_ref, bp_ref, g2_ref, be2_ref,
          w1_ref, b1_ref, w2_ref, b2_ref, o_ref) = refs
@@ -293,9 +302,11 @@ def _proj_mlp_kernel(*refs, bwin: int, n: int, heads: int, cdt,
                 a_ref[w, h].astype(cdt), wp_ref[h],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-        x2 = x_ref[w].astype(jnp.float32) + proj + bp_ref[0]
+        xw = x_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
+        x2 = xw.astype(jnp.float32) + proj + bp_ref[0]
         if e_ref is not None:
-            x2 = x2 + e_ref[w].astype(jnp.float32)
+            ew = e_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
+            x2 = x2 + ew.astype(jnp.float32)
         y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
         h = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
                                 (((1,), (0,)), ((), ())),
@@ -306,31 +317,39 @@ def _proj_mlp_kernel(*refs, bwin: int, n: int, heads: int, cdt,
         out = jax.lax.dot_general(h.astype(cdt), w2_ref[...].astype(cdt),
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        o_ref[w] = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
+        res = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
+        o_ref[0, :, w * ws:(w + 1) * ws, :] = res.reshape(ws, ws, -1)
 
 
 def _resident(shape):
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda wb: (0,) * nd,
+    return pl.BlockSpec(shape, lambda *_: (0,) * nd,
                         memory_space=pltpu.VMEM)
 
 
-def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
-           bwin: int, precision: Precision,
+def ln_qkv(img: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
+           ws: int, bwin: int, precision: Precision,
            interpret: bool = False) -> jnp.ndarray:
-    """wins: [nwb, n, C] RAW windows (pre-LN); returns head-major padded
-    slot qkv [nwb, heads*3, n, 32] with LN1 fused in."""
-    nwb, n, c = wins.shape
+    """img: [b, h, w, C] RAW feature map (pre-LN, rolled if shifted);
+    returns head-major padded slot qkv [b*nwh*nww, heads*3, n, 32] with
+    LN1 fused in and the window partition done in-register (no windows
+    array in HBM)."""
+    b, hh, ww_, c = img.shape
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    nwb = b * nwh * nww
     hd = c // heads
     cdt = precision.compute_dtype
     wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
     nslots = heads * 3
+    ncb = nww // bwin
     call = pl.pallas_call(
-        functools.partial(_ln_qkv_kernel, bwin=bwin, n=n,
+        functools.partial(_ln_qkv_kernel, ws=ws, bwin=bwin, n=n,
                           nslots=nslots, cdt=cdt),
-        grid=(nwb // bwin,),
+        grid=(b * nwh, ncb),
         in_specs=[
-            pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+            pl.BlockSpec((1, ws, bwin * ws, c),
+                         lambda i, j: (i // nwh, i % nwh, j, 0),
                          memory_space=pltpu.VMEM),
             _resident((nslots, c, _HDP)),
             _resident((nslots, 1, _HDP)),
@@ -338,13 +357,13 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
             _resident((1, c)),
         ],
         out_specs=pl.BlockSpec((bwin, nslots, n, _HDP),
-                               lambda wb: (wb, 0, 0, 0),
+                               lambda i, j: (i * ncb + j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nwb, nslots, n, _HDP),
                                        precision.storage_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nwb * n * c * heads * 3 * _HDP,
-            bytes_accessed=wins.size * wins.dtype.itemsize * 4,
+            bytes_accessed=img.size * img.dtype.itemsize * 4,
             transcendentals=0,
         ),
         name="swin_ln_qkv",
@@ -354,37 +373,44 @@ def ln_qkv(wins: jnp.ndarray, p: Params, norm1: Params, heads: int, *,
     # mode): halves their resident VMEM + HBM traffic vs shipping f32
     # and casting per grid step (biases/LN affines stay f32 — they add
     # into f32 accumulators)
-    return call(wins, wq.astype(precision.compute_dtype),
+    return call(img, wq.astype(precision.compute_dtype),
                 bq.astype(jnp.float32),
                 norm1["scale"][None].astype(jnp.float32),
                 norm1["bias"][None].astype(jnp.float32))
 
 
-def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
-             norm2: Params, mlp: Params, heads: int, *, bwin: int,
-             precision: Precision, extra: jnp.ndarray | None = None,
+def proj_mlp(attn_out: jnp.ndarray, img: jnp.ndarray, p: Params,
+             norm2: Params, mlp: Params, heads: int, *, ws: int,
+             bwin: int, precision: Precision,
+             extra: jnp.ndarray | None = None,
              interpret: bool = False) -> jnp.ndarray:
     """attn_out: [nwb, heads, n, 32] padded head-major core output;
-    wins: the block's RAW input windows (residual); ``extra``: an
-    optional additional pre-scaled residual in the same windows layout
-    (HAT's ``conv_scale * cab``).  Returns the block's output windows
-    [nwb, n, C]."""
-    nwb, n, c = wins.shape
+    img: the block's RAW input feature map [b, h, w, C] (residual,
+    rolled if shifted); ``extra``: an optional additional pre-scaled
+    residual in the same image layout (HAT's ``conv_scale * cab``).
+    Returns the block's output feature map [b, h, w, C] — the window
+    merge happens in-register on the way out."""
+    b, hh, ww_, c = img.shape
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    nwb = b * nwh * nww
+    ncb = nww // bwin
     hd = c // heads
     cdt = precision.compute_dtype
     wp = _prep_proj_weights(p["proj"], heads, hd)
     hidden = mlp["fc1"]["kernel"].shape[1]
-    win_spec = pl.BlockSpec((bwin, n, c), lambda wb: (wb, 0, 0),
+    img_spec = pl.BlockSpec((1, ws, bwin * ws, c),
+                            lambda i, j: (i // nwh, i % nwh, j, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((bwin, heads, n, _HDP),
-                     lambda wb: (wb, 0, 0, 0),
+                     lambda i, j: (i * ncb + j, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        win_spec,
+        img_spec,
     ]
-    args = [attn_out, wins]
+    args = [attn_out, img]
     if extra is not None:
-        in_specs.append(win_spec)
+        in_specs.append(img_spec)
         args.append(extra)
     in_specs += [
         _resident((heads, _HDP, c)),
@@ -406,16 +432,17 @@ def proj_mlp(attn_out: jnp.ndarray, wins: jnp.ndarray, p: Params,
              mlp["fc2"]["kernel"].astype(cdt),
              mlp["fc2"]["bias"][None].astype(jnp.float32)]
     call = pl.pallas_call(
-        functools.partial(_proj_mlp_kernel, bwin=bwin, n=n, heads=heads,
-                          cdt=cdt, has_extra=extra is not None),
-        grid=(nwb // bwin,),
+        functools.partial(_proj_mlp_kernel, ws=ws, bwin=bwin, n=n,
+                          heads=heads, cdt=cdt,
+                          has_extra=extra is not None),
+        grid=(b * nwh, ncb),
         in_specs=in_specs,
-        out_specs=win_spec,
-        out_shape=jax.ShapeDtypeStruct((nwb, n, c),
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c),
                                        precision.storage_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * nwb * n * c * (heads * _HDP + 2 * hidden),
-            bytes_accessed=wins.size * wins.dtype.itemsize * 4,
+            bytes_accessed=img.size * img.dtype.itemsize * 4,
             transcendentals=nwb * n * hidden,
         ),
         name="swin_proj_mlp",

@@ -142,7 +142,8 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
         # attention is SwinIR's math with a shared rpi): LN1+qkv ->
         # attention core -> proj + residual + CAB residual + LN2 + MLP.
         # Every piece past the CAB convs is pointwise per token, so it
-        # commutes with roll/partition and runs in rolled window space.
+        # commutes with the roll and runs in rolled image space; the
+        # window partition/merge happen in-register inside the kernels.
         from hdrvae.kernels.swin_attention import (_attn_core,
                                                    build_bias_tables,
                                                    ln_qkv, pick_bwin,
@@ -153,20 +154,17 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
         cx = conv_x * cfg.conv_scale
         if shift:
             cx = jnp.roll(cx, (-shift, -shift), axis=(1, 2))
-        wins = _window_partition(xa, ws)
-        extra = _window_partition(cx.astype(x.dtype), ws)
         bwin = pick_bwin(nww, n)
-        qkv_r = ln_qkv(wins, p["attn"], p["norm1"], heads, bwin=bwin,
-                       precision=precision)
+        qkv_r = ln_qkv(xa, p["attn"], p["norm1"], heads, ws=ws,
+                       bwin=bwin, precision=precision)
         tables, colmask2 = build_bias_tables(
             _gather_bias(p["attn"], ws), ws, shift, n)
         core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
                           nwh=nwh, nww=nww, bwin=bwin,
                           shifted=bool(shift))
-        out_w = proj_mlp(core, wins, p["attn"], p["norm2"], p["mlp"],
-                         heads, bwin=bwin, precision=precision,
-                         extra=extra)
-        out = _window_merge(out_w, ws, h, w)
+        out = proj_mlp(core, xa, p["attn"], p["norm2"], p["mlp"],
+                       heads, ws=ws, bwin=bwin, precision=precision,
+                       extra=cx.astype(x.dtype))
         if shift:
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
         return out

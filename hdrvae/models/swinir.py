@@ -205,11 +205,14 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
 
 def _swin_block_kernel(x: jnp.ndarray, p: Params, heads: int, ws: int,
                        shift: int, precision: Precision) -> jnp.ndarray:
-    """The whole Swin block as three Pallas calls on the windows layout:
-    LN1+qkv prologue -> attention core (scores in VMEM) -> proj+LN2+MLP
-    epilogue.  LN is pointwise, so it commutes with roll/partition — the
-    RAW x is partitioned once and serves as both kernel input and
-    residual; only roll/partition/merge remain as XLA layout ops."""
+    """The whole Swin block as three Pallas calls: LN1+qkv prologue ->
+    attention core (scores in VMEM) -> proj+LN2+MLP epilogue.  The
+    prologue/epilogue kernels read and write the IMAGE layout directly
+    (window partition/merge happen in-register via sublane slices), so
+    the [nwb, n, C] windows array never exists in HBM; only the shift
+    roll remains an XLA layout op.  LN is pointwise, so it commutes
+    with the roll — the RAW (rolled) x serves as both kernel input and
+    residual."""
     from hdrvae.kernels.swin_attention import (_attn_core,
                                                build_bias_tables, ln_qkv,
                                                pick_bwin, proj_mlp)
@@ -217,17 +220,15 @@ def _swin_block_kernel(x: jnp.ndarray, p: Params, heads: int, ws: int,
     n = ws * ws
     nwh, nww = h // ws, w // ws
     ya = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
-    wins = _window_partition(ya, ws)
     bwin = pick_bwin(nww, n)
-    qkv_r = ln_qkv(wins, p["attn"], p["norm1"], heads, bwin=bwin,
+    qkv_r = ln_qkv(ya, p["attn"], p["norm1"], heads, ws=ws, bwin=bwin,
                    precision=precision)
     tables, colmask2 = build_bias_tables(_gather_bias(p["attn"], ws),
                                          ws, shift, n)
     core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
                       nwh=nwh, nww=nww, bwin=bwin, shifted=bool(shift))
-    out_w = proj_mlp(core, wins, p["attn"], p["norm2"], p["mlp"], heads,
-                     bwin=bwin, precision=precision)
-    y = _window_merge(out_w, ws, h, w)
+    y = proj_mlp(core, ya, p["attn"], p["norm2"], p["mlp"], heads,
+                 ws=ws, bwin=bwin, precision=precision)
     if shift:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
     return y

@@ -160,6 +160,65 @@ def test_full_hat_forward_kernel_vs_xla():
     assert err <= 1e-4, f"max-abs {err:.3e}"
 
 
+def test_image_layout_ln_qkv_and_proj_mlp_match_windows_math():
+    """The prologue/epilogue kernels read/write the IMAGE layout with
+    the window partition/merge done in-register; pin that contract
+    directly against explicit partition + per-slot einsum math (the
+    model-level tests cover it only end-to-end)."""
+    ws, heads, c, b = 8, 2, 60, 2
+    h, w = 16, 32                       # nwh=2, nww=4 -> bwin=4
+    n = ws * ws
+    key = jax.random.PRNGKey(3)
+    p = _attn_params(key, c, heads, ws)
+    norm1 = {"scale": jax.random.normal(jax.random.PRNGKey(4), (c,)) * 0.1
+             + 1.0, "bias": jax.random.normal(jax.random.PRNGKey(5), (c,))
+             * 0.1}
+    norm2 = {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    mlp = {"fc1": {"kernel": jax.random.normal(
+                       jax.random.PRNGKey(6), (c, 2 * c)) * 0.1,
+                   "bias": jnp.zeros((2 * c,))},
+           "fc2": {"kernel": jax.random.normal(
+                       jax.random.PRNGKey(7), (2 * c, c)) * 0.1,
+                   "bias": jnp.zeros((c,))}}
+    img = jax.random.normal(jax.random.PRNGKey(8), (b, h, w, c)) * 0.5
+    prec = Precision()  # f32
+    bwin = ska.pick_bwin(w // ws, n)
+
+    qkv = ska.ln_qkv(img, p, norm1, heads, ws=ws, bwin=bwin,
+                     precision=prec, interpret=True)
+    wins = _window_partition(img, ws)
+    xf = wins.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), -1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * norm1["scale"] \
+        + norm1["bias"]
+    wq, bq = ska._prep_qkv_weights(p["qkv"], heads, c // heads)
+    ref_qkv = jnp.einsum("wnc,scd->wsnd", y, wq) + bq[None]
+    err = float(jnp.abs(qkv - ref_qkv).max())
+    assert err <= 1e-4, f"ln_qkv image layout max-abs {err:.3e}"
+
+    nwb = qkv.shape[0]
+    attn_out = jax.random.normal(jax.random.PRNGKey(9),
+                                 (nwb, heads, n, 32)) * 0.5
+    extra = jax.random.normal(jax.random.PRNGKey(10), (b, h, w, c)) * 0.1
+    out = ska.proj_mlp(attn_out, img, p, norm2, mlp, heads, ws=ws,
+                       bwin=bwin, precision=prec, extra=extra,
+                       interpret=True)
+    wp = ska._prep_proj_weights(p["proj"], heads, c // heads)
+    proj = jnp.einsum("whnd,hdc->wnc", attn_out, wp)
+    x2 = wins + proj + p["proj"]["bias"] + _window_partition(extra, ws)
+    y2 = (x2 - x2.mean(-1, keepdims=True)) * jax.lax.rsqrt(
+        jnp.mean(jnp.square(x2 - x2.mean(-1, keepdims=True)), -1,
+                 keepdims=True) + 1e-5) * norm2["scale"] + norm2["bias"]
+    hmid = y2 @ mlp["fc1"]["kernel"] + mlp["fc1"]["bias"]
+    hmid = jax.nn.gelu(hmid, approximate=False)
+    ref_out = x2 + hmid @ mlp["fc2"]["kernel"] + mlp["fc2"]["bias"]
+    from hdrvae.models.swinir import _window_merge
+    ref_img = _window_merge(ref_out, ws, h, w)
+    err = float(jnp.abs(out - ref_img).max())
+    assert err <= 1e-4, f"proj_mlp image layout max-abs {err:.3e}"
+
+
 def test_erf_poly_accuracy():
     """The in-kernel A&S erf polynomial (Pallas TPU has no erf lowering)
     must stay within 1e-6 of lax.erf over the GELU-relevant range
