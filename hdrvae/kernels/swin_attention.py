@@ -452,6 +452,238 @@ def proj_mlp(attn_out: jnp.ndarray, img: jnp.ndarray, p: Params,
 
 
 # ---------------------------------------------------------------------------
+# Single-kernel Swin block: LN1 + qkv + window attention + proj + LN2 +
+# MLP in ONE pallas_call.
+#
+# The 3-kernel chain above still round-trips two intermediates through
+# HBM per block: the slot qkv ([nwb, 3H, n, 32] — 3x the feature map)
+# and the core output ([nwb, H, n, 32]), plus a second read of the
+# feature map as the epilogue residual.  At SwinIR-M 512^2 that is
+# ~900 MB of avoidable HBM traffic per block x 36 blocks.  Windows are
+# independent, every weight fits VMEM resident, and one window block's
+# whole live set is <2 MB — so the entire block body runs per grid
+# step with nothing but the feature map crossing HBM.  Numerics are
+# step-for-step the 3-kernel chain's (same slot layout, pair-packed
+# score dots, f32 softmax, storage-dtype handoffs where the chain had
+# HBM round trips).
+# ---------------------------------------------------------------------------
+
+
+def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
+                        nwh: int, ncb: int, cdt, sdt, shifted: bool,
+                        has_extra: bool):
+    """Grid (b*nwh, nww//bwin): one window row of bwin windows per
+    step, image-layout blocks in and out (see `_ln_qkv_kernel` for the
+    in-register partition)."""
+    it = iter(refs)
+    x_ref = next(it)                      # [1, ws, bwin*ws, C]
+    e_ref = next(it) if has_extra else None
+    wq_ref = next(it)                     # [3H, C, 32]
+    bq_ref = next(it)                     # [3H, 1, 32]
+    g1_ref = next(it)                     # [1, C]
+    be1_ref = next(it)
+    tab_ref = next(it)                    # [ncls, H, 2n, 2n] f32
+    cm_ref = next(it)                     # [2n, 2n] f32
+    wp_ref = next(it)                     # [H, 32, C]
+    bp_ref = next(it)                     # [1, C]
+    g2_ref = next(it)
+    be2_ref = next(it)
+    w1_ref = next(it)                     # [C, hidden]
+    b1_ref = next(it)                     # [1, hidden]
+    w2_ref = next(it)                     # [hidden, C]
+    b2_ref = next(it)                     # [1, C]
+    o_ref = next(it)                      # [1, ws, bwin*ws, C]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nslots = heads * 3
+
+    # LN1 + per-slot qkv dots (slot layout lives in registers only)
+    xws = []
+    qkv = []
+    for w in range(bwin):
+        xw = x_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
+        xws.append(xw)
+        y = _ln(xw.astype(jnp.float32), g1_ref[0], be1_ref[0]).astype(cdt)
+        slots = []
+        for s in range(nslots):
+            q = jax.lax.dot_general(y, wq_ref[s],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            slots.append((q + bq_ref[s]).astype(sdt))
+        qkv.append(slots)
+
+    # attention core (scores never leave registers).  Windows with
+    # n < 128 tokens are packed in PAIRS into block-diagonal [2n, 2n]
+    # score dots to fill the MXU tile (the chain kernel's layout);
+    # n >= 128 windows fill it alone and run unpaired — their
+    # block-diag tables would also be 4x [n, n] and push the resident
+    # table past VMEM at HAT's window 16 ([2, 6, 512, 512] f32 =
+    # 12.6 MB).
+    if shifted:
+        cls = jnp.where(i % nwh == nwh - 1, 1, 0)
+    else:
+        cls = 0
+    paired = n < 128
+    outs = [[None] * heads for _ in range(bwin)]
+    if paired:
+        for pair in range(bwin // 2):
+            wa, wb_ = 2 * pair, 2 * pair + 1
+            for h in range(heads):
+                q2 = jnp.concatenate([qkv[wa][3 * h], qkv[wb_][3 * h]],
+                                     axis=0)
+                k2 = jnp.concatenate([qkv[wa][3 * h + 1],
+                                      qkv[wb_][3 * h + 1]], axis=0)
+                v2 = jnp.concatenate([qkv[wa][3 * h + 2],
+                                      qkv[wb_][3 * h + 2]], axis=0)
+                s = jax.lax.dot_general(q2, k2,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + tab_ref[cls, h]
+                if pair == bwin // 2 - 1:
+                    # the block's last window may be the grid's last col
+                    sel = jnp.where(j == ncb - 1, 1.0, 0.0)
+                    s = s + cm_ref[...] * sel
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                p = (p / l).astype(v2.dtype)
+                o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                o = o.astype(sdt)
+                outs[wa][h] = o[:n]
+                outs[wb_][h] = o[n:]
+    else:
+        for w in range(bwin):
+            for h in range(heads):
+                s = jax.lax.dot_general(qkv[w][3 * h], qkv[w][3 * h + 1],
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s + tab_ref[cls, h]
+                if w == bwin - 1:
+                    sel = jnp.where(j == ncb - 1, 1.0, 0.0)
+                    s = s + cm_ref[...] * sel
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                p = (p / l).astype(qkv[w][3 * h + 2].dtype)
+                o = jax.lax.dot_general(p, qkv[w][3 * h + 2],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                outs[w][h] = o.astype(sdt)
+
+    # proj + residual(s) + LN2 + MLP epilogue, per window
+    for w in range(bwin):
+        proj = jax.lax.dot_general(outs[w][0].astype(cdt), wp_ref[0],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        for h in range(1, heads):
+            proj = proj + jax.lax.dot_general(
+                outs[w][h].astype(cdt), wp_ref[h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        x2 = xws[w].astype(jnp.float32) + proj + bp_ref[0]
+        if e_ref is not None:
+            ew = e_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
+            x2 = x2 + ew.astype(jnp.float32)
+        y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
+        h1 = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h1 = h1 + b1_ref[0]
+        h1 = 0.5 * h1 * (1.0 + _erf_poly(h1 * (2.0 ** -0.5)))
+        out = jax.lax.dot_general(h1.astype(cdt),
+                                  w2_ref[...].astype(cdt),
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        res = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
+        o_ref[0, :, w * ws:(w + 1) * ws, :] = res.reshape(ws, ws, -1)
+
+
+def swin_block_fused(img: jnp.ndarray, p: Params, norm1: Params,
+                     norm2: Params, mlp: Params, heads: int, *,
+                     ws: int, shift: int, bias_hnn: jnp.ndarray,
+                     bwin: int, precision: Precision,
+                     extra: jnp.ndarray | None = None,
+                     interpret: bool = False) -> jnp.ndarray:
+    """One whole Swin block (LN1 -> window attention -> proj +
+    residual [+ extra] -> LN2 -> MLP -> + residual) as a single Pallas
+    call on the image layout.  ``img`` must already be rolled if
+    ``shift`` (the shift only selects the mask tables here)."""
+    b, hh, ww_, c = img.shape
+    n = ws * ws
+    nwh, nww = hh // ws, ww_ // ws
+    nwb = b * nwh * nww
+    ncb = nww // bwin
+    hd = c // heads
+    cdt = precision.compute_dtype
+    sdt = precision.storage_dtype
+    wq, bq = _prep_qkv_weights(p["qkv"], heads, hd)
+    wp = _prep_proj_weights(p["proj"], heads, hd)
+    if n < 128:
+        tables, colmask2 = build_bias_tables(bias_hnn, ws, shift, n)
+    else:
+        tables, colmask2 = build_bias_tables_unpaired(bias_hnn, ws,
+                                                      shift, n)
+    hidden = mlp["fc1"]["kernel"].shape[1]
+    img_spec = pl.BlockSpec((1, ws, bwin * ws, c),
+                            lambda i, j: (i // nwh, i % nwh, j, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [img_spec]
+    args: list = [img]
+    if extra is not None:
+        in_specs.append(img_spec)
+        args.append(extra)
+    in_specs += [
+        _resident((heads * 3, c, _HDP)),
+        _resident((heads * 3, 1, _HDP)),
+        _resident((1, c)),
+        _resident((1, c)),
+        _resident(tuple(tables.shape)),
+        _resident(tuple(colmask2.shape)),
+        _resident((heads, _HDP, c)),
+        _resident((1, c)),
+        _resident((1, c)),
+        _resident((1, c)),
+        _resident((c, hidden)),
+        _resident((1, hidden)),
+        _resident((hidden, c)),
+        _resident((1, c)),
+    ]
+    args += [wq.astype(cdt), bq.astype(jnp.float32),
+             norm1["scale"][None].astype(jnp.float32),
+             norm1["bias"][None].astype(jnp.float32),
+             tables, colmask2,
+             wp.astype(cdt),
+             p["proj"]["bias"][None].astype(jnp.float32),
+             norm2["scale"][None].astype(jnp.float32),
+             norm2["bias"][None].astype(jnp.float32),
+             mlp["fc1"]["kernel"].astype(cdt),
+             mlp["fc1"]["bias"][None].astype(jnp.float32),
+             mlp["fc2"]["kernel"].astype(cdt),
+             mlp["fc2"]["bias"][None].astype(jnp.float32)]
+    call = pl.pallas_call(
+        functools.partial(_block_fused_kernel, ws=ws, bwin=bwin, n=n,
+                          heads=heads, nwh=nwh, ncb=ncb, cdt=cdt,
+                          sdt=sdt, shifted=bool(shift),
+                          has_extra=extra is not None),
+        grid=(b * nwh, ncb),
+        in_specs=in_specs,
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hh, ww_, c), sdt),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * nwb * heads * n * n * _HDP
+                   + 2 * nwb * n * c * (heads * 4 * _HDP + 2 * hidden)),
+            bytes_accessed=2 * img.size * img.dtype.itemsize,
+            transcendentals=nwb * n * (heads * n + hidden),
+        ),
+        name="swin_block_fused",
+        interpret=interpret or _INTERPRET,
+    )
+    return call(*args)
+
+
+# ---------------------------------------------------------------------------
 # Public entry: full window attention (qkv linear -> core -> proj)
 # ---------------------------------------------------------------------------
 
@@ -472,6 +704,23 @@ def build_bias_tables(bias_hnn: jnp.ndarray, ws: int, shift: int,
         tables = bias2[None]
         colmask2 = jnp.zeros((2 * n, 2 * n), jnp.float32)
     return tables, colmask2
+
+
+def build_bias_tables_unpaired(bias_hnn: jnp.ndarray, ws: int,
+                               shift: int, n: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(tables [ncls, H, n, n], colmask [n, n]) for the UNPAIRED
+    attention core of `swin_block_fused` (windows with n >= 128 tokens
+    fill the MXU alone): class 0 = interior, class 1 = last window
+    row; the last-column mask is a per-window additive delta."""
+    if shift:
+        mrow, mcol = _band_masks(ws, shift)
+        tables = jnp.stack([bias_hnn, bias_hnn + jnp.asarray(mrow)])
+        colmask = jnp.asarray(mcol)
+    else:
+        tables = bias_hnn[None]
+        colmask = jnp.zeros((n, n), jnp.float32)
+    return tables, colmask
 
 
 def pick_bwin(nww: int, n: int = 64) -> int:

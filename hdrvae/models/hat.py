@@ -138,33 +138,26 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     conv_x = _cab(y, p["conv_block"], precision)
     if use_swin_kernel(precision, h, w, ws,
                        c // heads):
-        # The whole HAB as the SwinIR 3-kernel block (HAB window
-        # attention is SwinIR's math with a shared rpi): LN1+qkv ->
-        # attention core -> proj + residual + CAB residual + LN2 + MLP.
-        # Every piece past the CAB convs is pointwise per token, so it
-        # commutes with the roll and runs in rolled image space; the
-        # window partition/merge happen in-register inside the kernels.
-        from hdrvae.kernels.swin_attention import (_attn_core,
-                                                   build_bias_tables,
-                                                   ln_qkv, pick_bwin,
-                                                   proj_mlp)
+        # The whole HAB as the fused single-kernel Swin block (HAB
+        # window attention is SwinIR's math with a shared rpi): LN1 +
+        # qkv -> attention -> proj + residual + CAB residual + LN2 +
+        # MLP.  Every piece past the CAB convs is pointwise per token,
+        # so it commutes with the roll and runs in rolled image space;
+        # window partition/merge happen in-register inside the kernel.
+        from hdrvae.kernels.swin_attention import (pick_bwin,
+                                                   swin_block_fused)
         n = ws * ws
-        nwh, nww = h // ws, w // ws
+        nww = w // ws
         xa = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
         cx = conv_x * cfg.conv_scale
         if shift:
             cx = jnp.roll(cx, (-shift, -shift), axis=(1, 2))
         bwin = pick_bwin(nww, n)
-        qkv_r = ln_qkv(xa, p["attn"], p["norm1"], heads, ws=ws,
-                       bwin=bwin, precision=precision)
-        tables, colmask2 = build_bias_tables(
-            _gather_bias(p["attn"], ws), ws, shift, n)
-        core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
-                          nwh=nwh, nww=nww, bwin=bwin,
-                          shifted=bool(shift))
-        out = proj_mlp(core, xa, p["attn"], p["norm2"], p["mlp"],
-                       heads, ws=ws, bwin=bwin, precision=precision,
-                       extra=cx.astype(x.dtype))
+        out = swin_block_fused(xa, p["attn"], p["norm1"], p["norm2"],
+                               p["mlp"], heads, ws=ws, shift=shift,
+                               bias_hnn=_gather_bias(p["attn"], ws),
+                               bwin=bwin, precision=precision,
+                               extra=cx.astype(x.dtype))
         if shift:
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
         return out

@@ -205,30 +205,23 @@ def _window_attention(x: jnp.ndarray, p: Params, heads: int, ws: int,
 
 def _swin_block_kernel(x: jnp.ndarray, p: Params, heads: int, ws: int,
                        shift: int, precision: Precision) -> jnp.ndarray:
-    """The whole Swin block as three Pallas calls: LN1+qkv prologue ->
-    attention core (scores in VMEM) -> proj+LN2+MLP epilogue.  The
-    prologue/epilogue kernels read and write the IMAGE layout directly
-    (window partition/merge happen in-register via sublane slices), so
-    the [nwb, n, C] windows array never exists in HBM; only the shift
-    roll remains an XLA layout op.  LN is pointwise, so it commutes
-    with the roll — the RAW (rolled) x serves as both kernel input and
-    residual."""
-    from hdrvae.kernels.swin_attention import (_attn_core,
-                                               build_bias_tables, ln_qkv,
-                                               pick_bwin, proj_mlp)
+    """The whole Swin block as ONE Pallas call on the image layout
+    (window partition/merge happen in-register via sublane slices):
+    the windows array, the slot qkv, and the attention-core output
+    never exist in HBM; only the shift roll remains an XLA layout op.
+    LN is pointwise, so it commutes with the roll — the RAW (rolled) x
+    serves as both kernel input and residual."""
+    from hdrvae.kernels.swin_attention import (pick_bwin,
+                                               swin_block_fused)
     b, h, w, c = x.shape
     n = ws * ws
-    nwh, nww = h // ws, w // ws
+    nww = w // ws
     ya = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
     bwin = pick_bwin(nww, n)
-    qkv_r = ln_qkv(ya, p["attn"], p["norm1"], heads, ws=ws, bwin=bwin,
-                   precision=precision)
-    tables, colmask2 = build_bias_tables(_gather_bias(p["attn"], ws),
-                                         ws, shift, n)
-    core = _attn_core(qkv_r, tables, colmask2, heads=heads, n=n,
-                      nwh=nwh, nww=nww, bwin=bwin, shifted=bool(shift))
-    y = proj_mlp(core, ya, p["attn"], p["norm2"], p["mlp"], heads,
-                 ws=ws, bwin=bwin, precision=precision)
+    y = swin_block_fused(ya, p["attn"], p["norm1"], p["norm2"],
+                         p["mlp"], heads, ws=ws, shift=shift,
+                         bias_hnn=_gather_bias(p["attn"], ws),
+                         bwin=bwin, precision=precision)
     if shift:
         y = jnp.roll(y, (shift, shift), axis=(1, 2))
     return y

@@ -160,6 +160,41 @@ def test_full_hat_forward_kernel_vs_xla():
     assert err <= 1e-4, f"max-abs {err:.3e}"
 
 
+@pytest.mark.parametrize("shift", [0, 8])
+def test_fused_block_unpaired_large_window(shift):
+    """Windows with n >= 128 tokens run the fused block's UNPAIRED
+    core with [n, n] tables (HAT's window 16 — the paired block-diag
+    tables would be 4x larger and blow VMEM); pin both shift classes
+    against the XLA block."""
+    from hdrvae.models.swinir import _swin_block
+    ws, heads, c = 16, 2, 60
+    h = w = 32                           # 2x2 window grid, bwin=2
+    key = jax.random.PRNGKey(11)
+    p = {
+        "norm1": {"scale": jnp.ones((c,)) * 1.1,
+                  "bias": jnp.zeros((c,)) + 0.05},
+        "norm2": {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))},
+        "attn": _attn_params(key, c, heads, ws),
+        "mlp": {"fc1": {"kernel": jax.random.normal(
+                            jax.random.PRNGKey(12), (c, 2 * c)) * 0.1,
+                        "bias": jnp.zeros((2 * c,))},
+                "fc2": {"kernel": jax.random.normal(
+                            jax.random.PRNGKey(13), (2 * c, c)) * 0.1,
+                        "bias": jnp.zeros((c,))}},
+    }
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, h, w, c)) * 0.5
+    ref = _swin_block(x, p, heads, ws, shift,
+                      Precision(swin_attn="xla"))
+    ska._INTERPRET = True
+    try:
+        got = _swin_block(x, p, heads, ws, shift,
+                          Precision(swin_attn="pallas"))
+    finally:
+        ska._INTERPRET = False
+    err = float(jnp.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"
+
+
 def test_image_layout_ln_qkv_and_proj_mlp_match_windows_math():
     """The prologue/epilogue kernels read/write the IMAGE layout with
     the window partition/merge done in-register; pin that contract
