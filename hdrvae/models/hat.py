@@ -180,20 +180,28 @@ def _hab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
 
 def _unfold_overlap(kv: jnp.ndarray, ws: int, wse: int) -> jnp.ndarray:
     """torch ``nn.Unfold(kernel=wse, stride=ws, padding=(wse-ws)//2)`` on
-    NHWC input: [B, H, W, C] -> [B*nW, wse*wse, C] overlapping windows.
+    NHWC input: [B, H, W, C] -> [B*nW, wse*wse, C] overlapping windows,
+    token order (kh, kw) — torch's unfold layout transposed to
+    channel-last.
 
-    ``conv_general_dilated_patches`` emits patches with the channel dim
-    ordered (C, kh, kw) — exactly torch's unfold layout."""
+    Implemented as pad + structured row/col gathers (pure data
+    movement, ~(wse/ws)^2 x the feature map).  The obvious
+    ``conv_general_dilated_patches`` lowers to a REAL convolution with
+    C*wse^2 output channels on TPU — ~5.5 TFLOP per unfold at HAT-M's
+    window 16 on a 256^2 tile, which made OCAB 8x the cost of all six
+    HABs around it (PERF_NOTES 5.9)."""
     b, h, w, c = kv.shape
     pad = (wse - ws) // 2
-    patches = jax.lax.conv_general_dilated_patches(
-        kv, filter_shape=(wse, wse), window_strides=(ws, ws),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    # [B, nh, nw, C*wse*wse] with channel-major (C, kh, kw) ordering
-    nh, nw = patches.shape[1], patches.shape[2]
-    patches = patches.reshape(b * nh * nw, c, wse * wse)
-    return patches.transpose(0, 2, 1)
+    p = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    nh, nw = h // ws, w // ws
+    ridx = (np.arange(nh)[:, None] * ws
+            + np.arange(wse)[None, :]).reshape(-1)
+    cidx = (np.arange(nw)[:, None] * ws
+            + np.arange(wse)[None, :]).reshape(-1)
+    p = jnp.take(p, ridx, axis=1)        # [B, nh*wse, W+2pad, C]
+    p = jnp.take(p, cidx, axis=2)        # [B, nh*wse, nw*wse, C]
+    p = p.reshape(b, nh, wse, nw, wse, c).transpose(0, 1, 3, 2, 4, 5)
+    return p.reshape(b * nh * nw, wse * wse, c)
 
 
 def _ocab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
@@ -219,20 +227,32 @@ def _ocab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
     kh = kw.reshape(nwb, nk, heads, hd).transpose(0, 2, 1, 3)
     vh = vw.reshape(nwb, nk, heads, hd).transpose(0, 2, 1, 3)
     qh = qh * (hd ** -0.5)
-    attn = jnp.einsum("bhnd,bhmd->bhnm", qh.astype(dtype),
-                      kh.astype(dtype),
-                      precision=_conv_precision(precision),
-                      preferred_element_type=jnp.float32)
     bias = p["relative_position_bias_table"][
         _rpi_oca(ws, wse).reshape(-1)]
     bias = bias.reshape(nq, nk, heads).transpose(2, 0, 1)
-    attn = attn + bias.astype(jnp.float32)[None]
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype),
-                     vh.astype(dtype),
-                     precision=_conv_precision(precision),
-                     preferred_element_type=jnp.float32)
-    out = out.transpose(0, 2, 1, 3).reshape(nwb, nq, c)
+    from hdrvae.kernels.ocab import _HDP, ocab_attention, use_ocab_kernel
+    if use_ocab_kernel(precision, hd):
+        # scores + softmax + PV per (window, head) resident in VMEM —
+        # the [nwb, heads, nq, nk] score tensor never exists in HBM
+        pad = ((0, 0), (0, 0), (0, 0), (0, _HDP - hd))
+        oh = ocab_attention(jnp.pad(qh, pad), jnp.pad(kh, pad),
+                            jnp.pad(vh, pad),
+                            bias.astype(jnp.float32),
+                            compute_dtype=dtype,
+                            storage_dtype=precision.storage_dtype)
+        out = oh[..., :hd].transpose(0, 2, 1, 3).reshape(nwb, nq, c)
+    else:
+        attn = jnp.einsum("bhnd,bhmd->bhnm", qh.astype(dtype),
+                          kh.astype(dtype),
+                          precision=_conv_precision(precision),
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias.astype(jnp.float32)[None]
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype),
+                         vh.astype(dtype),
+                         precision=_conv_precision(precision),
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(nwb, nq, c)
     out = _linear(out.astype(precision.storage_dtype), p["proj"],
                   precision)
     x = shortcut + _window_merge(out, ws, h, w)

@@ -138,6 +138,26 @@ def test_padded_head_lanes_are_exact_zero():
     assert np.abs(pads).max() == 0.0
 
 
+def test_ocab_kernel_vs_einsum():
+    """The OCAB cross-attention core (scores resident in VMEM) against
+    the XLA einsum path, both shift-free cross shapes: nq=ws^2 queries
+    vs nk=wse^2 overlapped keys with the rpi_oca bias."""
+    from hdrvae.models.hat import HATConfig, _ocab, init_hat
+    cfg = HATConfig(embed_dim=60, depths=(2,), num_heads=(2,),
+                    window_size=8, num_feat=16, scale=2)
+    params = init_hat(jax.random.PRNGKey(7), cfg)
+    p = params["layers"][0]["overlap_attn"]
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 16, 16, 60)) * 0.5
+    ref = _ocab(x, p, cfg, 2, Precision(swin_attn="xla"))
+    ska._INTERPRET = True
+    try:
+        got = _ocab(x, p, cfg, 2, Precision(swin_attn="pallas"))
+    finally:
+        ska._INTERPRET = False
+    err = float(jnp.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"
+
+
 @pytest.mark.slow
 def test_full_hat_forward_kernel_vs_xla():
     """HAT's HAB attention through the same kernel (shared rpi, window
