@@ -18,10 +18,10 @@ natively:
 
 TPU-first notes: everything is batched MXU matmuls over
 [windows, heads, N, M] like the SwinIR port; the overlapping-window
-unfold is one ``lax.conv_general_dilated_patches`` call (channel-major
-patch layout matches torch ``nn.Unfold``); channel attention's global
-pool is a single reduction.  Static geometry (relative-position indices,
-shift masks) is trace-time numpy.
+unfold is pad + structured gathers (pure data movement — see
+``_unfold_overlap`` on why ``conv_general_dilated_patches`` is a trap
+here); channel attention's global pool is a single reduction.  Static
+geometry (relative-position indices, shift masks) is trace-time numpy.
 """
 
 from __future__ import annotations
