@@ -233,7 +233,8 @@ def decoder_apply(params: Params, z: jnp.ndarray,
     (PERF_NOTES.md section 3).
     """
     from hdrvae.models.pallas_tail import pallas_forward, upstack_supported
-    if upstack_supported(precision, z.shape[0], tape, width=z.shape[2]):
+    if upstack_supported(precision, z.shape[0], tape, width=z.shape[2],
+                         cfg=cfg):
         pre, moments = pallas_forward(params, z, cfg, precision=precision,
                                       preprocess_latent=preprocess_latent)
         inject = GNTape("inject", [(moments[0][None], moments[1][None])])

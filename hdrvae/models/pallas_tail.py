@@ -451,12 +451,21 @@ def pallas_forward(params: Params, z: jnp.ndarray,
 
 
 def upstack_supported(precision: Precision, batch: int, tape,
-                      width: int = 0) -> bool:
+                      width: int = 0, cfg=None) -> bool:
     """The Pallas up-stack serves the fast-mode whole-image path; parity
     mode (f32/HIGHEST, two-pass statistics) and the PadMask/GNTape paths
     keep the XLA implementation.  ``width`` is the latent width: the
     kernels' slab DMAs need 8-column alignment (every real latent is
-    128+; tiny test fixtures fall back to XLA)."""
+    128+; tiny test fixtures fall back to XLA).  When ``cfg`` is given,
+    every mid/up channel width must be a multiple of 128: the chain
+    kernels slice weight buffers at full-lane granularity, and Mosaic
+    rejects sub-128-lane loads at compile time (measured: a ch=16
+    fixture fails with "index in dimension 3 is a multiple of 128"
+    while every Flux-class config — 128/256/512 — compiles)."""
+    if cfg is not None:
+        widths = {cfg.ch * m for m in cfg.ch_mult}
+        if any(w % 128 != 0 for w in widths):
+            return False
     return (precision.mode == "fast" and batch == 1 and tape is None
             and width % 8 == 0 and width > 0
             and jax.default_backend() == "tpu"

@@ -314,7 +314,8 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
                                            upstack_supported)
     use_pallas = (tail_levels >= 1 and latent.shape[0] == 1
                   and upstack_supported(precision, latent.shape[0], None,
-                                        width=latent.shape[2]))
+                                        width=latent.shape[2],
+                                        cfg=decoder_cfg))
     if precision.upstack == "pallas" and not use_pallas:
         raise ValueError(
             "precision.upstack='pallas' requires fast mode, batch 1, "

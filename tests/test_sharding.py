@@ -142,7 +142,7 @@ def test_slab_decode_pallas_tail_matches_xla(small_cfg, small_params, rng,
     # permit the kernel path on the CPU test backend (interpret mode)
     monkeypatch.setattr(
         pt, "upstack_supported",
-        lambda precision, batch, tape, width=0: (
+        lambda precision, batch, tape, width=0, cfg=None: (
             precision.mode == "fast" and batch == 1 and tape is None
             and width % 8 == 0 and width > 0
             and precision.upstack == "pallas"))

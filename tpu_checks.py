@@ -1,0 +1,180 @@
+"""On-chip kernel parity checks — run on the REAL TPU after any kernel
+change.
+
+Interpret-mode parity (what the CPU test suite pins) does NOT validate
+Mosaic lowering: sub-128-lane sliver BlockSpecs and `lax.erf` both pass
+interpret mode and fail (or miscompile) on hardware — two real examples
+from this repo's history (PERF_NOTES.md section 5.7).  This harness
+drives every Pallas kernel family against its XLA executor on the
+hardware backend with small-but-representative shapes and asserts the
+documented tolerance.
+
+Usage (ambient axon backend, ~4-8 min of compiles on first run):
+
+    python tpu_checks.py            # all families
+    python tpu_checks.py decoder    # one family
+
+The CPU suite (`pytest tests/`) stays the numerics oracle; this file
+answers only "does the kernel lower and agree on hardware".
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import numpy as np
+
+
+def _report(name: str, err: float, tol: float) -> bool:
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'}  {name}: max-abs {err:.3e} "
+          f"(tol {tol:.0e})")
+    return ok
+
+
+def check_decoder() -> bool:
+    """Decoder mid+up Pallas chain (models.pallas_tail) vs XLA layers,
+    fast mode, small Flux-shaped decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from hdrvae.core.config import DecoderConfig, Precision
+    from hdrvae.models.decoder import decoder_apply, init_decoder
+
+    # Flux-class channel widths (the kernels require 128-multiples —
+    # upstack_supported falls back to XLA below that), small spatial
+    # extent to keep the compile bounded.
+    import dataclasses as _dc
+    cfg = _dc.replace(DecoderConfig(), ch=128, ch_mult=(1, 2),
+                      num_res_blocks=1)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16,
+                                                  cfg.z_channels))
+    outs = {}
+    for knob in ("pallas", "xla"):
+        prec = dataclasses.replace(Precision.fast(), upstack=knob)
+        y = jax.jit(lambda t: decoder_apply(params, t, cfg,
+                                            precision=prec).rgb)(z)
+        outs[knob] = np.asarray(y, dtype=np.float32)
+    err = float(np.abs(outs["pallas"] - outs["xla"]).max())
+    # both paths are bf16 fast mode; identical math, same tolerance the
+    # chain's CPU tests assert
+    return _report("decoder upstack chain (pallas vs xla)", err, 5e-2)
+
+
+def check_esrgan() -> bool:
+    """RRDBNet dense kernel chain vs XLA layers, fast mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from hdrvae.core.config import Precision
+    from hdrvae.models.rrdbnet import (RRDBNetConfig, init_rrdbnet,
+                                       rrdbnet_apply)
+
+    cfg = RRDBNetConfig(nf=32, gc=16, nb=2, scale=4)
+    params = init_rrdbnet(jax.random.PRNGKey(2), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    outs = {}
+    for knob in ("pallas", "xla"):
+        prec = dataclasses.replace(Precision.fast(), upstack=knob)
+        y = jax.jit(lambda t: rrdbnet_apply(params, t, cfg,
+                                            precision=prec))(x)
+        outs[knob] = np.asarray(y, dtype=np.float32)
+    err = float(np.abs(outs["pallas"] - outs["xla"]).max())
+    return _report("esrgan dense chain (pallas vs xla)", err, 5e-2)
+
+
+def check_swin() -> bool:
+    """Fused single-kernel Swin block: SwinIR (paired core), HAT
+    (shared-rpi HAB + OCAB kernel), HAT window 16 (unpaired core)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hdrvae.core.config import Precision
+    from hdrvae.models.hat import HATConfig, hat_apply, init_hat
+    from hdrvae.models.swinir import (SwinIRConfig, init_swinir,
+                                      swinir_apply)
+
+    ok = True
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3),
+                           jnp.float32)
+
+    def run(apply_fn, p, c, knob):
+        prec = dataclasses.replace(Precision(), swin_attn=knob)  # f32
+        y = jax.jit(lambda t: apply_fn(p, t, c, precision=prec))(x)
+        return np.asarray(y, dtype=np.float32)
+
+    cfg = SwinIRConfig(embed_dim=60, depths=(2, 2), num_heads=(2, 2),
+                       window_size=8, num_feat=16, scale=2)
+    p = init_swinir(jax.random.PRNGKey(5), cfg)
+    err = float(np.abs(run(swinir_apply, p, cfg, "pallas")
+                       - run(swinir_apply, p, cfg, "xla")).max())
+    ok &= _report("swinir fused block (paired core)", err, 1e-4)
+
+    hcfg = HATConfig(embed_dim=60, depths=(2,), num_heads=(2,),
+                     window_size=8, num_feat=16, scale=2)
+    hp = init_hat(jax.random.PRNGKey(6), hcfg)
+    err = float(np.abs(run(hat_apply, hp, hcfg, "pallas")
+                       - run(hat_apply, hp, hcfg, "xla")).max())
+    ok &= _report("hat fused HAB + OCAB kernel", err, 1e-4)
+
+    hcfg16 = HATConfig(embed_dim=60, depths=(2,), num_heads=(2,),
+                       window_size=16, num_feat=16, scale=2)
+    hp16 = init_hat(jax.random.PRNGKey(7), hcfg16)
+    err = float(np.abs(run(hat_apply, hp16, hcfg16, "pallas")
+                       - run(hat_apply, hp16, hcfg16, "xla")).max())
+    ok &= _report("hat window-16 (unpaired core)", err, 1e-4)
+    return ok
+
+
+def check_attention() -> bool:
+    """Flash attention kernel vs the XLA attention at the decoder's
+    mid-block shape, HIGHEST-precision mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from hdrvae.core.config import Precision
+    from hdrvae.kernels.attention import (spatial_attention_pallas,
+                                          spatial_attention_xla)
+
+    b_, h, w, c = 1, 64, 64, 64          # 4096 tokens (mid-block shape)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(k1, (b_, h, w, c)) * 0.3
+    k = jax.random.normal(k2, (b_, h, w, c)) * 0.3
+    v = jax.random.normal(k3, (b_, h, w, c))
+    a = np.asarray(jax.jit(lambda *t: spatial_attention_pallas(
+        *t, precise=True))(q, k, v), dtype=np.float32)
+    b = np.asarray(jax.jit(lambda *t: spatial_attention_xla(
+        *t, precision=Precision.parity()))(q, k, v), dtype=np.float32)
+    err = float(np.abs(a - b).max())
+    return _report("flash attention (precise mode, n=4096)", err, 1e-5)
+
+
+CHECKS = {
+    "decoder": check_decoder,
+    "esrgan": check_esrgan,
+    "swin": check_swin,
+    "attention": check_attention,
+}
+
+
+def main() -> int:
+    import jax
+    backend = jax.default_backend()
+    print(f"backend: {backend}")
+    if backend != "tpu":
+        print("tpu_checks: hardware backend required (these checks "
+              "validate Mosaic lowering, which interpret mode cannot); "
+              "run without JAX_PLATFORMS=cpu")
+        return 2
+    names = sys.argv[1:] or list(CHECKS)
+    ok = True
+    for name in names:
+        ok &= CHECKS[name]()
+    print("ALL PASS" if ok else "FAILURES above")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
