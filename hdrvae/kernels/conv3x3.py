@@ -92,9 +92,13 @@ def _slab_dma(x_hbm, xs, sems, slot, bi, bj, op, *, br, wb, row0=0,
 
 def _zero_frames(xs, sl, bi, bj, *, nr, nj, br, wb, cin):
     """Zero the slab frame rows/columns that fall in the padded border
-    (uninitialized memory) for image-boundary blocks.  Kernels with a
-    prologue skip this: the prologue's jnp.where mask re-zeroes them
-    (select, so stale garbage — even inf/nan — cannot leak)."""
+    (uninitialized memory) for image-boundary blocks.  Every kernel —
+    with or without a prologue — runs this on its input slab: the
+    prologue applies GN-affine+SiLU in place WITHOUT a border mask
+    (the per-row where-mask it once carried was measured pure overhead
+    once the frames are zeroed first), so this conditional zeroing is
+    the only thing keeping stale garbage — even inf/nan — out of the
+    border taps."""
     wm = wb + 2 * _MG
 
     @pl.when(bi == 0)

@@ -43,18 +43,31 @@ def _interpret_forced() -> bool:
     return _INTERPRET or _ska._INTERPRET
 
 
-def use_ocab_kernel(precision, head_dim: int) -> bool:
+# VMEM bound for the resident [nq, nk] f32 blocks (scores in registers
+# plus the double-buffered bias): HAT-M's window 16 (nq=256, nk=576,
+# ~0.6 MB each) is the validated shape; a window-32 variant (nq=1024,
+# nk=2304, ~9.4 MB each) would blow the 16 MB scoped-VMEM budget at
+# Mosaic compile time, so the gate falls back to XLA above this cap.
+_MAX_SCORE_ELEMS = 4 * 256 * 576
+
+
+def use_ocab_kernel(precision, head_dim: int, nq: int = 0,
+                    nk: int = 0) -> bool:
     """Kernel-path gate, mirroring `use_swin_kernel`: fast mode on TPU
-    with head_dim <= the 32-lane pad; `precision.swin_attn` forces
+    with head_dim <= the 32-lane pad and the score/bias blocks inside
+    the VMEM budget (`_MAX_SCORE_ELEMS`); `precision.swin_attn` forces
     either executor (the knob governs the whole Swin/HAT kernel
     family).  OCAB has no window-grid divisibility constraint — the
     core consumes already-partitioned windows."""
     knob = getattr(precision, "swin_attn", "auto")
     if knob == "xla":
         return False
-    ok = head_dim <= _HDP
+    ok = head_dim <= _HDP and nq * nk <= _MAX_SCORE_ELEMS
     if knob == "pallas":
-        assert ok, f"swin_attn='pallas' but head_dim {head_dim} > {_HDP}"
+        assert ok, (
+            f"swin_attn='pallas' but OCAB shape is unsupported "
+            f"(head_dim {head_dim} > {_HDP} or nq*nk {nq * nk} > "
+            f"{_MAX_SCORE_ELEMS})")
         return True
     return (precision.mode == "fast" and jax.default_backend() == "tpu"
             and ok)
@@ -88,14 +101,18 @@ def ocab_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     nwb, heads, nq, hdp = q.shape
     nk = k.shape[2]
+    # heads is the OUTER grid axis so the [nq, nk] bias block's index
+    # map is constant across the inner window sweep — Pallas fetches it
+    # once per head, not once per step (at HAT-M 256^2 the difference
+    # is ~3.5 MB vs ~900 MB of bias DMA per OCAB call).
     blk = lambda n: pl.BlockSpec((1, 1, n, hdp),
-                                 lambda i, h: (i, h, 0, 0),
+                                 lambda h, i: (i, h, 0, 0),
                                  memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, nq, nk), lambda i, h: (h, 0, 0),
+    bias_spec = pl.BlockSpec((1, nq, nk), lambda h, i: (h, 0, 0),
                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         functools.partial(_ocab_core_kernel, cdt=compute_dtype),
-        grid=(nwb, heads),
+        grid=(heads, nwb),
         in_specs=[blk(nq), blk(nk), blk(nk), bias_spec],
         out_specs=blk(nq),
         out_shape=jax.ShapeDtypeStruct((nwb, heads, nq, hdp),

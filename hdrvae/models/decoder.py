@@ -245,9 +245,10 @@ def decoder_apply(params: Params, z: jnp.ndarray,
     if precision.upstack == "pallas":
         raise ValueError(
             "precision.upstack='pallas' requires fast mode, batch 1, no "
-            f"tape, and a TPU backend (got mode={precision.mode!r}, "
-            f"batch={z.shape[0]}, tape={tape!r}, "
-            f"backend={jax.default_backend()!r})")
+            "tape, a TPU backend, and 128-multiple channel widths "
+            f"(got mode={precision.mode!r}, batch={z.shape[0]}, "
+            f"tape={tape!r}, backend={jax.default_backend()!r}, "
+            f"widths={sorted({cfg.ch * m for m in cfg.ch_mult})})")
     x = decoder_head(params, z, cfg, precision=precision,
                      preprocess_latent=preprocess_latent, tail_levels=0,
                      tape=tape)

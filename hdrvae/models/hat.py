@@ -231,7 +231,7 @@ def _ocab(x: jnp.ndarray, p: Params, cfg: HATConfig, heads: int,
         _rpi_oca(ws, wse).reshape(-1)]
     bias = bias.reshape(nq, nk, heads).transpose(2, 0, 1)
     from hdrvae.kernels.ocab import _HDP, ocab_attention, use_ocab_kernel
-    if use_ocab_kernel(precision, hd):
+    if use_ocab_kernel(precision, hd, nq=nq, nk=nk):
         # scores + softmax + PV per (window, head) resident in VMEM —
         # the [nwb, heads, nq, nk] score tensor never exists in HBM
         pad = ((0, 0), (0, 0), (0, 0), (0, _HDP - hd))

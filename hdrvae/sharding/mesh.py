@@ -319,9 +319,11 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     if precision.upstack == "pallas" and not use_pallas:
         raise ValueError(
             "precision.upstack='pallas' requires fast mode, batch 1, "
-            "tail_levels >= 1, width % 8 == 0, and a TPU backend "
+            "tail_levels >= 1, width % 8 == 0, a TPU backend, and "
+            "128-multiple channel widths "
             f"(got mode={precision.mode!r}, batch={latent.shape[0]}, "
-            f"tail_levels={tail_levels}, width={latent.shape[2]})")
+            f"tail_levels={tail_levels}, width={latent.shape[2]}, "
+            f"widths={sorted({decoder_cfg.ch * m for m in decoder_cfg.ch_mult})})")
 
     # Head: conv_in + mid (global attention RUNS, whole-image — beating the
     # reference's attention-skip hack `hdr_vae_decode.py:514` on its own

@@ -45,9 +45,8 @@ def check_decoder() -> bool:
     # Flux-class channel widths (the kernels require 128-multiples —
     # upstack_supported falls back to XLA below that), small spatial
     # extent to keep the compile bounded.
-    import dataclasses as _dc
-    cfg = _dc.replace(DecoderConfig(), ch=128, ch_mult=(1, 2),
-                      num_res_blocks=1)
+    cfg = dataclasses.replace(DecoderConfig(), ch=128, ch_mult=(1, 2),
+                              num_res_blocks=1)
     params = init_decoder(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16,
                                                   cfg.z_channels))
