@@ -138,6 +138,21 @@ def test_padded_head_lanes_are_exact_zero():
     assert np.abs(pads).max() == 0.0
 
 
+def test_ocab_gate_rejects_oversized_windows(monkeypatch):
+    """A HAT variant with window 32 (nq=1024, nk=2304) would blow the
+    scoped-VMEM budget at Mosaic compile time; the gate must fall back
+    to XLA (auto) / refuse loudly (forced pallas) instead."""
+    import hdrvae.kernels.ocab as ok
+    monkeypatch.setattr(ok.jax, "default_backend", lambda: "tpu")
+    fast = Precision.fast()
+    assert ok.use_ocab_kernel(fast, 30, nq=256, nk=576)
+    assert not ok.use_ocab_kernel(fast, 30, nq=1024, nk=2304)
+    assert not ok.use_ocab_kernel(fast, 64, nq=256, nk=576)
+    forced = Precision(swin_attn="pallas")
+    with pytest.raises(AssertionError):
+        ok.use_ocab_kernel(forced, 30, nq=1024, nk=2304)
+
+
 def test_ocab_kernel_vs_einsum():
     """The OCAB cross-attention core (scores resident in VMEM) against
     the XLA einsum path, both shift-free cross shapes: nq=ws^2 queries
