@@ -65,6 +65,61 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def op_profile(fn, *args, logdir: Optional[str] = None,
+               top: int = 25) -> list:
+    """Run ``fn(*args)`` once under a jax.profiler trace and return the
+    aggregated per-op device times: a list of (name, count, total_ms)
+    sorted by time, with fusion/kernel instance suffixes (``fusion.12``)
+    merged per op class.
+
+    This is how PERF_NOTES 5.10/5.12 were produced: XLA can hide a
+    pathological lowering (an unfold that becomes a 5-TFLOP identity
+    conv) behind a single innocuous op name — per-op totals surface it
+    in one call.  Host-side frames (dispatch, fetches, python) are
+    dropped.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import re
+    import tempfile
+
+    logdir = logdir or tempfile.mkdtemp(prefix="hdrvae_prof_")
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready()
+        if hasattr(x, "block_until_ready") else x, out)   # compile first
+    jax.profiler.start_trace(logdir)
+    try:
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready()
+            if hasattr(x, "block_until_ready") else x, out)
+    finally:
+        jax.profiler.stop_trace()
+
+    agg: Dict[str, list] = {}
+    pattern = os.path.join(logdir, "**", "*.trace.json.gz")
+    for path in glob.glob(pattern, recursive=True):
+        with gzip.open(path, "rt") as f:
+            data = json.load(f)
+        for e in data.get("traceEvents", []):
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            name = e.get("name", "?")
+            if name.startswith(("$", "np.", "jit", "process_",
+                                "PythonRefManager", "DevicePut")):
+                continue
+            key = re.sub(r"[.\d]+$", "", name)
+            rec = agg.setdefault(key, [0, 0.0])
+            rec[0] += 1
+            rec[1] += e["dur"] / 1e3
+    rows = sorted(((k, n, ms) for k, (n, ms) in agg.items()),
+                  key=lambda r: -r[2])
+    return rows[:top]
+
+
 @contextlib.contextmanager
 def debug_nans(enable: bool = True):
     """Scoped jax_debug_nans toggle (detects NaNs from saturated inverse
