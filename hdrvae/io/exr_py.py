@@ -552,6 +552,8 @@ def read_exr_header(buf: bytes) -> Tuple[Dict, int]:
         raise ValueError("not an EXR file")
     if version & 0x200:
         raise NotImplementedError("tiled EXR not supported")
+    if version & (0x800 | 0x1000):
+        raise NotImplementedError("deep/multipart EXR not supported")
     pos = 8
     attrs: Dict = {}
     while True:
@@ -692,9 +694,11 @@ def read_exr(path: str) -> np.ndarray:
 
     names = [name for name, _ in channels]
     if set(names) >= {"R", "G", "B"}:
+        # RGB first, then EVERY other channel (A, Z, AOVs...) in header
+        # order — the same plane layout the native reader produces, so
+        # the two interchangeable readers agree on shape for any file.
         stack = [planes["R"], planes["G"], planes["B"]]
-        if "A" in names:
-            stack.append(planes["A"])
+        stack += [planes[n] for n in names if n not in ("R", "G", "B")]
         return np.stack(stack, -1)
     # generic channelN planes: numeric order (legacy unpadded writers
     # stored channel10 alphabetically before channel2)

@@ -18,9 +18,20 @@ import numpy as np
 _HEADER = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
 
 
+# Largest RGBE-representable value: mantissa 255 at stored exponent 255
+# -> 255 * 2^(255-136) = (255/256) * 2^127 ~= 1.69e38.  Brighter float32
+# inputs (incl. +inf) must SATURATE here: e + 128 would exceed 255 and
+# the uint8 cast would wrap the exponent byte, silently turning the
+# brightest pixels into black (e byte 0 decodes to scale 0).
+_RGBE_MAX = np.float32(255.0 * 2.0 ** 119)
+
+
 def rgb_to_rgbe(rgb: np.ndarray) -> np.ndarray:
     """(H, W, 3) float -> (H, W, 4) uint8 RGBE."""
-    rgb = np.maximum(np.asarray(rgb, np.float32), 0.0)
+    rgb = np.asarray(rgb, np.float32)
+    rgb = np.nan_to_num(rgb, nan=0.0, posinf=float(_RGBE_MAX),
+                        neginf=0.0)
+    rgb = np.clip(rgb, 0.0, _RGBE_MAX)
     maxc = rgb.max(axis=-1)
     rgbe = np.zeros(rgb.shape[:-1] + (4,), np.uint8)
     valid = maxc >= 1e-32

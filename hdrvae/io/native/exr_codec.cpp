@@ -736,8 +736,13 @@ bool zlib_deflate(const uint8_t* src, size_t n, std::vector<uint8_t>* out,
 }
 
 bool zlib_inflate(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+  // exact-length contract: a valid zlib stream that inflates to fewer
+  // bytes than expected would leave a stale-buffer tail that
+  // filter_decode happily processes — corrupt chunks must fail here,
+  // matching the RLE branch's `!= raw_size` check.
   uLongf len = static_cast<uLongf>(cap);
-  return uncompress(dst, &len, src, static_cast<uLong>(n)) == Z_OK;
+  return uncompress(dst, &len, src, static_cast<uLong>(n)) == Z_OK &&
+         len == static_cast<uLongf>(cap);
 }
 
 // ---------------------------------------------------------------------------
@@ -1085,6 +1090,15 @@ bool parse_header(const std::vector<uint8_t>& buf, Parsed* out) {
   if (buf.size() < 8 ||
       static_cast<uint32_t>(get_i32(buf.data())) != kMagic)
     return false;
+  // version/flags word: this is a SCANLINE single-part reader.  Tiled
+  // (0x200), deep (0x800), and multipart (0x1000) layouts store
+  // different chunk headers — parsing them as scanline can look
+  // self-consistent enough to decode garbage, so refuse them here
+  // (the pure-Python reader raises NotImplementedError the same way).
+  {
+    const uint32_t version = static_cast<uint32_t>(get_i32(buf.data() + 4));
+    if (version & (0x200u | 0x800u | 0x1000u)) return false;
+  }
   size_t pos = 8;
   while (pos < buf.size()) {
     if (buf[pos] == 0) { pos++; break; }
@@ -1107,6 +1121,11 @@ bool parse_header(const std::vector<uint8_t>& buf, Parsed* out) {
         if (cpos + 16 > pay.size()) return false;
         int32_t pt = get_i32(pay.data() + cpos);
         cpos += 16;  // type + pLinear/reserved + sampling
+        // HALF/FLOAT only: the decode paths reinterpret 4-byte pixels
+        // as IEEE float, which is WRONG for UINT (and undefined for
+        // unknown type ids) — refuse here so the pure-Python reader,
+        // which converts UINT correctly, handles the file instead.
+        if (pt != HALF && pt != FLOAT) return false;
         out->channels.push_back({cname, pt});
       }
     } else if (name == "compression") {
@@ -1255,8 +1274,13 @@ int exr_read(const char* path, float* out) {
     size_t raw_size = static_cast<size_t>(nrows) * row_bytes;
 
     const uint8_t* rows = nullptr;
-    if (p.comp == NONE || static_cast<size_t>(size) >= raw_size) {
-      rows = data;
+    if (static_cast<size_t>(size) >= raw_size) {
+      rows = data;   // stored raw (NONE, or compression did not shrink)
+    } else if (p.comp == NONE) {
+      // a NONE chunk smaller than its row payload is truncation: the
+      // unpack loop reads raw_size bytes, and only off+8+size was
+      // bounds-checked — reading past `size` would leave the buffer
+      return -5;
     } else if (p.comp == PIZ) {
       // parse payload
       if (size < 4) return -5;
@@ -1337,8 +1361,15 @@ int exr_read(const char* path, float* out) {
       // inflate then unpack plane deltas straight to out
       std::vector<uint8_t> planes;
       planes.resize(raw_size);  // upper bound: 3 bytes/px <= 4 bytes/px
+      size_t expect = 0;        // exact packed size: 3 B/px FLOAT, 2 HALF
+      for (int k = 0; k < c; ++k)
+        expect += static_cast<size_t>(p.width) *
+                  (p.channels[k].ptype == FLOAT ? 3 : 2);
+      expect *= static_cast<size_t>(nrows);
       uLongf plen = planes.size();
-      if (uncompress(planes.data(), &plen, data, size) != Z_OK) return -5;
+      if (uncompress(planes.data(), &plen, data, size) != Z_OK ||
+          plen != static_cast<uLongf>(expect))
+        return -5;
       size_t pos = 0;
       for (int yy = y; yy < y1; ++yy) {
         for (int k = 0; k < c; ++k) {

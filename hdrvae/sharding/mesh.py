@@ -49,6 +49,19 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def _replicate_params(params: Params, mesh: Mesh) -> Params:
+    """Replicate weights over the mesh — skipping the ~100-200 MB
+    transfer when a serving loop passes params already placed there.
+    Empty trees pass through (nothing to place)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if not leaves:
+        return params
+    replicated = NamedSharding(mesh, P())
+    if getattr(leaves[0], "sharding", None) != replicated:
+        params = jax.device_put(params, replicated)
+    return params
+
+
 def _ownership_intervals(starts, tile_px: int, out_px: int, half: int):
     """Per-axis pixel intervals each tile OWNS after blend_tiles(mode='crop')
     overwrite order: tile k's interior is clipped where the NEXT tile's
@@ -494,11 +507,8 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     if halo is None:
         halo = tail_receptive_radius(decoder_cfg, tail_levels)
 
-    replicated = NamedSharding(mesh, P())
-    first_leaf = jax.tree_util.tree_leaves(params)[0]
-    if getattr(first_leaf, "sharding", None) != replicated:
-        params = jax.device_put(params, replicated)
-    latent = jax.device_put(latent, replicated)
+    params = _replicate_params(params, mesh)
+    latent = jax.device_put(latent, NamedSharding(mesh, P()))
 
     image, rgb, stats, used_fallback = _slab_decode_step(
         params, latent, decoder_cfg, cfg, precision, mesh, tail_levels,
@@ -562,12 +572,7 @@ def sharded_tiled_decode(params: Params, latent: jnp.ndarray,
     tiles = extract_tiles(latent, plan)       # [T, B, th, tw, zc]
     tiles, _ = _pad_tiles(tiles, n_dev)
 
-    # Replicate weights over the mesh — but skip the ~100-200 MB transfer
-    # when a serving loop passes params already placed there.
-    replicated = NamedSharding(mesh, P())
-    first_leaf = jax.tree_util.tree_leaves(params)[0]
-    if getattr(first_leaf, "sharding", None) != replicated:
-        params = jax.device_put(params, replicated)
+    params = _replicate_params(params, mesh)
     tiles = jax.device_put(
         tiles, NamedSharding(mesh, P(axis_name)))
 
@@ -650,10 +655,7 @@ def sharded_hdr_upscale(params: Params, image: jnp.ndarray,
 
     tile = _select_pass_tile(in_filtered, model_cfg, cfg, precision)
 
-    replicated = NamedSharding(mesh, P())
-    first_leaf = jax.tree_util.tree_leaves(params)[0]
-    if getattr(first_leaf, "sharding", None) != replicated:
-        params = jax.device_put(params, replicated)
+    params = _replicate_params(params, mesh)
     shard = NamedSharding(mesh, P(axis_name))
 
     def run_both(t1, t2):

@@ -741,6 +741,87 @@ def test_export_stream_consumes_generator_lazily(tmp_path):
 
 
 @pytest.mark.slow
+def test_rgbe_saturates_extreme_values():
+    """Exponent bytes must never wrap: values >= 2^127 (and +inf)
+    saturate to the max representable RGBE value instead of silently
+    decoding to black; NaN encodes as 0."""
+    from hdrvae.io.hdr import rgb_to_rgbe, rgbe_to_rgb
+
+    px = np.array([[[2e38, 1.0, 0.5],
+                    [np.inf, 2.0, 0.25],
+                    [np.nan, 0.0, 0.0],
+                    [1.0, 0.5, 0.25]]], np.float32)
+    back = rgbe_to_rgb(rgb_to_rgbe(px))
+    assert np.isfinite(back).all()
+    assert back[0, 0, 0] > 1e38          # bright pixel stays bright
+    assert back[0, 1, 0] > 1e38          # inf saturates, not wraps
+    assert back[0, 2, 0] == 0.0          # NaN -> black
+    # a moderate pixel in the same image still round-trips to ~1%
+    np.testing.assert_allclose(back[0, 3], [1.0, 0.5, 0.25], rtol=0.01)
+
+
+def test_exr_truncated_none_chunk_rejected(tmp_path):
+    """A NONE-compressed chunk whose size field is smaller than its row
+    payload is truncation: the native reader must refuse it (no OOB
+    read past the declared size), never return garbage."""
+    from hdrvae.io.exr import read_exr, write_exr
+
+    p = str(tmp_path / "n.exr")
+    write_exr(p, np.random.default_rng(5).standard_normal(
+        (16, 16, 3)).astype(np.float32), compression="none")
+    blob = bytearray(open(p, "rb").read())
+    row_bytes = 16 * 3 * 2
+    size_pos = len(blob) - row_bytes - 4
+    blob[size_pos:size_pos + 4] = (0).to_bytes(4, "little")
+    pc = str(tmp_path / "trunc.exr")
+    open(pc, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        read_exr(pc)
+
+
+@pytest.mark.parametrize("flag", [0x200, 0x800, 0x1000])
+def test_exr_nonscanline_layouts_rejected(tmp_path, flag):
+    """Tiled / deep / multipart version flags must be refused by BOTH
+    readers — parsing those layouts as scanline can decode garbage."""
+    from hdrvae.io.exr import read_exr, write_exr
+
+    p = str(tmp_path / "v.exr")
+    write_exr(p, np.zeros((8, 8, 3), np.float32), compression="none")
+    blob = bytearray(open(p, "rb").read())
+    version = int.from_bytes(blob[4:8], "little") | flag
+    blob[4:8] = version.to_bytes(4, "little")
+    pv = str(tmp_path / "flag.exr")
+    open(pv, "wb").write(bytes(blob))
+    with pytest.raises(Exception):
+        read_exr(pv)                     # native path + python fallback
+    with pytest.raises(Exception):
+        read_exr(pv, use_native=False)   # pure-python directly
+
+
+def test_exr_extra_channels_native_python_parity(tmp_path, monkeypatch):
+    """A file with R, G, B plus an extra channel (Z/AOV) must read back
+    with the SAME plane layout from both readers: RGB first, extras
+    after in header order."""
+    from hdrvae.io import exr_py
+    from hdrvae.io.exr import read_exr
+
+    monkeypatch.setattr(exr_py, "_channel_names",
+                        lambda c: ["B", "G", "R", "Z"])
+    img = np.random.default_rng(7).standard_normal(
+        (12, 12, 4)).astype(np.float32)
+    p = str(tmp_path / "rgbz.exr")
+    exr_py.write_exr(p, img, pixel_type="float", compression="zip")
+    monkeypatch.undo()
+
+    a = read_exr(p)                      # native (if built)
+    b = read_exr(p, use_native=False)    # pure python
+    assert a.shape == (12, 12, 4) and b.shape == (12, 12, 4)
+    np.testing.assert_array_equal(a, b)
+    # header order B,G,R,Z -> output planes R,G,B,Z
+    np.testing.assert_allclose(a[..., 0], img[..., 2], rtol=0, atol=0)
+    np.testing.assert_allclose(a[..., 3], img[..., 3], rtol=0, atol=0)
+
+
 def test_native_reader_corruption_fuzz(tmp_path):
     """Deterministic corruption fuzz of the native EXR reader: every
     mutation must yield an error code or a clean Python exception —
