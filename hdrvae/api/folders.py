@@ -32,11 +32,19 @@ def get_model_folders(kind: str) -> List[str]:
 
 
 def get_filename_list(kind: str) -> List[str]:
+    """Recursive relative paths, like ComfyUI's
+    ``folder_paths.get_filename_list`` — models organized in
+    subdirectories (``upscale_models/4x/RealESRGAN_x4plus.pth``) must
+    appear in the dropdown as ``4x/RealESRGAN_x4plus.pth``."""
     names = []
     for root in get_model_folders(kind):
-        for name in sorted(os.listdir(root)):
-            if name.lower().endswith(_MODEL_EXTENSIONS):
-                names.append(name)
+        for dirpath, _dirnames, files in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            for name in files:
+                if name.lower().endswith(_MODEL_EXTENSIONS):
+                    names.append(name if rel == "."
+                                 else os.path.join(rel, name).replace(
+                                     os.sep, "/"))
     return sorted(set(names))
 
 

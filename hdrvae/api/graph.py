@@ -115,6 +115,29 @@ def _input_names_in_order(node_cls) -> List[str]:
     return names
 
 
+_SOCKET_ONLY_TYPES = frozenset(
+    {"LATENT", "VAE", "IMAGE", "MODEL", "UPSCALE_MODEL", "CONDITIONING",
+     "CLIP", "MASK"})
+
+
+def _widget_names_in_order(node_cls) -> List[str]:
+    """Names of the inputs that own a widget SLOT in ``widgets_values``,
+    in declaration order.  Socket-only inputs (LATENT/IMAGE/... types)
+    never have a slot; primitive/combo inputs always do — INCLUDING
+    widgets the user converted to linked inputs, whose stale serialized
+    value stays in the list and must still consume its position."""
+    it = node_cls.INPUT_TYPES()
+    entries = list((it.get("required") or {}).items())
+    entries += list((it.get("optional") or {}).items())
+    names = []
+    for name, spec in entries:
+        kind = spec[0] if isinstance(spec, (tuple, list)) else spec
+        if isinstance(kind, str) and kind in _SOCKET_ONLY_TYPES:
+            continue
+        names.append(name)
+    return names
+
+
 def _is_link(value: Any) -> bool:
     return (isinstance(value, (list, tuple)) and len(value) == 2
             and isinstance(value[1], int) and not isinstance(value[0], dict))
@@ -177,12 +200,19 @@ class GraphExecutor:
 
             widgets = node.get("widgets_values")
             if isinstance(widgets, dict):
-                kwargs.update(widgets)
+                # a resolved LINK always beats the stale serialized
+                # widget value (ComfyUI semantics for widgets converted
+                # to inputs)
+                for name, value in widgets.items():
+                    kwargs.setdefault(name, value)
             elif isinstance(widgets, list):
-                names = [n for n in _input_names_in_order(cls)
-                         if n not in kwargs]
-                for name, value in zip(names, widgets):
-                    kwargs[name] = value
+                # every widget slot consumes its position in the list —
+                # including widgets converted to linked inputs (their
+                # stale value stays serialized); apply only the unlinked
+                # ones so the name/value alignment never shifts
+                for name, value in zip(_widget_names_in_order(cls),
+                                       widgets):
+                    kwargs.setdefault(name, value)
 
             it = cls.INPUT_TYPES()
             for name, kind in (it.get("hidden") or {}).items():

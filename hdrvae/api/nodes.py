@@ -224,11 +224,21 @@ class VAEDecode:
 
     def decode(self, samples: Dict[str, Any], vae: VAE
                ) -> Tuple[np.ndarray]:
+        # standard decode only — run the bare decoder forward rather
+        # than the full hdr_decode pipeline (whose recovery maps, mode
+        # math, and stats would all be computed just to be discarded,
+        # keeping a second full-res float32 buffer live)
         import jax.numpy as jnp
+
+        from hdrvae.models.decoder import decoder_apply
         latent = jnp.asarray(_to_numpy(samples["samples"]), jnp.float32)
-        result = hdr_decode(vae.params, latent, vae.config,
-                            HDRDecodeConfig(), vae.precision)
-        return (np.asarray(result.standard),)
+        zc = vae.config.z_channels
+        if latent.ndim == 4 and latent.shape[-1] != zc \
+                and latent.shape[1] == zc:
+            latent = jnp.transpose(latent, (0, 2, 3, 1))   # NCHW -> NHWC
+        out = decoder_apply(vae.params, latent, vae.config,
+                            precision=vae.precision)
+        return (np.asarray(out.rgb, dtype=np.float32),)
 
 
 class PreviewImage:

@@ -114,7 +114,7 @@ def _run_pass_progress(params: Params, x: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _recombine(unclamped: jnp.ndarray, clamped: jnp.ndarray,
                original: jnp.ndarray, cfg: UpscaleConfig) -> jnp.ndarray:
-    y_detail = rgb_to_ycbcr(unclamped)[..., 0:1]
+    y_detail = luma(unclamped)          # == rgb_to_ycbcr(...)[..., 0:1]
     y_stab = jnp.clip(y_detail, 0.0, cfg.luma_max)
     y_stab = median_blur(y_stab, kernel_size=3)
     cbcr = rgb_to_ycbcr(clamped)[..., 1:3]

@@ -79,6 +79,30 @@ class TestNodeExecution:
         assert image.shape == (1, 6 * scale, 6 * scale, 3)
         assert image.dtype == np.float32
 
+    def test_builtin_vaedecode_matches_standard_image(self, small_cfg,
+                                                      rng):
+        """VAEDecode (the builtin-decode stand-in) now runs the bare
+        decoder forward; it must equal the full pipeline's `standard`
+        image exactly."""
+        import jax.numpy as jnp
+
+        from hdrvae.api.nodes import VAEDecode
+        from hdrvae.core.config import HDRDecodeConfig
+        from hdrvae.decode.pipeline import hdr_decode
+
+        vae = VAE.random_init(seed=5, config=small_cfg)
+        latent = rng.standard_normal(
+            (1, 6, 6, small_cfg.z_channels)).astype(np.float32) * 2
+        (got,) = VAEDecode().decode({"samples": latent}, vae)
+        want = np.asarray(hdr_decode(
+            vae.params, jnp.asarray(latent), vae.config,
+            HDRDecodeConfig(), vae.precision).standard)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # NCHW torch-layout latents keep working
+        (got2,) = VAEDecode().decode(
+            {"samples": latent.transpose(0, 3, 1, 2)}, vae)
+        np.testing.assert_allclose(got2, want, atol=1e-5)
+
     def test_decode_accepts_torch_latent(self, small_cfg, rng):
         torch = pytest.importorskip("torch")
         vae = VAE.random_init(seed=3, config=small_cfg)
@@ -131,6 +155,23 @@ class TestFolders:
     def test_missing_model_error(self):
         with pytest.raises(FileNotFoundError, match="HDRVAE_MODELS_DIR"):
             folders.get_full_path("upscale_models", "nope.pth")
+
+    def test_filename_list_recurses_subdirectories(self, tmp_path,
+                                                   monkeypatch):
+        """ComfyUI's get_filename_list returns recursive relative paths
+        — the common upscale_models/4x/model.pth layout must appear in
+        the dropdown and resolve via get_full_path."""
+        mdir = tmp_path / "upscale_models" / "4x"
+        mdir.mkdir(parents=True)
+        (mdir / "RealESRGAN_x4plus.pth").write_bytes(b"x")
+        (tmp_path / "upscale_models" / "top.safetensors").write_bytes(b"y")
+        monkeypatch.setenv("HDRVAE_MODELS_DIR", str(tmp_path))
+        names = folders.get_filename_list("upscale_models")
+        assert "4x/RealESRGAN_x4plus.pth" in names
+        assert "top.safetensors" in names
+        assert folders.get_full_path(
+            "upscale_models", "4x/RealESRGAN_x4plus.pth").endswith(
+                "RealESRGAN_x4plus.pth")
 
 
 class TestComfyAdapter:

@@ -56,6 +56,40 @@ def test_decode_export_workflow(tmp_path, monkeypatch, vae, small_cfg, rng):
     assert os.path.exists(os.path.splitext(path)[0] + ".json")
 
 
+def test_widget_converted_to_input_link_wins(vae, small_cfg, rng):
+    """A widget converted to a linked input keeps its STALE value in
+    widgets_values (ComfyUI serialization); the resolved link must win,
+    and the positional name/value alignment of the remaining widgets
+    must not shift."""
+    from hdrvae.api.nodes import HDRVAEDecode
+
+    latent = rng.standard_normal(
+        (1, 4, 4, small_cfg.z_channels)).astype(np.float32) * 2
+    wf = {"nodes": [
+        {"id": 1, "type": "HDRVAEDecode",
+         "inputs": {"samples": ["latent_in", 0], "vae": ["vae_in", 0],
+                    "hdr_mode": ["mode_in", 0]},
+         # stale serialized widget values: mode slot still present
+         "widgets_values": ["mathematical_recovery", 1.5]},
+    ]}
+    ex = GraphExecutor(external_inputs={
+        "latent_in": ({"samples": latent},),
+        "vae_in": (vae,),
+        "mode_in": ("exposure",),
+    })
+    got = ex.run(wf)[1][0]
+    want = HDRVAEDecode().simple_hdr_decode(
+        {"samples": latent}, vae, hdr_mode="exposure",
+        conservative_ev_multiplier=1.5)[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # the dict form must also lose to the link
+    wf["nodes"][0]["widgets_values"] = {
+        "hdr_mode": "mathematical_recovery",
+        "conservative_ev_multiplier": 1.5}
+    got2 = ex.run(wf)[1][0]
+    np.testing.assert_allclose(got2, want, atol=1e-5)
+
+
 def test_example_workflow_satisfiable(tmp_path):
     """Node types + widget names in the shipped example resolve against the
     registry contracts."""

@@ -238,6 +238,32 @@ class TestFiltersAndResize:
             mode="area").permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
+    def test_area_large_image_precision(self, rng):
+        """The old float32 double-cumsum formulation accumulated 0.037
+        absolute error at 768^2 (values quantized to 1/32); the
+        box-matrix formulation must match torch to float noise at a
+        non-integer factor on a large image."""
+        x = rng.standard_normal((1, 768, 768, 1)).astype(np.float32)
+        ours = np.asarray(common_upscale(jnp.asarray(x), 512, 512,
+                                         "area"))
+        theirs = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(512, 512),
+            mode="area").permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    def test_bilinear_downscale_matches_torch_no_antialias(self, rng):
+        """common_upscale('bilinear') must match torch F.interpolate
+        antialias=False semantics on a DOWNSCALE (jax.image.resize
+        defaults to antialias=True, which diverges badly there)."""
+        x = rng.standard_normal((1, 16, 12, 3)).astype(np.float32)
+        ours = np.asarray(common_upscale(jnp.asarray(x), 6, 8,
+                                         "bilinear"))
+        theirs = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(8, 6),
+            mode="bilinear", align_corners=False
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
     def test_bislerp_preserves_constant_image(self):
         x = jnp.full((1, 4, 4, 3), 2.5, jnp.float32)
         out = np.asarray(common_upscale(x, 8, 8, "bislerp"))
