@@ -327,6 +327,36 @@ def main() -> int:
                                   "warmup_s": round(warm, 1)}),
                       file=sys.stderr)
 
+            # Swin2SR x4 (classical-SR config: embed 180, 6x6 blocks,
+            # window 8, pixelshuffle head; SwinV2 cosine attention) on
+            # one 512^2 tile.  Runs the XLA einsum path — the fused Swin
+            # kernel implements v1 block math and does not apply.
+            from hdrvae.models.swin2sr import (Swin2SRConfig,
+                                               init_swin2sr,
+                                               swin2sr_apply)
+            s2_cfg = Swin2SRConfig()
+            s2_params = init_swin2sr(jax.random.PRNGKey(9), s2_cfg)
+
+            @jax.jit
+            def swin2sr_step(x):
+                y = swin2sr_apply(s2_params, x, s2_cfg,
+                                  precision=precision)
+                return x + y.mean() * 1e-6
+
+            best, mean, warm = bench_step(swin2sr_step, tile, sync,
+                                          runs=2, warmup=1)
+            mp_out = (512 * s2_cfg.scale) ** 2 / 1e6
+            extra_rows.append({
+                "metric": "swin2sr_x4_upscale_mp_per_s_512tile",
+                "value": round(mp_out / best, 3), "unit": "MP/s",
+                "vs_baseline": None})
+            if args.extra:
+                print(json.dumps({**detail,
+                                  "metric": "swin2sr_x4_upscale_512tile",
+                                  "best_s": round(best, 4),
+                                  "warmup_s": round(warm, 1)}),
+                      file=sys.stderr)
+
             # HAT x4 (official config: embed 180, window 16, OCAB) on a
             # 256^2 tile — the heaviest zoo member; smaller tile keeps
             # the --full run bounded.

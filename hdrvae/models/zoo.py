@@ -11,6 +11,8 @@ JAX forwards:
                                        -> models.rrdbnet
   - SwinIR (official schema, all four upsampler heads)
                                        -> models.swinir
+  - Swin2SR (SwinV2 blocks: cosine attention + CPB-MLP, all five heads)
+                                       -> models.swin2sr
   - HAT (official schema; HAB + OCAB hybrid attention)
                                        -> models.hat
   - Compact (SRVGGNetCompact: realesr-general-x4v3 / animevideov3)
@@ -44,12 +46,14 @@ from hdrvae.models.span import (SPANConfig, is_span_state_dict,
                                 span_apply, span_from_state_dict)
 from hdrvae.models.srvgg import (SRVGGConfig, is_srvgg_state_dict,
                                  srvgg_apply, srvgg_from_state_dict)
+from hdrvae.models.swin2sr import (Swin2SRConfig, is_swin2sr_state_dict,
+                                   swin2sr_apply, swin2sr_from_state_dict)
 from hdrvae.models.swinir import (SwinIRConfig, is_swinir_state_dict,
                                   swinir_apply, swinir_from_state_dict)
 
 Params = Dict[str, Any]
-ModelConfig = Union[RRDBNetConfig, SwinIRConfig, HATConfig, SRVGGConfig,
-                    SPANConfig, RealPLKSRConfig]
+ModelConfig = Union[RRDBNetConfig, SwinIRConfig, Swin2SRConfig, HATConfig,
+                    SRVGGConfig, SPANConfig, RealPLKSRConfig]
 
 
 def _load_state_dict(path: str) -> Mapping[str, Any]:
@@ -78,6 +82,10 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     if is_hat_state_dict(sd):
         params, cfg = hat_from_state_dict(sd)
         return params, cfg, "HAT"
+    if is_swin2sr_state_dict(sd):
+        params, cfg = swin2sr_from_state_dict(sd)
+        # NOT in the reference's atanh list -> default logit reversal.
+        return params, cfg, "Swin2SR"
     if is_swinir_state_dict(sd):
         params, cfg = swinir_from_state_dict(sd)
         return params, cfg, "SwinIR"
@@ -104,7 +112,7 @@ def load_upscale_model(path: str) -> Tuple[Params, ModelConfig, str]:
     raise ValueError(
         f"unsupported upscaler checkpoint schema "
         f"({_guess_architecture(sd)}); supported architectures: "
-        "ESRGAN/RealESRGAN (RRDBNet), SwinIR, HAT, Compact "
+        "ESRGAN/RealESRGAN (RRDBNet), SwinIR, Swin2SR, HAT, Compact "
         "(SRVGGNetCompact), SPAN, RealPLKSR")
 
 
@@ -114,8 +122,6 @@ _FOREIGN_FINGERPRINTS = (
     ("before_RG.1.weight", "looks like DAT"),
     ("residual_layer.0.residual_layer.0.layer.0.fn.0.weight",
      "looks like OmniSR"),
-    ("layers.0.residual_group.blocks.0.attn.logit_scale",
-     "looks like Swin2SR"),
     ("unet1.conv1.conv.0.weight", "looks like RealCUGAN"),
     ("feats.1.lk.conv.weight", "original PLKSR (only RealPLKSR is "
                                "implemented)"),
@@ -137,6 +143,8 @@ def upscaler_apply(params: Params, x: jnp.ndarray, cfg: ModelConfig, *,
         return hat_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SwinIRConfig):
         return swinir_apply(params, x, cfg, precision=precision)
+    if isinstance(cfg, Swin2SRConfig):
+        return swin2sr_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, SPANConfig):
         return span_apply(params, x, cfg, precision=precision)
     if isinstance(cfg, RealPLKSRConfig):
@@ -160,7 +168,7 @@ def working_set_bytes_per_pixel(cfg: ModelConfig,
         ratio = (cfg.overlap_win_size / cfg.window_size) ** 2
         width = cfg.embed_dim * (3 + cfg.mlp_ratio + 2 * ratio)
         return float(width * 2 * elsize + out_bytes)
-    if isinstance(cfg, SwinIRConfig):
+    if isinstance(cfg, (SwinIRConfig, Swin2SRConfig)):
         # qkv (3x dim) + mlp hidden, live alongside the token stream
         width = cfg.embed_dim * (3 + cfg.mlp_ratio)
         return float(width * 2 * elsize + out_bytes)

@@ -254,12 +254,12 @@ def test_zoo_rejects_foreign_schema_with_named_guess(tmp_path):
         load_upscale_model(str(path))
 
 
-def test_zoo_rejects_swin2sr_by_name(tmp_path):
+def test_swin2sr_never_hits_the_v1_loader():
     """Swin2SR shares SwinIR's residual_group spine but uses
-    logit_scale/cpb_mlp attention; it must be rejected by name, not
-    KeyError inside the SwinIR loader."""
+    logit_scale/cpb_mlp attention; it must route to the Swin2SR loader,
+    never to the v1 SwinIR one (whose key mapping would KeyError)."""
+    from hdrvae.models.swin2sr import is_swin2sr_state_dict
     from hdrvae.models.swinir import is_swinir_state_dict
-    from hdrvae.models.zoo import load_upscale_model
     sd = {"conv_first.weight": torch.zeros(8, 3, 3, 3),
           "conv_first.bias": torch.zeros(8),
           "layers.0.residual_group.blocks.0.attn.logit_scale":
@@ -267,7 +267,4 @@ def test_zoo_rejects_swin2sr_by_name(tmp_path):
           "layers.0.residual_group.blocks.0.attn.cpb_mlp.0.weight":
               torch.zeros(16, 2)}
     assert not is_swinir_state_dict(sd)
-    path = tmp_path / "swin2sr.pth"
-    torch.save(sd, path)
-    with pytest.raises(ValueError, match="looks like Swin2SR"):
-        load_upscale_model(str(path))
+    assert is_swin2sr_state_dict(sd)

@@ -237,8 +237,8 @@ def _all_upscaler_ckpts():
 @pytest.mark.parametrize("name", _all_upscaler_ckpts() or ["<none>"])
 def test_real_zoo_checkpoint_loads_and_upscales(name):
     """ANY upscaler checkpoint dropped into HDRVAE_MODELS_DIR must be
-    detected by the zoo (ESRGAN/RealESRGAN/SwinIR/HAT/Compact/SPAN/
-    RealPLKSR key
+    detected by the zoo (ESRGAN/RealESRGAN/SwinIR/Swin2SR/HAT/Compact/
+    SPAN/RealPLKSR key
     schemas), upscale a fixed image, pick a reversal per the reference's
     name map, and golden-fingerprint the result."""
     if name == "<none>":

@@ -755,3 +755,272 @@ class TorchHAT(nn.Module):
         x = self.conv_last(self.upsample(x))
         x = x / self.cfg.img_range + self.mean
         return x[:, :, :h0 * self.cfg.scale, :w0 * self.cfg.scale]
+
+# ---------------------------------------------------------------------------
+# Swin2SR oracle (official mv-lab/swin2sr network_swin2sr.py structure +
+# key schema; SwinV2 blocks: cosine attention, CPB-MLP bias, res-post-norm)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+class _SwinV2WindowAttention(nn.Module):
+    def __init__(self, dim, window_size, num_heads,
+                 pretrained_window_size=0):
+        super().__init__()
+        self.dim = dim
+        self.window_size = window_size
+        self.num_heads = num_heads
+        self.logit_scale = nn.Parameter(
+            torch.log(10 * torch.ones((num_heads, 1, 1))))
+        self.cpb_mlp = nn.Sequential(nn.Linear(2, 512, bias=True),
+                                     nn.ReLU(inplace=True),
+                                     nn.Linear(512, num_heads, bias=False))
+        rch = torch.arange(-(window_size - 1), window_size,
+                           dtype=torch.float32)
+        rcw = torch.arange(-(window_size - 1), window_size,
+                           dtype=torch.float32)
+        table = torch.stack(torch.meshgrid([rch, rcw], indexing="ij"))
+        table = table.permute(1, 2, 0).contiguous().unsqueeze(0)
+        denom = (pretrained_window_size - 1) if pretrained_window_size > 0 \
+            else (window_size - 1)
+        table[:, :, :, 0] /= denom
+        table[:, :, :, 1] /= denom
+        table *= 8
+        table = torch.sign(table) * torch.log2(torch.abs(table) + 1.0) \
+            / np.log2(8)
+        self.register_buffer("relative_coords_table", table)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window_size), torch.arange(window_size),
+            indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window_size - 1
+        rel[:, :, 1] += window_size - 1
+        rel[:, :, 0] *= 2 * window_size - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.qkv = nn.Linear(dim, dim * 3, bias=False)
+        self.q_bias = nn.Parameter(torch.zeros(dim))
+        self.v_bias = nn.Parameter(torch.zeros(dim))
+        self.proj = nn.Linear(dim, dim)
+        self.softmax = nn.Softmax(dim=-1)
+
+    def forward(self, x, mask=None):
+        b_, n, c = x.shape
+        qkv_bias = torch.cat((self.q_bias,
+                              torch.zeros_like(self.v_bias), self.v_bias))
+        qkv = F.linear(x, self.qkv.weight, qkv_bias)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, -1).permute(
+            2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = F.normalize(q, dim=-1) @ F.normalize(k, dim=-1).transpose(
+            -2, -1)
+        logit_scale = torch.clamp(
+            self.logit_scale, max=torch.log(torch.tensor(1. / 0.01))).exp()
+        attn = attn * logit_scale
+        bias_table = self.cpb_mlp(self.relative_coords_table).view(
+            -1, self.num_heads)
+        bias = bias_table[self.relative_position_index.view(-1)].view(
+            n, n, -1)
+        bias = 16 * torch.sigmoid(bias.permute(2, 0, 1).contiguous())
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b_ // nw, nw, self.num_heads, n, n) + \
+                mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.num_heads, n, n)
+        attn = self.softmax(attn)
+        x = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+        return self.proj(x)
+
+
+class _Swin2Block(nn.Module):
+    """SwinV2 transformer block: attention/MLP first, LayerNorm applied to
+    the branch OUTPUT (res-post-norm), cosine window attention."""
+
+    def __init__(self, dim, num_heads, window_size, shift_size, mlp_ratio):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = shift_size
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = _SwinV2WindowAttention(dim, window_size, num_heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = _SwinMlp(dim, int(dim * mlp_ratio))
+
+    def _mask(self, h, w, device):
+        ws, ss = self.window_size, self.shift_size
+        img = torch.zeros((1, h, w, 1), device=device)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+            for vs in (slice(0, -ws), slice(-ws, -ss), slice(-ss, None)):
+                img[:, hs, vs, :] = cnt
+                cnt += 1
+        mw = _win_part(img, ws).view(-1, ws * ws)
+        am = mw.unsqueeze(1) - mw.unsqueeze(2)
+        return am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+
+    def forward(self, x, x_size):
+        h, w = x_size
+        b, L, c = x.shape
+        shortcut = x
+        x = x.view(b, h, w, c)
+        if self.shift_size > 0:
+            x = torch.roll(x, (-self.shift_size, -self.shift_size), (1, 2))
+            mask = self._mask(h, w, x.device)
+        else:
+            mask = None
+        wins = _win_part(x, self.window_size)
+        wins = self.attn(wins, mask)
+        x = _win_rev(wins, self.window_size, h, w)
+        if self.shift_size > 0:
+            x = torch.roll(x, (self.shift_size, self.shift_size), (1, 2))
+        x = shortcut + self.norm1(x.view(b, L, c))
+        return x + self.norm2(self.mlp(x))
+
+
+class _Swin2Group(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, mlp_ratio):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _Swin2Block(dim, num_heads, window_size,
+                        0 if i % 2 == 0 else window_size // 2, mlp_ratio)
+            for i in range(depth)])
+
+    def forward(self, x, x_size):
+        for blk in self.blocks:
+            x = blk(x, x_size)
+        return x
+
+
+class _RSTB2(nn.Module):
+    def __init__(self, dim, depth, num_heads, window_size, mlp_ratio):
+        super().__init__()
+        self.residual_group = _Swin2Group(dim, depth, num_heads,
+                                          window_size, mlp_ratio)
+        self.conv = nn.Conv2d(dim, dim, 3, 1, 1)
+
+    def forward(self, x, x_size):
+        h, w = x_size
+        b, L, c = x.shape
+        y = self.residual_group(x, x_size)
+        y = y.transpose(1, 2).view(b, c, h, w)
+        y = self.conv(y)
+        return y.flatten(2).transpose(1, 2) + x
+
+
+class TorchSwin2SR(nn.Module):
+    """Official-schema Swin2SR (upsampler 'pixelshuffle' |
+    'pixelshuffle_aux' | 'pixelshuffledirect' | 'nearest+conv' | '');
+    NCHW in [0, 1].  Note vs SwinIR: conv_before_upsample uses LeakyReLU
+    (SwinIR's pixelshuffle head uses ReLU), and 'nearest+conv' is the
+    scale-4 real-SR head (conv_up1 + conv_up2 unconditionally)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        dim = cfg.embed_dim
+        self.mean = torch.tensor([0.4488, 0.4371, 0.4040]).view(
+            1, 3, 1, 1) if cfg.in_channels == 3 else torch.zeros(1, 1, 1, 1)
+        self.conv_first = nn.Conv2d(cfg.in_channels, dim, 3, 1, 1)
+        self.patch_embed = _PatchEmbed(dim, cfg.patch_norm)
+        self.layers = nn.ModuleList([
+            _RSTB2(dim, cfg.depths[i], cfg.num_heads[i], cfg.window_size,
+                   cfg.mlp_ratio) for i in range(len(cfg.depths))])
+        self.norm = nn.LayerNorm(dim)
+        self.conv_after_body = nn.Conv2d(dim, dim, 3, 1, 1)
+        nf = cfg.num_feat
+
+        def _upseq(scale, width):
+            ups, s = [], scale
+            while s > 1:
+                r = 3 if s % 2 else 2
+                ups += [nn.Conv2d(width, width * r * r, 3, 1, 1),
+                        nn.PixelShuffle(r)]
+                s //= r
+            return nn.Sequential(*ups)
+
+        if cfg.upsampler == "pixelshuffle":
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            self.upsample = _upseq(cfg.scale, nf)
+            self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+        elif cfg.upsampler == "pixelshuffle_aux":
+            self.conv_bicubic = nn.Conv2d(cfg.in_channels, nf, 3, 1, 1)
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            self.conv_aux = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+            self.conv_after_aux = nn.Sequential(
+                nn.Conv2d(3, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            self.upsample = _upseq(cfg.scale, nf)
+            self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+        elif cfg.upsampler == "pixelshuffledirect":
+            self.upsample = nn.Sequential(
+                nn.Conv2d(dim, cfg.out_channels * cfg.scale ** 2, 3, 1, 1),
+                nn.PixelShuffle(cfg.scale))
+        elif cfg.upsampler == "nearest+conv":
+            assert cfg.scale == 4
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, nf, 3, 1, 1), nn.LeakyReLU(inplace=True))
+            self.conv_up1 = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_up2 = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_hr = nn.Conv2d(nf, nf, 3, 1, 1)
+            self.conv_last = nn.Conv2d(nf, cfg.out_channels, 3, 1, 1)
+            self.lrelu = nn.LeakyReLU(0.2, inplace=True)
+        else:
+            self.conv_last = nn.Conv2d(dim, cfg.out_channels, 3, 1, 1)
+
+    def forward_features(self, x):
+        x_size = (x.shape[2], x.shape[3])
+        t = self.patch_embed(x)
+        for layer in self.layers:
+            t = layer(t, x_size)
+        t = self.norm(t)
+        return t.transpose(1, 2).view(x.shape[0], -1, *x_size)
+
+    @torch.no_grad()
+    def forward(self, x):
+        h0, w0 = x.shape[2], x.shape[3]
+        ws = self.cfg.window_size
+        mod_h, mod_w = (-h0) % ws, (-w0) % ws
+        if mod_h or mod_w:
+            x = F.pad(x, (0, mod_w, 0, mod_h), "reflect")
+        x = (x - self.mean) * self.cfg.img_range
+        up = self.cfg.upsampler
+        scale = self.cfg.scale
+        if up == "pixelshuffle":
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.conv_before_upsample(x)
+            x = self.conv_last(self.upsample(x))
+        elif up == "pixelshuffle_aux":
+            bicubic = F.interpolate(x, size=(h0 * scale, w0 * scale),
+                                    mode="bicubic", align_corners=False)
+            bicubic = self.conv_bicubic(bicubic)
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.conv_before_upsample(x)
+            aux = self.conv_aux(x)
+            x = self.conv_after_aux(aux)
+            x = self.upsample(x)[:, :, :h0 * scale, :w0 * scale] + \
+                bicubic[:, :, :h0 * scale, :w0 * scale]
+            x = self.conv_last(x)
+        elif up == "pixelshuffledirect":
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.upsample(x)
+        elif up == "nearest+conv":
+            x = self.conv_first(x)
+            x = self.conv_after_body(self.forward_features(x)) + x
+            x = self.conv_before_upsample(x)
+            x = self.lrelu(self.conv_up1(
+                F.interpolate(x, scale_factor=2, mode="nearest")))
+            x = self.lrelu(self.conv_up2(
+                F.interpolate(x, scale_factor=2, mode="nearest")))
+            x = self.conv_last(self.lrelu(self.conv_hr(x)))
+        else:
+            xf = self.conv_first(x)
+            res = self.conv_after_body(self.forward_features(xf)) + xf
+            x = x + self.conv_last(res)
+        x = x / self.cfg.img_range + self.mean
+        return x[:, :, :h0 * scale, :w0 * scale]
