@@ -74,10 +74,12 @@ def use_ocab_kernel(precision, head_dim: int, nq: int = 0,
 
 
 def _ocab_core_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, cdt):
+    from hdrvae.kernels.swin_attention import _mxu_prec
     q = q_ref[0, 0]                                      # [nq, 32]
     k = k_ref[0, 0]                                      # [nk, 32]
     v = v_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            precision=_mxu_prec(q.dtype),
                             preferred_element_type=jnp.float32)
     s = s + b_ref[0]                                     # [nq, nk]
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -85,6 +87,7 @@ def _ocab_core_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, cdt):
     l = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / l).astype(cdt)
     o = jax.lax.dot_general(p, v.astype(cdt), (((1,), (0,)), ((), ())),
+                            precision=_mxu_prec(cdt),
                             preferred_element_type=jnp.float32)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 

@@ -61,6 +61,18 @@ Params = Dict[str, Any]
 _HDP = 32          # padded head dim (SwinIR-M: 30 -> 32; zero pad exact)
 _NEG = -1e9
 
+
+def _mxu_prec(dt):
+    """In-kernel matmul precision.  Mosaic's DEFAULT f32 dot rounds the
+    operands through bf16 MXU passes (~0.3% relative — measured on
+    chip); request HIGHEST (exact multi-pass) for f32 operands.  bf16
+    operands must keep DEFAULT: Mosaic rejects HIGHEST on a bf16 lhs
+    ("Bad lhs type"), and bf16 MACs accumulate f32 either way.  Fast
+    mode (bf16) is therefore unchanged; the f32 parity drives
+    (tpu_checks) get true float32."""
+    return (jax.lax.Precision.HIGHEST if jnp.dtype(dt) == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
 # Test seam: force interpret-mode execution of the kernel (CPU suites
 # exercise the integrated kernel path without TPU hardware).
 _INTERPRET = False
@@ -153,6 +165,7 @@ def _attn_core_kernel(q_ref, k_ref, v_ref, b_ref, cm_ref, o_ref, *,
         v2 = jnp.concatenate([v_ref[2 * i, 0], v_ref[2 * i + 1, 0]],
                              axis=0)
         s = jax.lax.dot_general(q2, k2, (((1,), (1,)), ((), ())),
+                                precision=_mxu_prec(q2.dtype),
                                 preferred_element_type=jnp.float32)
         s = s + bias2
         if i == bwin // 2 - 1:
@@ -164,6 +177,7 @@ def _attn_core_kernel(q_ref, k_ref, v_ref, b_ref, cm_ref, o_ref, *,
         l = jnp.sum(p, axis=-1, keepdims=True)
         p = (p / l).astype(v_ref.dtype)
         o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                precision=_mxu_prec(p.dtype),
                                 preferred_element_type=jnp.float32)
         o = o.astype(o_ref.dtype)
         o_ref[2 * i, 0] = o[:n]
@@ -282,6 +296,7 @@ def _ln_qkv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, o_ref, *,
         for s in range(nslots):
             q = jax.lax.dot_general(y, w_ref[s],
                                     (((1,), (0,)), ((), ())),
+                                    precision=_mxu_prec(cdt),
                                     preferred_element_type=jnp.float32)
             o_ref[w, s] = (q + b_ref[s]).astype(o_ref.dtype)
 
@@ -306,11 +321,13 @@ def _proj_mlp_kernel(*refs, ws: int, bwin: int, n: int, heads: int, cdt,
         proj = jax.lax.dot_general(
             a_ref[w, 0].astype(cdt), wp_ref[0],
             (((1,), (0,)), ((), ())),
+            precision=_mxu_prec(cdt),
             preferred_element_type=jnp.float32)
         for h in range(1, heads):
             proj = proj + jax.lax.dot_general(
                 a_ref[w, h].astype(cdt), wp_ref[h],
                 (((1,), (0,)), ((), ())),
+                precision=_mxu_prec(cdt),
                 preferred_element_type=jnp.float32)
         xw = x_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
         x2 = xw.astype(jnp.float32) + proj + bp_ref[0]
@@ -320,12 +337,14 @@ def _proj_mlp_kernel(*refs, ws: int, bwin: int, n: int, heads: int, cdt,
         y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
         h = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
                                 (((1,), (0,)), ((), ())),
+                                precision=_mxu_prec(cdt),
                                 preferred_element_type=jnp.float32)
         h = h + b1_ref[0]
         # exact-erf GELU (torch nn.GELU default) via the A&S polynomial
         h = 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
         out = jax.lax.dot_general(h.astype(cdt), w2_ref[...].astype(cdt),
                                   (((1,), (0,)), ((), ())),
+                                  precision=_mxu_prec(cdt),
                                   preferred_element_type=jnp.float32)
         res = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
         o_ref[0, :, w * ws:(w + 1) * ws, :] = res.reshape(ws, ws, -1)
@@ -481,15 +500,25 @@ def proj_mlp(attn_out: jnp.ndarray, img: jnp.ndarray, p: Params,
 
 def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
                         nwh: int, ncb: int, cdt, sdt, shifted: bool,
-                        has_extra: bool):
+                        has_extra: bool, post_norm: bool = False,
+                        cosine: bool = False):
     """Grid (b*nwh, nww//bwin): one window row of bwin windows per
     step, image-layout blocks in and out (see `_ln_qkv_kernel` for the
-    in-register partition)."""
+    in-register partition).
+
+    ``post_norm``/``cosine`` select the SwinV2 block (Swin2SR): qkv runs
+    on the RAW input and norm1/norm2 move to the branch outputs
+    (res-post-norm); q/k rows are L2-normalized after the bias add and
+    q carries the clamped-exp logit scale (shipped broadcast to the
+    padded slot lanes as ``qs_ref`` — zero pad lanes keep the row norm
+    exact).  The score core, softmax, value dot, and proj are shared
+    with v1; the v2 CPB bias arrives pre-baked in the same tables."""
     it = iter(refs)
     x_ref = next(it)                      # [1, ws, bwin*ws, C]
     e_ref = next(it) if has_extra else None
     wq_ref = next(it)                     # [3H, C, 32]
     bq_ref = next(it)                     # [3H, 1, 32]
+    qs_ref = next(it) if cosine else None  # [H, 1, 32] q-slot scales
     g1_ref = next(it)                     # [1, C]
     be1_ref = next(it)
     tab_ref = next(it)                    # [ncls, H, 2n, 2n] f32
@@ -508,19 +537,30 @@ def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
     j = pl.program_id(1)
     nslots = heads * 3
 
-    # LN1 + per-slot qkv dots (slot layout lives in registers only)
+    # LN1 (v1) + per-slot qkv dots (slot layout lives in registers only)
     xws = []
     qkv = []
     for w in range(bwin):
         xw = x_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
         xws.append(xw)
-        y = _ln(xw.astype(jnp.float32), g1_ref[0], be1_ref[0]).astype(cdt)
+        if post_norm:
+            y = xw.astype(cdt)            # v2: attention on the raw input
+        else:
+            y = _ln(xw.astype(jnp.float32), g1_ref[0],
+                    be1_ref[0]).astype(cdt)
         slots = []
         for s in range(nslots):
             q = jax.lax.dot_general(y, wq_ref[s],
                                     (((1,), (0,)), ((), ())),
+                                    precision=_mxu_prec(cdt),
                                     preferred_element_type=jnp.float32)
-            slots.append((q + bq_ref[s]).astype(sdt))
+            q = q + bq_ref[s]
+            if cosine and s % 3 != 2:     # normalize q and k rows (f32)
+                norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+                q = q / jnp.maximum(norm, 1e-12)
+                if s % 3 == 0:
+                    q = q * qs_ref[s // 3]
+            slots.append(q.astype(sdt))
         qkv.append(slots)
 
     # attention core (scores never leave registers).  Windows with
@@ -548,6 +588,7 @@ def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
                                       qkv[wb_][3 * h + 2]], axis=0)
                 s = jax.lax.dot_general(q2, k2,
                                         (((1,), (1,)), ((), ())),
+                                        precision=_mxu_prec(q2.dtype),
                                         preferred_element_type=jnp.float32)
                 s = s + tab_ref[cls, h]
                 if pair == bwin // 2 - 1:
@@ -559,6 +600,7 @@ def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 p = (p / l).astype(v2.dtype)
                 o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                        precision=_mxu_prec(p.dtype),
                                         preferred_element_type=jnp.float32)
                 o = o.astype(sdt)
                 outs[wa][h] = o[:n]
@@ -568,6 +610,7 @@ def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
             for h in range(heads):
                 s = jax.lax.dot_general(qkv[w][3 * h], qkv[w][3 * h + 1],
                                         (((1,), (1,)), ((), ())),
+                                        precision=_mxu_prec(qkv[w][3 * h].dtype),
                                         preferred_element_type=jnp.float32)
                 s = s + tab_ref[cls, h]
                 if w == bwin - 1:
@@ -579,34 +622,50 @@ def _block_fused_kernel(*refs, ws: int, bwin: int, n: int, heads: int,
                 p = (p / l).astype(qkv[w][3 * h + 2].dtype)
                 o = jax.lax.dot_general(p, qkv[w][3 * h + 2],
                                         (((1,), (0,)), ((), ())),
+                                        precision=_mxu_prec(p.dtype),
                                         preferred_element_type=jnp.float32)
                 outs[w][h] = o.astype(sdt)
 
-    # proj + residual(s) + LN2 + MLP epilogue, per window
+    # proj + residual(s) + LN2 + MLP epilogue, per window.  v2
+    # (post_norm) applies norm1 to the attention branch and norm2 to
+    # the MLP branch before their residual adds.
     for w in range(bwin):
         proj = jax.lax.dot_general(outs[w][0].astype(cdt), wp_ref[0],
                                    (((1,), (0,)), ((), ())),
+                                   precision=_mxu_prec(cdt),
                                    preferred_element_type=jnp.float32)
         for h in range(1, heads):
             proj = proj + jax.lax.dot_general(
                 outs[w][h].astype(cdt), wp_ref[h],
                 (((1,), (0,)), ((), ())),
+                precision=_mxu_prec(cdt),
                 preferred_element_type=jnp.float32)
-        x2 = xws[w].astype(jnp.float32) + proj + bp_ref[0]
+        if post_norm:
+            x2 = xws[w].astype(jnp.float32) + _ln(
+                proj + bp_ref[0], g1_ref[0], be1_ref[0])
+        else:
+            x2 = xws[w].astype(jnp.float32) + proj + bp_ref[0]
         if e_ref is not None:
             ew = e_ref[0, :, w * ws:(w + 1) * ws, :].reshape(n, -1)
             x2 = x2 + ew.astype(jnp.float32)
-        y = _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
+        y = x2.astype(cdt) if post_norm else \
+            _ln(x2, g2_ref[0], be2_ref[0]).astype(cdt)
         h1 = jax.lax.dot_general(y, w1_ref[...].astype(cdt),
                                  (((1,), (0,)), ((), ())),
+                                 precision=_mxu_prec(cdt),
                                  preferred_element_type=jnp.float32)
         h1 = h1 + b1_ref[0]
         h1 = 0.5 * h1 * (1.0 + _erf_poly(h1 * (2.0 ** -0.5)))
         out = jax.lax.dot_general(h1.astype(cdt),
                                   w2_ref[...].astype(cdt),
                                   (((1,), (0,)), ((), ())),
+                                  precision=_mxu_prec(cdt),
                                   preferred_element_type=jnp.float32)
-        res = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
+        if post_norm:
+            res = (x2 + _ln(out + b2_ref[0], g2_ref[0],
+                            be2_ref[0])).astype(o_ref.dtype)
+        else:
+            res = (x2 + out + b2_ref[0]).astype(o_ref.dtype)
         o_ref[0, :, w * ws:(w + 1) * ws, :] = res.reshape(ws, ws, -1)
 
 
@@ -615,11 +674,19 @@ def swin_block_fused(img: jnp.ndarray, p: Params, norm1: Params,
                      ws: int, shift: int, bias_hnn: jnp.ndarray,
                      bwin: int, precision: Precision,
                      extra: jnp.ndarray | None = None,
+                     post_norm: bool = False,
+                     qk_scale: jnp.ndarray | None = None,
                      interpret: bool = False) -> jnp.ndarray:
     """One whole Swin block (LN1 -> window attention -> proj +
     residual [+ extra] -> LN2 -> MLP -> + residual) as a single Pallas
     call on the image layout.  ``img`` must already be rolled if
-    ``shift`` (the shift only selects the mask tables here)."""
+    ``shift`` (the shift only selects the mask tables here).
+
+    ``post_norm=True`` + ``qk_scale`` ([heads] f32 clamped-exp logit
+    scales) select the SwinV2 block body (Swin2SR): cosine attention
+    with the scale folded into the normalized q, norm1/norm2 applied to
+    the branch outputs; ``bias_hnn`` then carries the CPB-MLP bias
+    (input-independent, so it bakes into the same resident tables)."""
     b, hh, ww_, c = img.shape
     n = ws * ws
     nwh, nww = hh // ws, ww_ // ws
@@ -647,6 +714,15 @@ def swin_block_fused(img: jnp.ndarray, p: Params, norm1: Params,
     in_specs += [
         _resident((heads * 3, c, _HDP)),
         _resident((heads * 3, 1, _HDP)),
+    ]
+    args2 = [wq.astype(cdt), bq.astype(jnp.float32)]
+    if qk_scale is not None:
+        # q-slot scales broadcast across the padded lanes: [H, 1, 32]
+        in_specs.append(_resident((heads, 1, _HDP)))
+        args2.append(jnp.broadcast_to(
+            qk_scale.astype(jnp.float32).reshape(heads, 1, 1),
+            (heads, 1, _HDP)))
+    in_specs += [
         _resident((1, c)),
         _resident((1, c)),
         _resident(tuple(tables.shape)),
@@ -660,23 +736,25 @@ def swin_block_fused(img: jnp.ndarray, p: Params, norm1: Params,
         _resident((hidden, c)),
         _resident((1, c)),
     ]
-    args += [wq.astype(cdt), bq.astype(jnp.float32),
-             norm1["scale"][None].astype(jnp.float32),
-             norm1["bias"][None].astype(jnp.float32),
-             tables, colmask2,
-             wp.astype(cdt),
-             p["proj"]["bias"][None].astype(jnp.float32),
-             norm2["scale"][None].astype(jnp.float32),
-             norm2["bias"][None].astype(jnp.float32),
-             mlp["fc1"]["kernel"].astype(cdt),
-             mlp["fc1"]["bias"][None].astype(jnp.float32),
-             mlp["fc2"]["kernel"].astype(cdt),
-             mlp["fc2"]["bias"][None].astype(jnp.float32)]
+    args += args2 + [
+        norm1["scale"][None].astype(jnp.float32),
+        norm1["bias"][None].astype(jnp.float32),
+        tables, colmask2,
+        wp.astype(cdt),
+        p["proj"]["bias"][None].astype(jnp.float32),
+        norm2["scale"][None].astype(jnp.float32),
+        norm2["bias"][None].astype(jnp.float32),
+        mlp["fc1"]["kernel"].astype(cdt),
+        mlp["fc1"]["bias"][None].astype(jnp.float32),
+        mlp["fc2"]["kernel"].astype(cdt),
+        mlp["fc2"]["bias"][None].astype(jnp.float32)]
     call = pl.pallas_call(
         functools.partial(_block_fused_kernel, ws=ws, bwin=bwin, n=n,
                           heads=heads, nwh=nwh, ncb=ncb, cdt=cdt,
                           sdt=sdt, shifted=bool(shift),
-                          has_extra=extra is not None),
+                          has_extra=extra is not None,
+                          post_norm=post_norm,
+                          cosine=qk_scale is not None),
         grid=(b * nwh, ncb),
         in_specs=in_specs,
         out_specs=img_spec,

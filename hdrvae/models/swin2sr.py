@@ -162,10 +162,41 @@ def _window_attention_v2(x: jnp.ndarray, p: Params, heads: int, ws: int,
                    precision)
 
 
+def _swin2_block_kernel(x: jnp.ndarray, p: Params, heads: int, ws: int,
+                        shift: int, precision: Precision) -> jnp.ndarray:
+    """The whole SwinV2 block as ONE Pallas call (swin_block_fused with
+    post_norm + cosine attention): the raw (rolled) x is both kernel
+    input and residual — v2 has no pre-norm, so nothing needs to
+    commute with the roll; the clamped-exp logit scale folds into the
+    normalized q inside the kernel and the CPB bias bakes into the
+    resident tables."""
+    from hdrvae.kernels.swin_attention import (pick_bwin,
+                                               swin_block_fused)
+    b, h, w, c = x.shape
+    n = ws * ws
+    nww = w // ws
+    ya = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    bwin = pick_bwin(nww, n)
+    scale = jnp.exp(jnp.minimum(
+        p["attn"]["logit_scale"].astype(jnp.float32),
+        math.log(100.0))).reshape(heads)
+    y = swin_block_fused(ya, p["attn"], p["norm1"], p["norm2"],
+                         p["mlp"], heads, ws=ws, shift=shift,
+                         bias_hnn=_cpb_bias(p["attn"], ws),
+                         bwin=bwin, precision=precision,
+                         post_norm=True, qk_scale=scale)
+    if shift:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    return y
+
+
 def _swin2_block(x: jnp.ndarray, p: Params, heads: int, ws: int,
                  shift: int, precision: Precision) -> jnp.ndarray:
     """One SwinV2 block (res-post-norm) on an NHWC grid."""
     b, h, w, c = x.shape
+    from hdrvae.kernels.swin_attention import use_swin_kernel
+    if use_swin_kernel(precision, h, w, ws, c // heads):
+        return _swin2_block_kernel(x, p, heads, ws, shift, precision)
     shortcut = x
     y = x
     if shift:

@@ -296,3 +296,39 @@ def test_erf_poly_accuracy():
     x = jnp.linspace(-6.0, 6.0, 4001)
     err = float(jnp.abs(ska._erf_poly(x) - jax.lax.erf(x)).max())
     assert err <= 1e-6, err
+
+
+def test_full_swin2sr_forward_kernel_vs_xla():
+    """End-to-end swin2sr_apply equivalence with the v2 kernel path
+    (post_norm + cosine attention + CPB bias tables) forced in
+    interpret mode against the einsum path.  24x16 grid covers
+    interior/last-row/last-col/corner shift classes at window 8."""
+    from hdrvae.models.swin2sr import (Swin2SRConfig, init_swin2sr,
+                                       swin2sr_apply)
+    cfg = Swin2SRConfig(embed_dim=24, depths=(2,), num_heads=(2,),
+                        window_size=8, num_feat=8, scale=2,
+                        upsampler="pixelshuffledirect")
+    params = init_swin2sr(jax.random.PRNGKey(2), cfg)
+    # non-trivial logit scales / cpb weights (init leaves them uniform)
+    for blk in params["layers"][0]["blocks"]:
+        a = blk["attn"]
+        a["logit_scale"] = jax.random.normal(
+            jax.random.PRNGKey(11), a["logit_scale"].shape) * 0.5
+        a["cpb_fc1"]["bias"] = jax.random.normal(
+            jax.random.PRNGKey(12), a["cpb_fc1"]["bias"].shape) * 0.3
+    x = np.random.default_rng(0).uniform(
+        0, 1, (1, 24, 16, 3)).astype(np.float32)
+
+    ref = np.asarray(swin2sr_apply(
+        params, jnp.asarray(x), cfg,
+        precision=Precision(swin_attn="xla")))
+
+    ska._INTERPRET = True
+    try:
+        got = np.asarray(swin2sr_apply(
+            params, jnp.asarray(x), cfg,
+            precision=Precision(swin_attn="pallas")))
+    finally:
+        ska._INTERPRET = False
+    err = float(np.abs(got - ref).max())
+    assert err <= 1e-4, f"max-abs {err:.3e}"

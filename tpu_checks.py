@@ -111,6 +111,15 @@ def check_swin() -> bool:
                        - run(swinir_apply, p, cfg, "xla")).max())
     ok &= _report("swinir fused block (paired core)", err, 1e-4)
 
+    from hdrvae.models.swin2sr import (Swin2SRConfig, init_swin2sr,
+                                       swin2sr_apply)
+    cfg2 = Swin2SRConfig(embed_dim=60, depths=(2, 2), num_heads=(2, 2),
+                         window_size=8, num_feat=16, scale=2)
+    p2 = init_swin2sr(jax.random.PRNGKey(9), cfg2)
+    err = float(np.abs(run(swin2sr_apply, p2, cfg2, "pallas")
+                       - run(swin2sr_apply, p2, cfg2, "xla")).max())
+    ok &= _report("swin2sr fused v2 block (cosine + post-norm)", err, 1e-4)
+
     hcfg = HATConfig(embed_dim=60, depths=(2,), num_heads=(2,),
                      window_size=8, num_feat=16, scale=2)
     hp = init_hat(jax.random.PRNGKey(6), hcfg)
