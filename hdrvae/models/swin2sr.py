@@ -460,6 +460,11 @@ def swin2sr_from_state_dict(sd: Mapping[str, Any],
     if "absolute_pos_embed" in sd:
         raise ValueError("Swin2SR checkpoints with ape=True (absolute "
                          "position embedding) are not supported")
+    if any(k.startswith(("conv_first_hf.", "layers_hf.")) for k in sd):
+        raise ValueError(
+            "Swin2SR 'pixelshuffle_hf' (high-frequency branch) "
+            "checkpoints are not supported; supported heads: "
+            f"{', '.join(repr(u) for u in UPSAMPLERS)}")
 
     n_layers = 1 + max(int(m.group(1)) for k in sd
                        if (m := _BLOCK_RE.match(k)))

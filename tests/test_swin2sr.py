@@ -147,3 +147,17 @@ def test_zoo_dispatches_swin2sr(tmp_path):
     fn = get_reversal_fn(arch)
     x = np.asarray(fn(np.float32(0.5)))
     assert abs(float(x)) < 1e-6   # logit(0.5) == 0
+
+
+def test_swin2sr_rejects_hf_and_ape_checkpoints():
+    """Unimplemented Swin2SR variants fail loudly, not with a key
+    mismatch deep in the loader."""
+    base = _randomized_oracle(SMALL).state_dict()
+    hf = dict(base)
+    hf["conv_first_hf.weight"] = torch.zeros(16, 3, 3, 3)
+    with pytest.raises(ValueError, match="pixelshuffle_hf"):
+        swin2sr_from_state_dict(hf)
+    ape = dict(base)
+    ape["absolute_pos_embed"] = torch.zeros(1, 4, 16)
+    with pytest.raises(ValueError, match="ape"):
+        swin2sr_from_state_dict(ape)
