@@ -870,8 +870,16 @@ def use_swin_kernel(precision: Precision, h_img: int, w_img: int,
     knob = getattr(precision, "swin_attn", "auto")
     if knob == "xla":
         return False
+    n = ws * ws
+    # score-dot lane alignment: paired cores dot [2n, 2n], unpaired
+    # [n, n] — the kernel's head views are 32-lane slivers, so the score
+    # width must be a multiple of 32 (validated: 2n=32/128, n=256).
+    # Window sizes that misalign (e.g. Swin2SR JPEG-CAR's window 7,
+    # n=49, paired dot 98 lanes) take the XLA path rather than feed
+    # Mosaic register shapes it was never validated on.
+    aligned = (2 * n) % 32 == 0 if n < 128 else n % 128 == 0
     ok = (h_img % ws == 0 and w_img % ws == 0 and head_dim <= _HDP
-          and pick_bwin(w_img // ws, ws * ws) > 0)
+          and aligned and pick_bwin(w_img // ws, n) > 0)
     if knob == "pallas":
         assert ok, (
             f"swin_attn='pallas' but the {h_img}x{w_img} grid (window "

@@ -117,6 +117,13 @@ def test_pick_bwin_and_gate():
     # parity mode or odd grids keep the XLA path under "auto"
     assert not ska.use_swin_kernel(Precision(), 64, 64, 8)
     assert not ska.use_swin_kernel(Precision.fast(), 64, 56, 8)
+    # token counts that misalign the score-dot lanes (Swin2SR JPEG-CAR
+    # window 7: n=49, paired dot 98 lanes) must refuse the kernel even
+    # when forced — the XLA einsum path serves them
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        ska.use_swin_kernel(Precision(swin_attn="pallas"), 56, 56, 7)
+    assert not ska.use_swin_kernel(Precision.fast(), 56, 56, 7)
 
 
 def test_padded_head_lanes_are_exact_zero():
