@@ -178,6 +178,9 @@ CHECKS = {
 
 def main() -> int:
     import jax
+
+    from hdrvae.core.runtime import setup
+    setup()  # persistent compile cache: reruns cost seconds, not minutes
     backend = jax.default_backend()
     print(f"backend: {backend}")
     if backend != "tpu":
