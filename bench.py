@@ -329,8 +329,9 @@ def main() -> int:
 
             # Swin2SR x4 (classical-SR config: embed 180, 6x6 blocks,
             # window 8, pixelshuffle head; SwinV2 cosine attention) on
-            # one 512^2 tile.  Runs the XLA einsum path — the fused Swin
-            # kernel implements v1 block math and does not apply.
+            # one 512^2 tile.  In fast mode this runs the fused v2 Swin
+            # block kernel (post-norm + cosine attention, 1.72x the XLA
+            # einsum path — PERF_NOTES 5.13).
             from hdrvae.models.swin2sr import (Swin2SRConfig,
                                                init_swin2sr,
                                                swin2sr_apply)

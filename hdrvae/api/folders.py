@@ -22,13 +22,24 @@ def register_model_folder(kind: str, path: str) -> None:
     _registered_roots.setdefault(kind, []).append(path)
 
 
-def get_model_folders(kind: str) -> List[str]:
-    roots = list(_registered_roots.get(kind, []))
+def _search_roots(kind: str) -> List[tuple]:
+    """``(path, recursive)`` pairs.  Kind-specific roots (registered or
+    ``<MODELS_DIR>/<kind>``) recurse into subdirectories; a bare
+    ``HDRVAE_MODELS_DIR`` root contributes only loose files sitting
+    directly in it — recursing there would re-list the kind subdir's
+    contents under a second relative path and surface sibling kinds'
+    checkpoints (e.g. ``vae/ae.safetensors``) as selectable models of
+    the wrong kind."""
+    roots = [(r, True) for r in _registered_roots.get(kind, [])]
     env = os.environ.get("HDRVAE_MODELS_DIR", "")
     for root in filter(None, env.split(os.pathsep)):
-        roots.append(os.path.join(root, kind))
-        roots.append(root)
-    return [r for r in roots if os.path.isdir(r)]
+        roots.append((os.path.join(root, kind), True))
+        roots.append((root, False))
+    return [(r, rec) for r, rec in roots if os.path.isdir(r)]
+
+
+def get_model_folders(kind: str) -> List[str]:
+    return [r for r, _rec in _search_roots(kind)]
 
 
 def get_filename_list(kind: str) -> List[str]:
@@ -37,14 +48,20 @@ def get_filename_list(kind: str) -> List[str]:
     subdirectories (``upscale_models/4x/RealESRGAN_x4plus.pth``) must
     appear in the dropdown as ``4x/RealESRGAN_x4plus.pth``."""
     names = []
-    for root in get_model_folders(kind):
-        for dirpath, _dirnames, files in os.walk(root):
-            rel = os.path.relpath(dirpath, root)
-            for name in files:
-                if name.lower().endswith(_MODEL_EXTENSIONS):
-                    names.append(name if rel == "."
-                                 else os.path.join(rel, name).replace(
-                                     os.sep, "/"))
+    for root, recursive in _search_roots(kind):
+        if recursive:
+            for dirpath, _dirnames, files in os.walk(root):
+                rel = os.path.relpath(dirpath, root)
+                for name in files:
+                    if name.lower().endswith(_MODEL_EXTENSIONS):
+                        names.append(name if rel == "."
+                                     else os.path.join(rel, name).replace(
+                                         os.sep, "/"))
+        else:
+            for name in os.listdir(root):
+                if (name.lower().endswith(_MODEL_EXTENSIONS)
+                        and os.path.isfile(os.path.join(root, name))):
+                    names.append(name)
     return sorted(set(names))
 
 

@@ -115,26 +115,27 @@ def _input_names_in_order(node_cls) -> List[str]:
     return names
 
 
-_SOCKET_ONLY_TYPES = frozenset(
-    {"LATENT", "VAE", "IMAGE", "MODEL", "UPSCALE_MODEL", "CONDITIONING",
-     "CLIP", "MASK"})
+_WIDGET_PRIMITIVES = frozenset({"INT", "FLOAT", "STRING", "BOOLEAN"})
 
 
 def _widget_names_in_order(node_cls) -> List[str]:
     """Names of the inputs that own a widget SLOT in ``widgets_values``,
-    in declaration order.  Socket-only inputs (LATENT/IMAGE/... types)
-    never have a slot; primitive/combo inputs always do — INCLUDING
-    widgets the user converted to linked inputs, whose stale serialized
-    value stays in the list and must still consume its position."""
+    in declaration order.  ComfyUI's rule is a whitelist: a slot exists
+    only for combo inputs (the type is a list of choices) and primitive
+    types (INT/FLOAT/STRING/BOOLEAN); every other type string — LATENT,
+    IMAGE, and any custom socket type a third-party registry declares —
+    is a socket with no slot.  Widget inputs the user converted to
+    linked inputs DO keep their slot (the stale serialized value stays
+    in the list and must still consume its position)."""
     it = node_cls.INPUT_TYPES()
     entries = list((it.get("required") or {}).items())
     entries += list((it.get("optional") or {}).items())
     names = []
     for name, spec in entries:
         kind = spec[0] if isinstance(spec, (tuple, list)) else spec
-        if isinstance(kind, str) and kind in _SOCKET_ONLY_TYPES:
-            continue
-        names.append(name)
+        if (isinstance(kind, (list, tuple))
+                or (isinstance(kind, str) and kind in _WIDGET_PRIMITIVES)):
+            names.append(name)
     return names
 
 

@@ -14,6 +14,7 @@ consume them.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Dict, Optional, Tuple
 
@@ -207,6 +208,18 @@ class LinearEXRExport:
         return export_node_return(result)
 
 
+@functools.lru_cache(maxsize=1)
+def _standard_decode():
+    """Jitted bare decoder forward (one compiled program per
+    (cfg, precision, shape) — jax.jit's own cache keys the static args);
+    going eager here would dispatch hundreds of conv/GN/attention ops
+    per decode and forgo XLA fusion on the host-facing comparison node."""
+    import jax
+
+    from hdrvae.models.decoder import decoder_apply
+    return jax.jit(decoder_apply, static_argnames=("cfg", "precision"))
+
+
 class VAEDecode:
     """Standard (clamping) VAE decode — the host-framework builtin the
     reference workflow wires NEXT TO HDRVAEDecode for comparison
@@ -230,14 +243,13 @@ class VAEDecode:
         # keeping a second full-res float32 buffer live)
         import jax.numpy as jnp
 
-        from hdrvae.models.decoder import decoder_apply
         latent = jnp.asarray(_to_numpy(samples["samples"]), jnp.float32)
         zc = vae.config.z_channels
         if latent.ndim == 4 and latent.shape[-1] != zc \
                 and latent.shape[1] == zc:
             latent = jnp.transpose(latent, (0, 2, 3, 1))   # NCHW -> NHWC
-        out = decoder_apply(vae.params, latent, vae.config,
-                            precision=vae.precision)
+        out = _standard_decode()(vae.params, latent, cfg=vae.config,
+                                 precision=vae.precision)
         return (np.asarray(out.rgb, dtype=np.float32),)
 
 

@@ -24,9 +24,12 @@ a bicubic skip of the input through ``conv_bicubic`` joins the
 pixel-shuffle path, with an auxiliary LR image bounced through
 ``conv_aux``/``conv_after_aux``.
 
-The window attention runs on the XLA einsum path; the fused Swin Pallas
-kernel (kernels/swin_attention.py) implements v1 math (pre-norm,
-dot-product scores, table bias) and does not apply here.  Matmuls run in
+The window attention runs through the fused Swin Pallas block kernel
+(kernels/swin_attention.py) in TPU fast mode — swin_block_fused's
+``post_norm``/``qk_scale`` options express the v2 differences (q/k
+normalization + logit scale fold into the prologue, CPB bias rides the
+v1 bias tables, res-post-norm reorders the epilogue) — and falls back
+to the XLA einsum path elsewhere (use_swin_kernel gate).  Matmuls run in
 Precision.compute_dtype with float32 accumulation; q/k normalization,
 logit scaling, CPB MLP, and LayerNorm statistics are float32.
 """

@@ -77,10 +77,13 @@ def nearest_exact(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return x[:, ys][:, :, xs]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _area_weights(n_in: int, n_out: int) -> np.ndarray:
     """[n_out, n_in] box-mean matrix for adaptive average pooling
-    (torch integer boundaries: floor/ceil of i*n_in/n_out)."""
+    (torch integer boundaries: floor/ceil of i*n_in/n_out).  The cache
+    is bounded: a long-lived server resizing arbitrary user resolutions
+    would otherwise accumulate O(n_out*n_in) float32 matrices forever
+    (a 3840->2048 axis entry alone is 31 MB)."""
     w = np.zeros((n_out, n_in), np.float32)
     for i in range(n_out):
         s = (i * n_in) // n_out

@@ -173,6 +173,20 @@ class TestFolders:
             "upscale_models", "4x/RealESRGAN_x4plus.pth").endswith(
                 "RealESRGAN_x4plus.pth")
 
+    def test_bare_root_lists_loose_files_only(self, tmp_path, monkeypatch):
+        """The bare HDRVAE_MODELS_DIR root contributes only loose files:
+        recursing there would duplicate the kind subdir's entries under a
+        second relative path and list sibling kinds' checkpoints (a VAE)
+        as selectable upscale models."""
+        (tmp_path / "upscale_models" / "4x").mkdir(parents=True)
+        (tmp_path / "upscale_models" / "4x" / "x.pth").write_bytes(b"x")
+        (tmp_path / "vae").mkdir()
+        (tmp_path / "vae" / "ae.safetensors").write_bytes(b"v")
+        (tmp_path / "loose.pth").write_bytes(b"l")
+        monkeypatch.setenv("HDRVAE_MODELS_DIR", str(tmp_path))
+        names = folders.get_filename_list("upscale_models")
+        assert names == ["4x/x.pth", "loose.pth"]
+
 
 class TestComfyAdapter:
     def test_torch_returns(self, small_cfg, rng):

@@ -234,6 +234,47 @@ def test_literal_two_int_list_is_not_a_link():
     assert res["n1"][0] == [512, 512]
 
 
+def test_custom_socket_type_owns_no_widget_slot():
+    """Widget-slot classification is ComfyUI's whitelist (combos +
+    INT/FLOAT/STRING/BOOLEAN), not a blacklist of known socket names: a
+    third-party registry's custom socket type ('NOISE') must not consume
+    a widgets_values position, or every later widget shifts by one."""
+    from hdrvae.api.graph import GraphExecutor, _widget_names_in_order
+
+    class SamplerNode:
+        @classmethod
+        def INPUT_TYPES(cls):
+            return {"required": {"noise": ("NOISE",),
+                                 "steps": ("INT", {"default": 10}),
+                                 "cfg": ("FLOAT", {"default": 1.0})}}
+        RETURN_TYPES = ("INT",)
+        FUNCTION = "go"
+
+        def go(self, noise, steps, cfg):
+            return (steps,)
+
+    assert _widget_names_in_order(SamplerNode) == ["steps", "cfg"]
+
+    class NoiseNode:
+        @classmethod
+        def INPUT_TYPES(cls):
+            return {"required": {}}
+        RETURN_TYPES = ("NOISE",)
+        FUNCTION = "go"
+
+        def go(self):
+            return ("nz",)
+
+    ex = GraphExecutor(registry={"Sampler": SamplerNode,
+                                 "Noise": NoiseNode})
+    res = ex.run({"nodes": [
+        {"id": "n0", "type": "Noise"},
+        {"id": "n1", "type": "Sampler",
+         "inputs": {"noise": ["n0", 0]},
+         "widgets_values": [20, 7.5]}]})
+    assert res["n1"][0] == 20
+
+
 def test_cli_run_executes_reference_workflow(tmp_path, monkeypatch,
                                              capsys):
     """`hdrvae run` on the reference's shipped ComfyUI UI-export graph:

@@ -117,14 +117,18 @@ def check_swin() -> bool:
                          window_size=8, num_feat=16, scale=2)
     p2 = init_swin2sr(jax.random.PRNGKey(9), cfg2)
     # init leaves logit_scale constant and the CPB bias flat (softmax-
-    # neutral) — randomize so the scale/bias paths are actually tested
+    # neutral) — randomize so the scale/bias paths are actually tested,
+    # with DISTINCT values per block (identical-per-block values would
+    # let a cross-block indexing bug in the kernel plumbing cancel)
+    key = jax.random.PRNGKey(13)
     for layer in p2["layers"]:
         for blk in layer["blocks"]:
             a = blk["attn"]
+            key, k_ls, k_cpb = jax.random.split(key, 3)
             a["logit_scale"] = jax.random.normal(
-                jax.random.PRNGKey(13), a["logit_scale"].shape) * 0.5
+                k_ls, a["logit_scale"].shape) * 0.5
             a["cpb_fc1"]["bias"] = jax.random.normal(
-                jax.random.PRNGKey(14), a["cpb_fc1"]["bias"].shape) * 0.3
+                k_cpb, a["cpb_fc1"]["bias"].shape) * 0.3
     err = float(np.abs(run(swin2sr_apply, p2, cfg2, "pallas")
                        - run(swin2sr_apply, p2, cfg2, "xla")).max())
     ok &= _report("swin2sr fused v2 block (cosine + post-norm)", err, 1e-4)
