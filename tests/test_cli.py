@@ -92,6 +92,33 @@ class TestCLI:
             _load_latent(str(tmp_path / "x.txt"))
 
 
+def test_decode_plain(tmp_path, monkeypatch, capsys):
+    """Plain `decode`: random latent -> HDR decode -> versioned EXR +
+    decode-summary JSON (the config-1 path from one command)."""
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path))
+    rc, outs = _run(capsys, ["decode", "--size", "32", "--prefix", "one"])
+    assert rc == 0
+    summary = outs[0]
+    assert "used_fallback" in summary and "normalization" in summary
+    files = list(tmp_path.glob("one*.exr"))
+    assert len(files) == 1
+    img = exr.read_exr(str(files[0]))
+    assert img.shape == (32, 32, 3)
+
+
+@pytest.mark.slow
+def test_decode_tiled_slab(tmp_path, monkeypatch, capsys):
+    """`decode --tiled`: the sharded slab path (exact GN psum) over the
+    8-device CPU mesh from the CLI."""
+    monkeypatch.setenv("HDRVAE_OUTPUT_DIR", str(tmp_path))
+    rc, outs = _run(capsys, ["decode", "--size", "64", "--tiled",
+                             "--prefix", "slab"])
+    assert rc == 0
+    files = list(tmp_path.glob("slab*.exr"))
+    assert len(files) == 1
+    assert exr.read_exr(str(files[0])).shape == (64, 64, 3)
+
+
 def test_decode_pipelined_frames(tmp_path, monkeypatch):
     """decode --pipelined: frame-sequence export through the overlapped
     stream (decode || fetch || write), composing with --tiled."""
