@@ -92,8 +92,6 @@ def to_nhwc_rgb(x: jnp.ndarray) -> jnp.ndarray:
     else:
         out = collapse_channels_maxpool(x)
 
-    if out.shape[-1] > 3:
-        out = out[..., :3]
-    elif out.shape[-1] < 3:
-        out = collapse_channels_maxpool(out)
+    # every branch above lands on exactly 3 channels
+    # (collapse_channels_maxpool's contract)
     return out.astype(jnp.float32)

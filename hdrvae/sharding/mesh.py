@@ -124,13 +124,26 @@ def _sharded_decode_step(params: Params, tiles: jnp.ndarray,
     """tiles: [T, B, th, tw, zc] sharded on T; returns the full image plus
     the epilogue outputs (replicated).
 
-    With ``global_stats`` a whole-image (possibly downsampled) decode first
-    collects a GroupNorm tape; every tile then normalizes with those shared
-    statistics instead of its own — the two-phase answer to GroupNorm's
-    global nature under tiling (SURVEY.md section 7 hard-parts).
+    With ``global_stats`` a whole-image decode first collects a GroupNorm
+    tape; every tile then normalizes with those shared statistics instead
+    of its own — the two-phase answer to GroupNorm's global nature under
+    tiling (SURVEY.md section 7 hard-parts).
     """
     tile_sharding = NamedSharding(mesh, P(axis_name))
     tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
+
+    # Pallas custom calls must stay out of the SPMD-partitioned region on
+    # a >1-device mesh (the slab executor's head comment below: the
+    # partitioner either trips on them or demotes neighboring fusions to
+    # degenerate layouts).  The slab path confines them to shard_map; this
+    # tile executor runs decode_tile inside the partitioned jit, so on a
+    # real mesh force the XLA upstack.  A 1-device mesh partitions
+    # trivially and keeps the measured kernel-chain tile throughput
+    # (NOTES_ROUND3 item 3).  An explicit upstack="pallas" request is
+    # honored (and will assert inside decoder_apply if unsupported).
+    if mesh.devices.size > 1 and precision.upstack == "auto":
+        import dataclasses as _dc
+        precision = _dc.replace(precision, upstack="xla")
 
     collected = None
     if global_stats:
@@ -493,8 +506,13 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     zc = decoder_cfg.z_channels
     if latent.ndim != 4:
         raise ValueError(f"latent must be 4D, got shape {latent.shape}")
-    if latent.shape[-1] != zc and latent.shape[1] == zc:
-        latent = jnp.transpose(latent, (0, 2, 3, 1))  # NCHW -> NHWC
+    if latent.shape[-1] != zc:
+        if latent.shape[1] == zc:
+            latent = jnp.transpose(latent, (0, 2, 3, 1))  # NCHW -> NHWC
+        else:
+            raise ValueError(
+                f"latent shape {latent.shape} has no {zc}-channel axis "
+                f"(expected NHWC or NCHW with z_channels={zc})")
     if mesh is None:
         mesh = make_mesh()
     if tail_levels is None:
@@ -513,8 +531,11 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     image, rgb, stats, used_fallback = _slab_decode_step(
         params, latent, decoder_cfg, cfg, precision, mesh, tail_levels,
         halo)
-    return HDRDecodeResult(image=image, standard=rgb, stats=stats,
-                           used_fallback=used_fallback)
+    # same contract as hdr_decode (decode/pipeline.py): the standard
+    # decode is only returned when asked for
+    return HDRDecodeResult(image=image,
+                           standard=rgb if cfg.keep_standard else None,
+                           stats=stats, used_fallback=used_fallback)
 
 
 def sharded_tiled_decode(params: Params, latent: jnp.ndarray,

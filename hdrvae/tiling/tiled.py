@@ -156,7 +156,6 @@ def tiled_apply_comfy(fn: Callable[[jnp.ndarray], jnp.ndarray],
     so XLA compiles at most four model variants.  With ``pbar`` the tiles
     run as a host loop in emission order (per-tile progress)."""
     plan = plan_tiles_comfy(x.shape[1], x.shape[2], tile, overlap)
-    feather = round(overlap * scale)
 
     outs: List[jnp.ndarray | None] = [None] * plan.num_tiles
     if pbar is not None:

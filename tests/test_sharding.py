@@ -104,6 +104,28 @@ def test_slab_decode_exact(small_cfg, small_params, rng):
     assert bool(slab.used_fallback) == bool(whole.used_fallback)
 
 
+def test_slab_decode_contract(small_cfg, small_params, rng):
+    """sharded_slab_decode honors hdr_decode's result contract:
+    keep_standard=False returns standard=None, and a latent with no
+    z_channels axis raises the same API-level ValueError instead of an
+    opaque conv shape error inside the jitted program."""
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    latent = _latent(rng, small_cfg, 16, 16)
+    cfg = HDRDecodeConfig(hdr_mode="conservative", keep_standard=False)
+    slab = sharded_slab_decode(small_params, latent, small_cfg, cfg,
+                               mesh=make_mesh(num_devices=4), tail_levels=1,
+                               precision=Precision.parity())
+    assert slab.standard is None
+    assert np.isfinite(np.asarray(slab.image)).all()
+
+    bad = np.zeros((1, 16, 16, small_cfg.z_channels + 1), np.float32)
+    with pytest.raises(ValueError, match="channel axis"):
+        sharded_slab_decode(small_params, bad, small_cfg,
+                            HDRDecodeConfig(),
+                            mesh=make_mesh(num_devices=4), tail_levels=1,
+                            precision=Precision.parity())
+
+
 @pytest.mark.parametrize("mode", ["mathematical_recovery", "exposure"])
 def test_slab_decode_exact_all_tail_levels(small_cfg, small_params, rng,
                                            mode):
