@@ -236,8 +236,10 @@ class TilingConfig:
     """Static overlap-tile plan (replaces the OOM-retry loop at
     `hdr_upscale_with_model.py:120-145` with trace-time selection)."""
 
-    tile: int = 512        # tile edge in *output pixel* space
-    overlap: int = 64      # overlap in output pixel space
+    tile: int = 512        # tile edge in INPUT pixel space (ComfyUI
+    overlap: int = 64      # tile_x/tile_y semantics); overlap likewise.
+                           # Only the blend feather width is output-space
+                           # (overlap * scale, computed by the stitcher).
     min_tile: int = 128    # reference floor (`hdr_upscale_with_model.py:140`)
     # HBM budget used by the planner to pick a tile size (bytes).  None means
     # "use the configured tile size as-is".

@@ -140,8 +140,14 @@ def _write_sidecar(filepath: str, prompt: Optional[dict],
     if not (payload["prompt"] or payload["extra_pnginfo"]):
         return
     base, _ = os.path.splitext(filepath)
-    with open(base + ".json", "w") as f:
-        json.dump(payload, f, indent=4)
+    try:
+        with open(base + ".json", "w") as f:
+            json.dump(payload, f, indent=4)
+    except Exception as e:
+        # non-fatal, like the reference (`linear_exr_export.py:134-143`):
+        # an unserializable prompt or a sidecar write error must not
+        # abort an export whose frames are already on disk
+        logger.warning("sidecar workflow JSON not written: %s", e)
 
 
 def export_linear(hdr_image: np.ndarray,
@@ -195,8 +201,15 @@ def export_linear(hdr_image: np.ndarray,
                 pbar.update(1)
 
         if result.filepaths:
-            result.verify_stats = verify_save(result.filepaths[-1])
-            result.verified = True
+            try:
+                result.verify_stats = verify_save(result.filepaths[-1])
+                result.verified = True
+            except Exception as e:
+                # read-back verification is diagnostic, not gating: the
+                # reference's _verify_save swallows all exceptions and
+                # warns (`linear_exr_export.py:371-429`) — the files are
+                # already safely on disk
+                logger.warning("read-back verification failed: %s", e)
         return result
     except Exception as e:  # node contract: report, don't raise
         logger.error("export failed: %s", e, exc_info=True)

@@ -130,8 +130,9 @@ def export_stream(frames: Iterable[Frame],
             paths[i] = filepath   # recorded on the (single) writer
             return filepath       # thread so failures report partials
 
-        with cf.ThreadPoolExecutor(1) as fetcher, \
-                cf.ThreadPoolExecutor(1) as writer:
+        fetcher = cf.ThreadPoolExecutor(1)
+        writer = cf.ThreadPoolExecutor(1)
+        try:
             fetch_q: deque = deque()
             write_q: deque = deque()
 
@@ -161,11 +162,24 @@ def export_stream(frames: Iterable[Frame],
                 drain_fetch()
             while write_q:
                 drain_write()
+        finally:
+            # on success both queues are empty; on a write/fetch failure
+            # CANCEL queued work instead of letting executor shutdown run
+            # it — a frame sequence must stop at its first failed write
+            # (the reference raises on the first failed save,
+            # `linear_exr_export.py:344-346`), not continue past a hole
+            fetcher.shutdown(wait=True, cancel_futures=True)
+            writer.shutdown(wait=True, cancel_futures=True)
 
         result.filepaths = [paths[i] for i in sorted(paths)]
         if result.filepaths:
-            result.verify_stats = verify_save(result.filepaths[-1])
-            result.verified = True
+            try:
+                result.verify_stats = verify_save(result.filepaths[-1])
+                result.verified = True
+            except Exception as e:
+                # diagnostic, not gating (matches the serial exporter and
+                # the reference's non-fatal _verify_save)
+                logger.warning("read-back verification failed: %s", e)
         return result
     except Exception as e:  # node contract: report, don't raise
         logger.error("pipelined export failed: %s", e, exc_info=True)

@@ -35,16 +35,21 @@ _RESIDUAL_SCALE = 0.2
 
 @dataclasses.dataclass(frozen=True)
 class RRDBNetConfig:
-    in_channels: int = 3
+    in_channels: int = 3  # user-facing image channels (pre-unshuffle)
     out_channels: int = 3
     nf: int = 64          # feature width
     nb: int = 23          # number of RRDB blocks
     gc: int = 32          # dense growth channels
-    scale: int = 4        # total upscale factor (power of 2)
+    scale: int = 4        # NET upscale factor (what tiling/callers see)
+    # RealESRGAN x2/x1 variants pixel-unshuffle the input (3 -> 12 / 48
+    # channels) and keep the internal 4x upsample stack, so the net scale
+    # is 4/unshuffle (BasicSR RRDBNet's scale=2/1 branches).  conv_first
+    # consumes in_channels * unshuffle**2 channels.
+    unshuffle: int = 1
 
     @property
     def num_upsamples(self) -> int:
-        return max(0, int(np.log2(self.scale)))
+        return max(0, int(np.log2(self.scale * self.unshuffle)))
 
     def with_small(self) -> "RRDBNetConfig":
         return dataclasses.replace(self, nf=8, nb=2, gc=4, scale=2)
@@ -74,6 +79,17 @@ def _rrdb(x: jnp.ndarray, p: Params, precision: Precision) -> jnp.ndarray:
     return x + _RESIDUAL_SCALE * h
 
 
+def _pixel_unshuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """torch.nn.functional.pixel_unshuffle on NHWC: [B, H, W, C] ->
+    [B, H/r, W/r, C*r*r] with torch's channel order (c*r*r + i*r + j),
+    so converted conv_first kernels see the layout they were trained
+    on."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
 def rrdbnet_apply(params: Params, x: jnp.ndarray,
                   cfg: RRDBNetConfig = RRDBNetConfig(), *,
                   precision: Precision = Precision()) -> jnp.ndarray:
@@ -94,9 +110,21 @@ def rrdbnet_apply(params: Params, x: jnp.ndarray,
     if precision.upstack == "pallas":
         raise ValueError(
             "precision.upstack='pallas' requires fast mode, batch 1, "
-            "width % 8 == 0, channel widths <= 128, and a TPU backend "
-            f"(got mode={precision.mode!r}, batch={x.shape[0]}, "
-            f"width={x.shape[2]}, nf={cfg.nf}, gc={cfg.gc})")
+            "width % 8 == 0, channel widths <= 128, unshuffle == 1, and "
+            f"a TPU backend (got mode={precision.mode!r}, "
+            f"batch={x.shape[0]}, width={x.shape[2]}, nf={cfg.nf}, "
+            f"gc={cfg.gc}, unshuffle={cfg.unshuffle})")
+    h0, w0 = x.shape[1], x.shape[2]
+    if cfg.unshuffle > 1:
+        # RealESRGANer's pre_process: reflect-pad to an unshuffle
+        # multiple (BasicSR's RRDBNet itself assumes divisibility), then
+        # torch-order pixel-unshuffle; output cropped back below.
+        r = cfg.unshuffle
+        pad_h, pad_w = (-h0) % r, (-w0) % r
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect")
+        x = _pixel_unshuffle(x, r)
     fea = conv2d(x, params["conv_first"], precision=precision)
     trunk = fea
     for block in params["body"]:
@@ -107,7 +135,10 @@ def rrdbnet_apply(params: Params, x: jnp.ndarray,
         fea = _lrelu(conv2d(fea, params[f"conv_up{i + 1}"],
                             precision=precision))
     fea = _lrelu(conv2d(fea, params["conv_hr"], precision=precision))
-    return conv2d(fea, params["conv_last"], precision=precision)
+    out = conv2d(fea, params["conv_last"], precision=precision)
+    if cfg.unshuffle > 1:   # crop the pre-pad region (post_process)
+        out = out[:, :h0 * cfg.scale, :w0 * cfg.scale]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +160,8 @@ def init_rrdbnet(key: jax.Array,
         return p
 
     params: Params = {
-        "conv_first": init_conv2d(next(keys), 3, 3, cfg.in_channels, nf),
+        "conv_first": init_conv2d(next(keys), 3, 3,
+                                  cfg.in_channels * cfg.unshuffle ** 2, nf),
         "body": [{"rdb1": dense(), "rdb2": dense(), "rdb3": dense()}
                  for _ in range(cfg.nb)],
         "conv_body": init_conv2d(next(keys), 3, 3, nf, nf),
@@ -185,9 +217,19 @@ def rrdbnet_from_state_dict(sd: Mapping[str, Any]
         out_ch = _to_np(sd["conv_last.weight"]).shape[0]
         ups = sorted(int(k.split(".")[0][7:]) for k in sd
                      if k.startswith("conv_up") and k.endswith(".weight"))
-        scale = 2 ** len(ups)
-        cfg = RRDBNetConfig(in_channels=in_ch, out_channels=out_ch, nf=nf,
-                            nb=nb, gc=gc, scale=scale)
+        # RealESRGAN x2/x1: conv_first consumes a pixel-unshuffled input
+        # (out_ch*4 or out_ch*16 channels) while keeping the internal
+        # upsample stack, so the net scale divides by the unshuffle
+        # factor (spandrel's shape heuristic for the same checkpoints)
+        unshuffle = 1
+        if in_ch == out_ch * 4:
+            unshuffle = 2
+        elif in_ch == out_ch * 16:
+            unshuffle = 4
+        scale = 2 ** len(ups) // unshuffle
+        cfg = RRDBNetConfig(in_channels=in_ch // unshuffle ** 2,
+                            out_channels=out_ch, nf=nf,
+                            nb=nb, gc=gc, scale=scale, unshuffle=unshuffle)
         params: Params = {
             "conv_first": _conv_from(sd, "conv_first.weight",
                                      "conv_first.bias"),

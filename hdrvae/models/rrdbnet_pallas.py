@@ -93,8 +93,10 @@ def rrdbnet_pallas_supported(precision: Precision, batch: int,
     import jax
     widths_ok = True
     if cfg is not None:
-        # dense_conv3x3 keeps all output channels in one chunk
-        widths_ok = max(cfg.nf, cfg.gc, cfg.out_channels) <= 128
+        # dense_conv3x3 keeps all output channels in one chunk; the
+        # pixel-unshuffle prologue (RealESRGAN x2/x1) is XLA-only
+        widths_ok = (max(cfg.nf, cfg.gc, cfg.out_channels) <= 128
+                     and getattr(cfg, "unshuffle", 1) == 1)
     return (precision.mode == "fast" and batch == 1 and width % 8 == 0
             and width > 0 and widths_ok
             and jax.default_backend() == "tpu"

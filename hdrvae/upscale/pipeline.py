@@ -69,15 +69,20 @@ def _select_pass_tile(x: jnp.ndarray, model_cfg: ModelConfig,
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "architecture",
-                                             "precision"))
-def _tile_forward(params: Params, tile: jnp.ndarray,
-                  model_cfg: ModelConfig, architecture: str,
-                  precision: Precision) -> jnp.ndarray:
+def _forward_with_reversal(params: Params, tile: jnp.ndarray,
+                           model_cfg: ModelConfig, architecture: str,
+                           precision: Precision) -> jnp.ndarray:
     """One tile through the model + inverse activation (the reference's
-    forward hook `hdr_upscale_with_model.py:79-107` as composition)."""
+    forward hook `hdr_upscale_with_model.py:79-107` as composition).
+    The single definition both execution paths share — the jitted pass
+    and the per-tile progress loop must stay numerically identical."""
     out = upscaler_apply(params, tile, model_cfg, precision=precision)
     return get_reversal_fn(architecture)(out)
+
+
+_tile_forward = functools.partial(
+    jax.jit, static_argnames=("model_cfg", "architecture", "precision"))(
+        _forward_with_reversal)
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "cfg",
@@ -85,16 +90,12 @@ def _tile_forward(params: Params, tile: jnp.ndarray,
 def _run_pass(params: Params, x: jnp.ndarray, model_cfg: ModelConfig,
               cfg: UpscaleConfig, architecture: str,
               precision: Precision) -> jnp.ndarray:
-    reversal = get_reversal_fn(architecture)
-
-    def model_with_reversal(tile: jnp.ndarray) -> jnp.ndarray:
-        out = upscaler_apply(params, tile, model_cfg, precision=precision)
-        return reversal(out)
-
     tile = _select_pass_tile(x, model_cfg, cfg, precision)
-    return tiled_apply(model_with_reversal, x, tile=tile,
-                       overlap=cfg.tiling.overlap, scale=model_cfg.scale,
-                       mode=cfg.tiling.seam_mode)
+    return tiled_apply(
+        lambda t: _forward_with_reversal(params, t, model_cfg,
+                                         architecture, precision),
+        x, tile=tile, overlap=cfg.tiling.overlap, scale=model_cfg.scale,
+        mode=cfg.tiling.seam_mode)
 
 
 def _run_pass_progress(params: Params, x: jnp.ndarray,

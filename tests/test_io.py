@@ -501,6 +501,84 @@ class TestPipelinedExport:
         assert len(res.filepaths) >= 1          # frame 0 was written
         assert all(os.path.exists(p) for p in res.filepaths)
 
+    def test_write_failure_stops_the_sequence(self, tmp_path):
+        """A failed WRITE mid-sequence must stop the stream (the
+        reference raises on the first failed save,
+        `linear_exr_export.py:344-346`) instead of continuing past a
+        hole: frames queued behind the failure are cancelled, not
+        silently written."""
+        import os
+        import hdrvae.io.pipeline as pl
+        from hdrvae.io.pipeline import export_stream
+        orig_save = pl._save_one
+        calls = []
+
+        def failing_save(path, *a, **k):
+            calls.append(path)
+            if len(calls) == 3:     # third frame's write fails
+                raise RuntimeError("disk full")
+            return orig_save(path, *a, **k)
+
+        pl._save_one = failing_save
+        try:
+            seq = ExportConfig(filename_prefix="hole",
+                               frame_sequence=True)
+            res = export_stream(self._frames(8), seq, depth=2,
+                                default_output_dir=str(tmp_path))
+        finally:
+            pl._save_one = orig_save
+        assert res.error is not None and "disk full" in res.error
+        # frames before the failure exist; the tail of the sequence was
+        # cancelled (bounded lookahead may have a frame or two already
+        # in flight, but NOT the whole sequence) — with depth=2 at most
+        # depth writes can land beyond the failed frame
+        assert len(calls) <= 3 + 2, calls
+        assert len(res.filepaths) >= 2
+        assert all(os.path.exists(p) for p in res.filepaths)
+
+    def test_verify_failure_is_nonfatal(self, tmp_path):
+        """Read-back verification is diagnostic (the reference's
+        _verify_save swallows exceptions): a verify error must not turn
+        a successful export into an ERROR return."""
+        import hdrvae.io.export as ex
+        import hdrvae.io.pipeline as pl
+        img = np.ones((2, 6, 6, 3), np.float32) * 2.0
+        orig = ex.verify_save
+
+        def bad_verify(path):
+            raise RuntimeError("reader unavailable")
+
+        ex.verify_save = bad_verify
+        pl.verify_save = bad_verify
+        try:
+            res = ex.export_linear(
+                img, ExportConfig(filename_prefix="vf"),
+                default_output_dir=str(tmp_path))
+            assert res.error is None and len(res.filepaths) == 2
+            assert res.verified is False
+            res2 = pl.export_stream(
+                self._frames(2),
+                ExportConfig(filename_prefix="vs", frame_sequence=True),
+                default_output_dir=str(tmp_path))
+            assert res2.error is None and len(res2.filepaths) == 2
+            assert res2.verified is False
+        finally:
+            ex.verify_save = orig
+            pl.verify_save = orig
+
+    def test_sidecar_failure_is_nonfatal(self, tmp_path):
+        """An unserializable workflow prompt must not abort an export
+        whose frames are already on disk (the reference logs and
+        continues, `linear_exr_export.py:134-143`)."""
+        from hdrvae.io.export import export_linear
+        img = np.ones((1, 6, 6, 3), np.float32)
+        res = export_linear(
+            img, ExportConfig(filename_prefix="sc", save_workflow=True),
+            default_output_dir=str(tmp_path),
+            prompt={"bad": {1, 2, 3}})   # sets are not JSON-serializable
+        assert res.error is None and len(res.filepaths) == 1
+        assert not list(tmp_path.glob("sc*.json"))
+
     def test_writer_queue_is_bounded(self, tmp_path):
         """With a slow writer, fetched-but-unwritten frames must stay
         bounded by depth (no unbounded write_q growth)."""

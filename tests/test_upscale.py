@@ -47,6 +47,45 @@ class TestRRDBNet:
             np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(),
             atol=1e-5, rtol=1e-4)
 
+    @pytest.mark.parametrize("unshuffle,scale", [(2, 2), (4, 1)])
+    def test_pixel_unshuffle_variants(self, rng, unshuffle, scale):
+        """RealESRGAN x2/x1 checkpoints: pixel-unshuffled conv_first
+        input (12/48 channels), internal 4x upsample stack, net scale
+        4/unshuffle — the loader must infer the factor from the channel
+        shapes (spandrel's heuristic) and the forward must pad/crop
+        non-multiple inputs like RealESRGANer's pre/post_process."""
+        cfg = RRDBNetConfig(nf=8, nb=2, gc=4, scale=scale,
+                            unshuffle=unshuffle)
+        oracle = TorchRRDBNet(cfg)
+        params, detected = rrdbnet_from_state_dict(
+            dict(oracle.state_dict()))
+        assert detected == cfg
+        assert detected.scale == scale
+
+        # multiple-of-unshuffle input: straight parity with BasicSR
+        x = rng.standard_normal((1, 8, 12, 3)).astype(np.float32)
+        out_t = oracle(torch.from_numpy(x).permute(0, 3, 1, 2))
+        out_j = rrdbnet_apply(params, jnp.asarray(x), detected,
+                              precision=Precision.parity())
+        assert out_j.shape == (1, 8 * scale, 12 * scale, 3)
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(),
+            atol=1e-5, rtol=1e-4)
+
+        # non-multiple input: reflect-pad + crop, output scale*(H, W)
+        x = rng.standard_normal((1, 7, 9, 3)).astype(np.float32)
+        out_j = rrdbnet_apply(params, jnp.asarray(x), detected,
+                              precision=Precision.parity())
+        assert out_j.shape == (1, 7 * scale, 9 * scale, 3)
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        pad_h, pad_w = (-7) % unshuffle, (-9) % unshuffle
+        ref = oracle(torch.nn.functional.pad(
+            xt, (0, pad_w, 0, pad_h), mode="reflect"))
+        ref = ref[:, :, :7 * scale, :9 * scale]
+        np.testing.assert_allclose(
+            np.asarray(out_j), ref.permute(0, 2, 3, 1).numpy(),
+            atol=1e-5, rtol=1e-4)
+
     def test_old_arch_keys_detected(self, up_cfg, up_params, rng):
         """Old-arch ESRGAN serialization (model.N.*) loads to the same
         network as the new-arch layout."""

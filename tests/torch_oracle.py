@@ -190,7 +190,8 @@ class TorchRRDBNet(nn.Module):
     def __init__(self, cfg):
         super().__init__()
         self.cfg = cfg
-        self.conv_first = nn.Conv2d(cfg.in_channels, cfg.nf, 3, padding=1)
+        self.conv_first = nn.Conv2d(
+            cfg.in_channels * cfg.unshuffle ** 2, cfg.nf, 3, padding=1)
         self.body = nn.ModuleList([_RRDB(cfg.nf, cfg.gc)
                                    for _ in range(cfg.nb)])
         self.conv_body = nn.Conv2d(cfg.nf, cfg.nf, 3, padding=1)
@@ -203,6 +204,9 @@ class TorchRRDBNet(nn.Module):
 
     @torch.no_grad()
     def forward(self, x):
+        if self.cfg.unshuffle > 1:
+            # BasicSR RRDBNet's scale=2/1 branches (RealESRGAN x2/x1)
+            x = F.pixel_unshuffle(x, self.cfg.unshuffle)
         fea = self.conv_first(x)
         trunk = fea
         for block in self.body:
