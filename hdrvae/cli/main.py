@@ -86,11 +86,15 @@ def cmd_decode(args) -> int:
                                     Precision)
     from hdrvae.decode.pipeline import decode_summary, hdr_decode
 
-    cfg = DecoderConfig()
     if args.vae:
-        vae = VAE.load(args.vae, cfg)
+        # topology inferred from the checkpoint shapes (Flux z=16,
+        # SD1.5/SDXL z=4 — VAE.load's config=None path); forcing the
+        # Flux DecoderConfig here would reject every non-Flux VAE
+        vae = VAE.load(args.vae)
+        cfg = vae.config
     else:
         logger.warning("no --vae checkpoint given; using random weights")
+        cfg = DecoderConfig()
         vae = VAE.random_init(seed=0, config=cfg)
 
     if args.latent:
@@ -218,6 +222,13 @@ def cmd_convert(args) -> int:
         else:
             sd = torch.load(args.input, map_location="cpu",
                             weights_only=True)
+        # unwrap nested containers (ldm .ckpt stores weights under
+        # 'state_dict') — the same loop utils.introspect uses, so
+        # `convert` accepts every checkpoint `inspect` does
+        for container in ("params_ema", "params", "state_dict"):
+            if isinstance(sd.get(container), dict):
+                sd = sd[container]
+                break
         cfg = infer_decoder_config(sd)
         print(json.dumps({"inferred_config": {
             "z_channels": cfg.z_channels, "ch": cfg.ch,
@@ -276,9 +287,12 @@ def cmd_run(args) -> int:
     if "nodes" not in workflow:
         raise SystemExit(f"{args.workflow}: no 'nodes' list in workflow")
 
-    cfg = DecoderConfig()
-    vae = VAE.load(args.vae, cfg) if args.vae else VAE.random_init(
-        seed=0, config=cfg)
+    if args.vae:
+        vae = VAE.load(args.vae)   # config inferred from the checkpoint
+        cfg = vae.config
+    else:
+        cfg = DecoderConfig()
+        vae = VAE.random_init(seed=0, config=cfg)
     if args.latent:
         latent = _load_latent(args.latent)
     else:
@@ -411,10 +425,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # parse BEFORE runtime setup: --help and usage errors must not pay
+    # the multi-second jax import or touch the cache directory
+    args = build_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     from hdrvae.core.runtime import setup
     setup()  # persistent compilation cache
-    args = build_parser().parse_args(argv)
     return args.func(args)
 
 

@@ -564,6 +564,13 @@ def read_exr_header(buf: bytes) -> Tuple[Dict, int]:
         typ, pos = _read_cstr(buf, pos)
         (size,) = struct.unpack_from("<i", buf, pos)
         pos += 4
+        # a negative attribute size from a corrupt file would walk pos
+        # BACKWARDS (size == -attr_len re-parses the same attribute
+        # forever); the native reader rejects these with rc -2 and the
+        # dispatch falls back to this reader, so it must reject too
+        if size < 0 or pos + size > len(buf):
+            raise ValueError(f"corrupt EXR header: attribute {name!r} "
+                             f"size {size} out of bounds")
         payload = buf[pos:pos + size]
         pos += size
         attrs[name] = (typ, payload)
@@ -607,13 +614,28 @@ def read_exr(path: str) -> np.ndarray:
 
     planes = {name: np.empty((h, w), np.float32) for name, _ in channels}
     row_bytes = sum(w * _PIX_SIZE[pt] for _, pt in channels)
+    rows_seen = np.zeros(h, bool)
 
     for ci, off in enumerate(offsets):
+        if off > len(buf) - 8:
+            raise ValueError(f"corrupt EXR: chunk offset {off} out of "
+                             "bounds")
         y, size = struct.unpack_from("<ii", buf, off)
         y -= header["y_min"]
+        # validate the file-supplied scanline base and chunk size like
+        # the native reader (rc -4): a lying y would write rows through
+        # Python negative indexing into the wrong end of the plane and
+        # leave unwritten rows as uninitialized np.empty memory
+        if y < 0 or y >= h:
+            raise ValueError(f"corrupt EXR: chunk {ci} claims scanline "
+                             f"{y + header['y_min']}")
+        if size < 0 or off + 8 + size > len(buf):
+            raise ValueError(f"corrupt EXR: chunk {ci} size {size} out "
+                             "of bounds")
         data = buf[off + 8:off + 8 + size]
         y1 = min(y + lines, h)
         nrows = y1 - y
+        rows_seen[y:y1] = True
         raw_size = nrows * row_bytes
         if comp_id == 0 or len(data) >= raw_size:
             # Writers store raw whenever compression does not shrink.
@@ -691,6 +713,13 @@ def read_exr(path: str) -> np.ndarray:
                 row = np.frombuffer(raw[rpos:rpos + nbytes], _PIX_DTYPE[pt])
                 planes[name][yy] = row.astype(np.float32)
                 rpos += nbytes
+
+    if not rows_seen.all():
+        # duplicated/permuted chunk y values can cover some rows twice
+        # and others never — those rows would be uninitialized memory
+        missing = np.nonzero(~rows_seen)[0]
+        raise ValueError(f"corrupt EXR: {missing.size} scanlines "
+                         f"(first {missing[0]}) covered by no chunk")
 
     names = [name for name, _ in channels]
     if set(names) >= {"R", "G", "B"}:

@@ -45,9 +45,16 @@ uint16_t float_to_half(float f) {
   uint32_t sign = (x >> 16) & 0x8000u;
   int32_t exp = static_cast<int32_t>((x >> 23) & 0xFF) - 127 + 15;
   uint32_t mant = x & 0x7FFFFFu;
-  if (((x >> 23) & 0xFF) == 0xFF)  // inf / nan
-    return static_cast<uint16_t>(sign | 0x7C00u |
-                                 (mant ? (0x200u | (mant >> 13)) : 0));
+  if (((x >> 23) & 0xFF) == 0xFF) {  // inf / nan
+    if (!mant) return static_cast<uint16_t>(sign | 0x7C00u);
+    // NaN: truncate the payload like numpy's float->half cast (the
+    // byte-identity contract with the exr_py writer, which uses
+    // astype('<f2')); only force a bit when truncation would turn the
+    // NaN into an inf
+    uint32_t h = 0x7C00u | (mant >> 13);
+    if (h == 0x7C00u) h |= 1u;
+    return static_cast<uint16_t>(sign | h);
+  }
   if (exp >= 31) return static_cast<uint16_t>(sign | 0x7C00u);  // overflow
   if (exp <= 0) {  // subnormal or zero
     if (exp < -10) return static_cast<uint16_t>(sign);
@@ -705,7 +712,9 @@ bool hufUncompress(const uint8_t* data, size_t size, uint16_t* out,
   uint32_t im = rd_u32(0), iM = rd_u32(4), tlen = rd_u32(8),
            nbits = rd_u32(12);
   if (im >= kHufEncSize || iM >= kHufEncSize || im > iM) return false;
-  if (20 + tlen > size) return false;
+  // 64-bit comparison: `20 + tlen` in 32-bit arithmetic wraps for
+  // tlen >= 2^32-20 and would bypass the bound (size >= 20 was checked)
+  if (tlen > size - 20) return false;
 
   std::vector<uint64_t> hcode(kHufEncSize);
   BitReader tr{data + 20, tlen};
@@ -1258,7 +1267,8 @@ int exr_read(const char* path, float* out) {
   for (int ci = 0; ci < n_chunks; ++ci) {
     uint64_t off;
     std::memcpy(&off, table + 8ull * ci, 8);
-    if (off + 8 > buf.size()) return -4;
+    // non-wrapping form: `off + 8` overflows for off >= 2^64-8
+    if (off > buf.size() || buf.size() - off < 8) return -4;
     int32_t y = get_i32(buf.data() + off) - p.y_min;
     if (y < 0 || y >= p.height) return -4;   // lying scanline base
     int32_t size = get_i32(buf.data() + off + 4);

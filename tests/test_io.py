@@ -900,6 +900,110 @@ def test_exr_extra_channels_native_python_parity(tmp_path, monkeypatch):
     np.testing.assert_allclose(a[..., 3], img[..., 3], rtol=0, atol=0)
 
 
+class TestCraftedCorruption:
+    """Targeted regressions for corruptions the random fuzz never hits:
+    each was demonstrated to crash/hang/corrupt before the fix (segfault
+    via 32-bit tlen wrap, header-parser infinite loop on negative
+    attribute size, silent stale-memory output on a lying chunk y)."""
+
+    def _base(self, tmp_path, comp="none", name="c.exr", h=6, w=5):
+        rng = np.random.default_rng(1)
+        img = rng.standard_normal((h, w, 3)).astype(np.float32)
+        p = str(tmp_path / name)
+        exr.write_exr(p, img, compression=comp, pixel_type="half")
+        return p, bytearray(open(p, "rb").read())
+
+    @staticmethod
+    def _attr_size_pos(blob):
+        # magic(4) + version(4), then name\0 type\0 <i32 size>
+        name_end = blob.index(b"\0", 8)
+        type_end = blob.index(b"\0", name_end + 1)
+        return type_end + 1
+
+    def test_negative_attribute_size_rejected(self, tmp_path):
+        p, blob = self._base(tmp_path)
+        pos = self._attr_size_pos(blob)
+        import struct
+        blob[pos:pos + 4] = struct.pack("<i", -28)
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="out of bounds"):
+            exr_py.read_exr_header(bytes(blob))
+        with pytest.raises(Exception):
+            exr.read_exr(p)   # full dispatch: native reject + py reject
+
+    def test_lying_chunk_y_rejected(self, tmp_path):
+        import struct
+        p, blob = self._base(tmp_path)
+        header, pos = exr_py.read_exr_header(bytes(blob))
+        (off0,) = struct.unpack_from("<Q", bytes(blob), pos)
+        blob[off0:off0 + 4] = struct.pack("<i", header["y_min"] - 1)
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="scanline"):
+            exr_py.read_exr(p)
+
+    def test_duplicate_chunk_y_rejected(self, tmp_path):
+        import struct
+        p, blob = self._base(tmp_path)          # none: 1 line per chunk
+        header, pos = exr_py.read_exr_header(bytes(blob))
+        off0, off1 = struct.unpack_from("<2Q", bytes(blob), pos)
+        # chunk 1 claims chunk 0's scanline: some row is never written
+        blob[off1:off1 + 4] = bytes(blob[off0:off0 + 4])
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="covered by no chunk"):
+            exr_py.read_exr(p)
+
+    def test_wild_chunk_offset_rejected(self, tmp_path):
+        import struct
+        p, blob = self._base(tmp_path)
+        header, pos = exr_py.read_exr_header(bytes(blob))
+        blob[pos:pos + 8] = struct.pack("<Q", 2 ** 64 - 1)
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(Exception):
+            exr.read_exr(p)    # native -4 (no OOB read), python raises
+        with pytest.raises(ValueError, match="out of bounds"):
+            exr_py.read_exr(p)
+
+    def test_piz_huffman_tlen_overflow_rejected(self, tmp_path):
+        """tlen = 0xFFFFFFF6 made `20 + tlen` wrap in 32-bit arithmetic,
+        bypassing the bound and segfaulting the host."""
+        import struct
+        # compressible image (noise would be stored as raw chunks)
+        img = np.tile(np.linspace(0, 1, 16, dtype=np.float32)[None, :,
+                                                              None],
+                      (40, 1, 3))
+        p = str(tmp_path / "piz.exr")
+        exr.write_exr(p, img, compression="piz", pixel_type="half")
+        blob = bytearray(open(p, "rb").read())
+        header, pos = exr_py.read_exr_header(bytes(blob))
+        (off0,) = struct.unpack_from("<Q", bytes(blob), pos)
+        (csize,) = struct.unpack_from("<i", bytes(blob), off0 + 4)
+        row_bytes = 16 * 2 * 3
+        assert csize < 32 * row_bytes, "chunk stored raw; patch useless"
+        payload = off0 + 8
+        min_nz, max_nz = struct.unpack_from("<HH", bytes(blob), payload)
+        count = (max_nz - min_nz + 1) if min_nz <= max_nz else 0
+        # payload: minmax(4) + bitmap(count) + hlen(4) + huf block
+        # huf block: im(4) iM(4) tlen(4) ...
+        tlen_pos = payload + 4 + count + 4 + 8
+        blob[tlen_pos:tlen_pos + 4] = struct.pack("<I", 0xFFFFFFF6)
+        open(p, "wb").write(bytes(blob))
+        with pytest.raises(Exception):
+            exr.read_exr(p)    # must be a clean error, not SIGSEGV
+
+    def test_nan_payload_byte_identity(self, tmp_path):
+        """Native float->half matches numpy for every NaN payload: all
+        65536 half patterns round-tripped f32->half by both writers."""
+        patterns = np.arange(65536, dtype=np.uint16)
+        img = patterns.view(np.float16).astype(np.float32).reshape(
+            256, 256, 1)
+        pn = str(tmp_path / "n.exr")
+        pp = str(tmp_path / "p.exr")
+        exr.write_exr(pn, img, pixel_type="half", compression="none",
+                      use_native=True)
+        exr_py.write_exr(pp, img, pixel_type="half", compression="none")
+        assert open(pn, "rb").read() == open(pp, "rb").read()
+
+
 def test_native_reader_corruption_fuzz(tmp_path):
     """Deterministic corruption fuzz of the native EXR reader: every
     mutation must yield an error code or a clean Python exception —
