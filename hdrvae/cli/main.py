@@ -333,6 +333,32 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from hdrvae.api.vae import VAE
+    from hdrvae.core.config import (DecoderConfig, HDRDecodeConfig,
+                                    Precision)
+    from hdrvae.serve.engine import ServeEngine
+    from hdrvae.serve.http import serve_forever
+
+    if args.vae:
+        vae = VAE.load(args.vae)
+    else:
+        logger.warning("no --vae checkpoint given; using random weights")
+        vae = VAE.random_init(seed=0, config=DecoderConfig())
+    precision = Precision.parity() if args.parity else Precision.fast()
+    engine = ServeEngine(vae, hdr_cfg=HDRDecodeConfig(hdr_mode=args.mode),
+                         precision=precision,
+                         bucket=args.bucket if args.bucket > 0 else None,
+                         max_pending=args.max_pending)
+    if args.warmup:
+        scale = vae.config.spatial_scale
+        sizes = [int(s) // scale for s in args.warmup.split(",") if s]
+        logger.info("warming up latent sizes %s ...", sizes)
+        engine.warmup([(s, s) for s in sizes])
+    serve_forever(engine, args.host, args.port)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
     import os
@@ -412,6 +438,26 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("--size", type=int)
     p.set_defaults(func=cmd_bench)
+
+    p = sub.add_parser("serve", help="HTTP decode service (POST .npy "
+                                     "latents to /v1/decode, get EXR/HDR)")
+    p.add_argument("--vae", help="Flux.1 ae.safetensors checkpoint")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8475)
+    p.add_argument("--mode", default="mathematical_recovery",
+                   choices=("conservative", "exposure", "adaptive_recovery",
+                            "mathematical_recovery"))
+    p.add_argument("--parity", action="store_true",
+                   help="full float32 numerics (slower)")
+    p.add_argument("--bucket", type=int, default=64,
+                   help="latent shape-bucket multiple (0 = compile per "
+                        "exact shape)")
+    p.add_argument("--max-pending", type=int, default=32,
+                   help="request-queue bound (503 beyond it)")
+    p.add_argument("--warmup", default="",
+                   help="comma-separated output edges to pre-compile, "
+                        "e.g. 1024,2048")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("run", help="execute a workflow JSON graph")
     p.add_argument("workflow")

@@ -1,0 +1,269 @@
+"""Online serving engine: queued HDR decodes with shape bucketing and
+device/host overlap.
+
+The reference is a ComfyUI node — one decode per graph execution, driven
+interactively.  A production deployment instead sees a stream of latents at
+mixed resolutions; this engine is the framework's request-level executor
+for that workload:
+
+  - **Bounded compilation**: every request's latent is snapped up to a
+    shape bucket (`decode.buckets.BucketPolicy`, or a plain multiple), so
+    an arbitrary-resolution stream compiles a small fixed set of XLA
+    programs instead of one per resolution (SURVEY.md section 7
+    hard-parts, "recompilation storms").  Bucketed decodes are EXACT —
+    the pad region is masked out of every statistic (PadMask).
+  - **Device/host overlap**: the worker dispatches request N+1's decode
+    (async XLA dispatch) before fetching request N's image to host, so
+    the device never idles behind the host-side fetch — the same
+    three-stage overlap `io.pipeline.export_stream` applies to frame
+    sequences, applied across requests.
+  - **Backpressure**: a bounded queue; `submit(block=False)` raises
+    :class:`EngineOverloaded` instead of letting requests pile up.
+
+Why NOT cross-request batching: the reference computes its analysis and
+acceptance statistics over the whole request tensor
+(`hdr_vae_decode.py:862-873,1042-1058` — min/max/std of the pre-conv_out
+map gate the mode math), so stacking two users' latents into one batch
+would couple their statistics and change both results.  Request == decode
+call keeps serving exact; multi-frame batches WITHIN one request decode
+as one call, matching the node semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from collections import Counter, deque
+from typing import Any, Dict, Optional, Tuple, Union
+
+import numpy as np
+
+from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
+from hdrvae.decode.buckets import BucketPolicy
+
+__all__ = ["EngineOverloaded", "ServeEngine", "ServeResponse"]
+
+
+class EngineOverloaded(RuntimeError):
+    """The request queue is full (non-blocking submit)."""
+
+
+@dataclasses.dataclass
+class ServeResponse:
+    """One completed decode."""
+
+    image: np.ndarray            # [B, H, W, 3] float32, linear HDR
+    summary: Dict[str, Any]      # decode_summary record (stats, mode, ...)
+    latency_s: float             # submit -> result, wall clock
+    padded_hw: Tuple[int, int]   # latent shape actually compiled for
+
+
+_STOP = object()
+
+
+class ServeEngine:
+    """Queued decode executor over one loaded VAE.
+
+    Thread-safe: any number of threads may ``submit``; one worker thread
+    owns the device.  Use as a context manager or call :meth:`close`.
+    """
+
+    def __init__(self, vae, *,
+                 hdr_cfg: HDRDecodeConfig = HDRDecodeConfig(),
+                 precision: Optional[Precision] = None,
+                 bucket: Union[BucketPolicy, int, None] = 64,
+                 max_pending: int = 32,
+                 depth: int = 2):
+        """
+        Args:
+          vae: a loaded :class:`hdrvae.api.vae.VAE` handle.
+          hdr_cfg: default decode config; per-request overrides via
+            ``submit(cfg=...)``.
+          precision: defaults to the VAE handle's precision.
+          bucket: a fitted :class:`BucketPolicy`, a plain multiple (int,
+            latent-space pixels), or None to compile per exact shape.
+          max_pending: request-queue bound (backpressure).
+          depth: in-flight decodes kept dispatched ahead of the host
+            fetch (2 = classic double buffering).
+        """
+        self._vae = vae
+        self.hdr_cfg = hdr_cfg
+        self._precision = precision if precision is not None \
+            else vae.precision
+        self._bucket = bucket
+        self._depth = max(1, depth)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
+        self._lock = threading.Lock()
+        self._closed = False
+        self._n_done = 0
+        self._n_errors = 0
+        self._megapixels = 0.0
+        self._latencies: deque = deque(maxlen=256)
+        self._shape_counts: Counter = Counter()
+        self._started = time.monotonic()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="hdrvae-serve")
+        self._worker.start()
+
+    # -- client side --------------------------------------------------
+
+    def submit(self, latent: np.ndarray,
+               cfg: Optional[HDRDecodeConfig] = None, *,
+               block: bool = True, timeout: Optional[float] = None):
+        """Enqueue one decode; returns a ``concurrent.futures.Future``
+        resolving to a :class:`ServeResponse`.
+
+        latent: [h, w, z], [B, h, w, z] (NHWC) or [B, z, h, w] (NCHW,
+        auto-detected by ``hdr_decode``).
+        """
+        import concurrent.futures as cf
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        latent = np.asarray(latent)
+        if latent.ndim == 3:
+            latent = latent[None]
+        if latent.ndim != 4:
+            raise ValueError(f"latent must be 3D/4D, got {latent.shape}")
+        fut: "cf.Future" = cf.Future()
+        item = (fut, latent, cfg if cfg is not None else self.hdr_cfg,
+                time.monotonic())
+        try:
+            self._queue.put(item, block=block, timeout=timeout)
+        except queue.Full:
+            raise EngineOverloaded(
+                f"{self._queue.maxsize} requests already pending") from None
+        return fut
+
+    def decode_sync(self, latent: np.ndarray,
+                    cfg: Optional[HDRDecodeConfig] = None) -> ServeResponse:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(latent, cfg).result()
+
+    def warmup(self, latent_hw_list, batch: int = 1) -> None:
+        """Pre-compile the programs for a list of latent (h, w) sizes."""
+        zc = self._vae.config.z_channels
+        futs = [self.submit(np.zeros((batch, h, w, zc), np.float32))
+                for h, w in latent_hw_list]
+        for f in futs:
+            f.result()
+
+    def stats(self) -> Dict[str, Any]:
+        """Counters + recent-latency quantiles (host-side, cheap)."""
+        with self._lock:
+            lat = sorted(self._latencies)
+            done, err = self._n_done, self._n_errors
+            mp = self._megapixels
+            shapes = dict(self._shape_counts)
+        q = (lambda p: float(lat[min(len(lat) - 1,
+                                     int(p * len(lat)))]) if lat else None)
+        return {
+            "requests": done,
+            "errors": err,
+            "pending": self._queue.qsize(),
+            "megapixels": round(mp, 6),
+            "uptime_s": round(time.monotonic() - self._started, 3),
+            "latency_p50_s": q(0.50),
+            "latency_p95_s": q(0.95),
+            "compiled_latent_shapes": {f"{h}x{w}": n
+                                       for (h, w), n in
+                                       sorted(shapes.items())},
+        }
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain in-flight work and stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(_STOP)
+        self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker side ---------------------------------------------------
+
+    def _pad_target(self, h: int, w: int) -> Optional[Tuple[int, int]]:
+        b = self._bucket
+        if isinstance(b, BucketPolicy):
+            return b.snap_hw(h, w)
+        if isinstance(b, int) and b > 0:
+            return (-(-h // b) * b, -(-w // b) * b)
+        return None
+
+    def _dispatch(self, latent: np.ndarray, cfg: HDRDecodeConfig):
+        import jax.numpy as jnp
+
+        from hdrvae.decode.pipeline import hdr_decode
+
+        # NCHW detection mirrors hdr_decode's (for the pad target only;
+        # hdr_decode re-detects on the array it receives).
+        zc = self._vae.config.z_channels
+        if latent.shape[-1] != zc and latent.shape[1] == zc:
+            h, w = latent.shape[2], latent.shape[3]
+        else:
+            h, w = latent.shape[1], latent.shape[2]
+        target = self._pad_target(h, w)
+        result = hdr_decode(self._vae.params, jnp.asarray(latent),
+                            self._vae.config, cfg, self._precision,
+                            pad_to=target)
+        return result, (target or (h, w))
+
+    def _finalize(self, entry) -> None:
+        from hdrvae.decode.pipeline import decode_summary
+        fut, result, padded_hw, t0 = entry
+        try:
+            summary = decode_summary(result)       # one host sync
+            image = np.asarray(result.image)       # device -> host fetch
+            latency = time.monotonic() - t0
+            with self._lock:
+                self._n_done += 1
+                self._megapixels += image.shape[0] * image.shape[1] \
+                    * image.shape[2] / 1e6
+                self._latencies.append(latency)
+                self._shape_counts[padded_hw] += 1
+            fut.set_result(ServeResponse(image=image, summary=summary,
+                                         latency_s=latency,
+                                         padded_hw=padded_hw))
+        except Exception as e:
+            with self._lock:
+                self._n_errors += 1
+            fut.set_exception(e)
+
+    def _run(self) -> None:
+        inflight: deque = deque()
+        stopping = False
+        while True:
+            # Prefer dispatching new work (keeps the device busy); only
+            # when the queue is momentarily empty, finalize the oldest
+            # in-flight decode (its device work overlaps the fetch of
+            # the one before it).
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                if inflight:
+                    self._finalize(inflight.popleft())
+                    continue
+                if stopping:
+                    return
+                item = self._queue.get()   # idle: block for work
+            if item is _STOP:
+                stopping = True
+                continue
+            fut, latent, cfg, t0 = item
+            if not fut.set_running_or_notify_cancel():
+                continue   # client cancelled while queued
+            try:
+                result, padded_hw = self._dispatch(latent, cfg)
+            except Exception as e:
+                with self._lock:
+                    self._n_errors += 1
+                fut.set_exception(e)
+                continue
+            inflight.append((fut, result, padded_hw, t0))
+            while len(inflight) > self._depth:
+                self._finalize(inflight.popleft())

@@ -1,0 +1,241 @@
+"""Stdlib HTTP front end over :class:`hdrvae.serve.engine.ServeEngine`.
+
+Endpoints:
+
+  GET  /healthz      -> {"ok": true, "backend": ..., "device_count": N}
+  GET  /v1/stats     -> engine.stats()
+  POST /v1/decode    -> body: one ``.npy`` array (the latent, [h,w,z] /
+                        [B,h,w,z] NHWC or [B,z,h,w] NCHW, float).
+                        Query params:
+                          mode=<hdr mode or alias>   (default: engine cfg)
+                          ev=<float>                 (conservative_ev_multiplier)
+                          format=exr|hdr|npy         (default exr)
+                          bit_depth=16bit|32bit      (exr only)
+                          compression=none|rle|zip|zips|piz|pxr24
+                        Response: the encoded file bytes; the decode's
+                        stats record rides in the ``X-HDRVAE-Summary``
+                        header (JSON).  ``format=npy`` returns the raw
+                        float32 [B,H,W,3] array and allows B > 1; the
+                        image formats require B == 1.
+
+Transport choices: one ``.npy`` body keeps the wire format dependency-free
+(numpy is already the host interchange type); ``ThreadingHTTPServer``
+accepts concurrent clients while the engine serializes device work and
+provides the backpressure (503 when its queue is full).  This is a
+single-host serving surface — multi-host deployments put one engine per
+host behind any standard load balancer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+import tempfile
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from hdrvae.serve.engine import EngineOverloaded, ServeEngine
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["make_server", "serve_forever"]
+
+_MAX_BODY = 1 << 30   # 1 GiB latent cap: a 4096^2-output Flux latent is
+#                       512*512*16*4 = 16 MiB; anything near the cap is abuse
+
+_CONTENT_TYPES = {
+    "exr": "image/x-exr",
+    "hdr": "image/vnd.radiance",
+    "npy": "application/octet-stream",
+}
+
+
+def _encode_image(image: np.ndarray, fmt: str, bit_depth: str,
+                  compression: str) -> bytes:
+    """Encode one [H, W, C] frame with the owned codecs (via a temp file —
+    the codecs are path-based; EXR/HDR files are small enough that the
+    extra read-back is noise next to the encode itself)."""
+    from hdrvae.io.export import _save_one
+    suffix = ".exr" if fmt == "exr" else ".hdr"
+    fd, path = tempfile.mkstemp(suffix=suffix, prefix="hdrvae_serve_")
+    os.close(fd)
+    try:
+        _save_one(path, image, fmt, bit_depth, compression)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "hdrvae-serve"
+
+    # -- plumbing ------------------------------------------------------
+
+    @property
+    def engine(self) -> ServeEngine:
+        return self.server.engine   # type: ignore[attr-defined]
+
+    def log_message(self, fmt, *args):   # route to logging, not stderr
+        logger.info("%s - %s", self.address_string(), fmt % args)
+
+    def _reply(self, code: int, body: bytes, content_type: str,
+               extra_headers: Optional[dict] = None) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_json(self, code: int, obj) -> None:
+        self._reply(code, json.dumps(obj).encode(), "application/json")
+
+    def _error(self, code: int, message: str) -> None:
+        self._reply_json(code, {"error": message})
+
+    # -- endpoints -----------------------------------------------------
+
+    def do_GET(self):
+        path = urllib.parse.urlparse(self.path).path
+        if path == "/healthz":
+            import jax
+            self._reply_json(200, {
+                "ok": True,
+                "backend": jax.default_backend(),
+                "device_count": jax.device_count(),
+            })
+        elif path == "/v1/stats":
+            self._reply_json(200, self.engine.stats())
+        else:
+            self._error(404, f"unknown path {path!r}")
+
+    def do_POST(self):
+        url = urllib.parse.urlparse(self.path)
+        if url.path != "/v1/decode":
+            self._error(404, f"unknown path {url.path!r}")
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            self._error(400, "bad Content-Length")
+            return
+        if n <= 0 or n > _MAX_BODY:
+            self._error(400, f"Content-Length must be in (0, {_MAX_BODY}]")
+            return
+        body = self.rfile.read(n)
+        try:
+            latent = np.load(io.BytesIO(body), allow_pickle=False)
+        except Exception as e:
+            self._error(400, f"body is not a .npy array: {e}")
+            return
+        if not np.issubdtype(latent.dtype, np.floating):
+            self._error(400, f"latent dtype {latent.dtype} is not float")
+            return
+
+        q = urllib.parse.parse_qs(url.query)
+
+        def param(name: str, default: str) -> str:
+            return q.get(name, [default])[0]
+
+        fmt = param("format", "exr")
+        if fmt not in _CONTENT_TYPES:
+            self._error(400, f"format must be one of "
+                             f"{sorted(_CONTENT_TYPES)}")
+            return
+        bit_depth = param("bit_depth", "16bit")
+        if bit_depth not in ("16bit", "32bit"):
+            self._error(400, "bit_depth must be '16bit' or '32bit'")
+            return
+        compression = param("compression", "zip")
+
+        import dataclasses
+
+        cfg = self.engine.hdr_cfg
+        try:
+            if "mode" in q:
+                cfg = dataclasses.replace(cfg, hdr_mode=param("mode", ""))
+            if "ev" in q:
+                cfg = dataclasses.replace(
+                    cfg, conservative_ev_multiplier=float(param("ev", "1")))
+            cfg.canonical_mode()   # validate eagerly -> 400, not 500
+        except (ValueError, KeyError) as e:
+            self._error(400, str(e))
+            return
+
+        try:
+            fut = self.engine.submit(latent, cfg, block=False)
+        except EngineOverloaded as e:
+            self._reply(503, json.dumps({"error": str(e)}).encode(),
+                        "application/json", {"Retry-After": "1"})
+            return
+        except (ValueError, RuntimeError) as e:
+            self._error(400, str(e))
+            return
+
+        try:
+            resp = fut.result()
+        except ValueError as e:           # bad shapes/channels etc.
+            self._error(400, str(e))
+            return
+        except Exception as e:
+            logger.error("decode failed: %s", e, exc_info=True)
+            self._error(500, f"decode failed: {e}")
+            return
+
+        summary = json.dumps({**resp.summary,
+                              "latency_s": round(resp.latency_s, 4),
+                              "padded_latent_hw": list(resp.padded_hw)})
+        try:
+            if fmt == "npy":
+                buf = io.BytesIO()
+                np.save(buf, resp.image)
+                payload = buf.getvalue()
+            else:
+                if resp.image.shape[0] != 1:
+                    self._error(400, f"format={fmt} requires batch 1, "
+                                     f"got {resp.image.shape[0]} "
+                                     f"(use format=npy for batches)")
+                    return
+                payload = _encode_image(resp.image[0], fmt, bit_depth,
+                                        compression)
+        except ValueError as e:           # bad bit_depth/compression
+            self._error(400, str(e))
+            return
+        self._reply(200, payload, _CONTENT_TYPES[fmt],
+                    {"X-HDRVAE-Summary": summary})
+
+
+def make_server(engine: ServeEngine, host: str = "127.0.0.1",
+                port: int = 8475) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server; ``port=0`` picks a free
+    port (``server.server_address[1]`` has the bound one)."""
+    server = ThreadingHTTPServer((host, port), _Handler)
+    server.engine = engine   # type: ignore[attr-defined]
+    server.daemon_threads = True
+    return server
+
+
+def serve_forever(engine: ServeEngine, host: str, port: int) -> None:
+    server = make_server(engine, host, port)
+    bound = server.server_address
+    print(json.dumps({"serving": f"http://{bound[0]}:{bound[1]}",
+                      "endpoints": ["/healthz", "/v1/stats",
+                                    "/v1/decode"]}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        engine.close()

@@ -1,0 +1,250 @@
+"""Serving layer: engine semantics (queueing, bucketing, overlap,
+backpressure) and the HTTP surface.  Runs on the CPU mesh with the small
+decoder fixture; the HTTP tests bind an ephemeral localhost port.
+
+The engine must be EXACT vs a direct ``hdr_decode`` call — serving is a
+scheduling layer, not an approximation (SURVEY.md section 7 hard-parts,
+"recompilation storms" / shape bucketing).
+"""
+
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from hdrvae.core.config import HDRDecodeConfig, Precision
+from hdrvae.decode.buckets import BucketPolicy
+from hdrvae.decode.pipeline import hdr_decode
+from hdrvae.serve.engine import EngineOverloaded, ServeEngine
+
+pytestmark = pytest.mark.filterwarnings("ignore::ResourceWarning")
+
+
+class _FakeVAE:
+    def __init__(self, params, config):
+        self.params = params
+        self.config = config
+        self.precision = Precision.parity()
+
+
+@pytest.fixture()
+def vae(small_params, small_cfg):
+    return _FakeVAE(small_params, small_cfg)
+
+
+def _latent(rng, cfg, b=1, h=6, w=6):
+    return (rng.standard_normal((b, h, w, cfg.z_channels))
+            .astype(np.float32) * 2)
+
+
+# --- engine ----------------------------------------------------------------
+
+def test_engine_matches_direct_decode(vae, rng):
+    latent = _latent(rng, vae.config)
+    direct = hdr_decode(vae.params, latent, vae.config,
+                        precision=Precision.parity())
+    with ServeEngine(vae, bucket=None) as engine:
+        resp = engine.decode_sync(latent)
+    np.testing.assert_array_equal(resp.image, np.asarray(direct.image))
+    assert resp.summary["normalization"] in ("SIGMOID", "TANH", "CUSTOM")
+    assert resp.latency_s > 0
+    assert resp.padded_hw == (6, 6)
+
+
+def test_engine_bucket_policy_exact(vae, rng):
+    """A policy-snapped decode pads to the bucket and stays exact."""
+    policy = BucketPolicy(edges=(8, 12))
+    latent = _latent(rng, vae.config, h=5, w=7)
+    direct = hdr_decode(vae.params, latent, vae.config,
+                        precision=Precision.parity())
+    with ServeEngine(vae, bucket=policy) as engine:
+        resp = engine.decode_sync(latent)
+    assert resp.padded_hw == (8, 8)
+    assert resp.image.shape == np.asarray(direct.image).shape
+    scale = max(1.0, float(np.abs(np.asarray(direct.image)).max()))
+    err = np.abs(resp.image - np.asarray(direct.image)).max() / scale
+    assert err < 1e-3, err
+
+
+def test_engine_int_bucket_and_stats(vae, rng):
+    with ServeEngine(vae, bucket=4) as engine:
+        for h, w in [(5, 6), (6, 5), (7, 7)]:   # all snap to 8x8
+            engine.decode_sync(_latent(rng, vae.config, h=h, w=w))
+        stats = engine.stats()
+    assert stats["requests"] == 3
+    assert stats["errors"] == 0
+    # one compiled latent shape serves all three requests
+    assert stats["compiled_latent_shapes"] == {"8x8": 3}
+    assert stats["latency_p50_s"] > 0
+    assert stats["megapixels"] > 0
+
+
+def test_engine_concurrent_submits_keep_order_independence(vae, rng):
+    """Many in-flight requests resolve, each to ITS OWN decode (no
+    cross-request contamination through the overlap pipeline)."""
+    latents = [_latent(rng, vae.config) for _ in range(5)]
+    with ServeEngine(vae, bucket=None, depth=2) as engine:
+        futs = [engine.submit(z) for z in latents]
+        images = [f.result().image for f in futs]
+    for z, img in zip(latents, images):
+        direct = hdr_decode(vae.params, z, vae.config,
+                            precision=Precision.parity())
+        np.testing.assert_array_equal(img, np.asarray(direct.image))
+
+
+def test_engine_error_propagates_and_engine_survives(vae, rng):
+    with ServeEngine(vae, bucket=None) as engine:
+        bad = rng.standard_normal((1, 6, 6, 3)).astype(np.float32)  # 3ch
+        with pytest.raises(ValueError):
+            engine.decode_sync(bad)
+        with pytest.raises(ValueError):
+            engine.submit(np.zeros((6, 6), np.float32))   # 2D
+        # the worker is still alive and serves the next request
+        ok = engine.decode_sync(_latent(rng, vae.config))
+        assert ok.image.shape[-1] == 3
+        assert engine.stats()["errors"] == 1   # the 2D one never queued
+
+
+def test_engine_backpressure_and_close(vae, rng):
+    engine = ServeEngine(vae, bucket=None, max_pending=1)
+    # hold the worker behind one slow decode, then overfill the queue
+    gate = threading.Event()
+    orig_dispatch = engine._dispatch
+
+    def slow_dispatch(latent, cfg):
+        gate.wait(10)
+        return orig_dispatch(latent, cfg)
+
+    engine._dispatch = slow_dispatch
+    first = engine.submit(_latent(rng, vae.config))     # worker takes it
+    import time
+    deadline = time.monotonic() + 5
+    queued = None
+    while time.monotonic() < deadline:
+        try:   # fill the 1-slot queue once the worker has popped `first`
+            queued = engine.submit(_latent(rng, vae.config), block=False)
+            break
+        except EngineOverloaded:
+            time.sleep(0.01)
+    assert queued is not None, "worker never picked up the first request"
+    with pytest.raises(EngineOverloaded):
+        engine.submit(_latent(rng, vae.config), block=False)
+    gate.set()
+    assert first.result().image.shape[-1] == 3
+    assert queued.result().image.shape[-1] == 3
+    engine.close()
+    with pytest.raises(RuntimeError):
+        engine.submit(_latent(rng, vae.config))
+
+
+def test_engine_warmup_compiles_shapes(vae):
+    with ServeEngine(vae, bucket=None) as engine:
+        engine.warmup([(6, 6), (8, 8)])
+        shapes = engine.stats()["compiled_latent_shapes"]
+    assert shapes == {"6x6": 1, "8x8": 1}
+
+
+# --- HTTP surface ------------------------------------------------------------
+
+@pytest.fixture()
+def server(vae):
+    from hdrvae.serve.http import make_server
+    engine = ServeEngine(vae, bucket=None)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+    engine.close()
+
+
+def _request(srv, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1",
+                                      srv.server_address[1], timeout=120)
+    try:
+        conn.request(method, path, body=body)
+        r = conn.getresponse()
+        return r.status, dict(r.getheaders()), r.read()
+    finally:
+        conn.close()
+
+
+def _npy_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_http_healthz_and_stats(server):
+    status, _, body = _request(server, "GET", "/healthz")
+    assert status == 200
+    health = json.loads(body)
+    assert health["ok"] and health["device_count"] >= 1
+    status, _, body = _request(server, "GET", "/v1/stats")
+    assert status == 200
+    assert "requests" in json.loads(body)
+    status, _, _ = _request(server, "GET", "/nope")
+    assert status == 404
+
+
+def test_http_decode_exr_roundtrip(server, vae, rng, tmp_path):
+    from hdrvae.io.exr import read_exr
+    latent = _latent(rng, vae.config)
+    status, headers, body = _request(
+        server, "POST",
+        "/v1/decode?format=exr&bit_depth=32bit&compression=none",
+        body=_npy_bytes(latent))
+    assert status == 200, body
+    assert headers["Content-Type"] == "image/x-exr"
+    summary = json.loads(headers["X-HDRVAE-Summary"])
+    assert summary["normalization"] in ("SIGMOID", "TANH", "CUSTOM")
+    p = tmp_path / "resp.exr"
+    p.write_bytes(body)
+    got = read_exr(str(p))
+    direct = hdr_decode(vae.params, latent, vae.config,
+                        precision=Precision.parity())
+    np.testing.assert_allclose(got, np.asarray(direct.image)[0],
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_http_decode_npy_batch_and_mode(server, vae, rng):
+    latent = _latent(rng, vae.config, b=2)
+    status, headers, body = _request(
+        server, "POST", "/v1/decode?format=npy&mode=conservative&ev=2.0",
+        body=_npy_bytes(latent))
+    assert status == 200, body
+    got = np.load(io.BytesIO(body))
+    direct = hdr_decode(vae.params, latent, vae.config,
+                        HDRDecodeConfig(hdr_mode="conservative",
+                                        conservative_ev_multiplier=2.0),
+                        precision=Precision.parity())
+    np.testing.assert_array_equal(got, np.asarray(direct.image))
+    # image formats refuse batches
+    status, _, body = _request(server, "POST", "/v1/decode?format=exr",
+                               body=_npy_bytes(latent))
+    assert status == 400 and b"batch" in body
+
+
+def test_http_bad_requests(server, rng, vae):
+    cases = [
+        ("/v1/decode", b"not an npy file"),                       # bad body
+        ("/v1/decode?mode=nonsense",
+         _npy_bytes(_latent(rng, vae.config))),                   # bad mode
+        ("/v1/decode?format=gif",
+         _npy_bytes(_latent(rng, vae.config))),                   # bad fmt
+        ("/v1/decode?bit_depth=8bit",
+         _npy_bytes(_latent(rng, vae.config))),                   # bad depth
+        ("/v1/decode",
+         _npy_bytes(np.zeros((6, 6, 4), np.int32))),              # int dtype
+        ("/v1/decode",
+         _npy_bytes(np.zeros((1, 6, 6, 3), np.float32))),         # 3ch
+    ]
+    for path, body in cases:
+        status, _, resp = _request(server, "POST", path, body=body)
+        assert status == 400, (path, resp)
+    status, _, _ = _request(server, "POST", "/v1/other", body=b"x")
+    assert status == 404
