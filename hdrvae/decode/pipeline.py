@@ -20,6 +20,7 @@ are used instead (SURVEY.md section 5, failure-detection row).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
@@ -47,9 +48,9 @@ class HDRDecodeResult(NamedTuple):
 def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
                             pre_stats: Dict[str, jnp.ndarray],
                             cfg: HDRDecodeConfig,
-                            pre_first3: jnp.ndarray | None = None
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                       ConvOutAnalysis]:
+                            pre_first3: jnp.ndarray | None = None,
+                            ev=None) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                              ConvOutAnalysis]:
     """Mode math + acceptance select from pre-computed parts.
 
     The tiled/sharded executors collapse each tile's 128-channel pre map to
@@ -63,6 +64,13 @@ def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
     path (whole-image, slab-sharded, tile-grid) supplies it when the config
     asks for first3 — the channels are pointwise in the pre map, so they
     stitch exactly like rgb.
+
+    ``ev`` optionally overrides ``cfg.conservative_ev_multiplier`` with a
+    TRACED scalar: ``hdr_decode`` passes it this way so a per-request
+    multiplier (serving) does not enter the jit static key — with the
+    multiplier baked into ``cfg``, every distinct float would recompile
+    the whole program.  The result is bit-identical either way (one IEEE
+    f32 multiply).
     """
     if cfg.fallback_collapse not in ("maxpool", "first3"):
         raise ValueError(
@@ -96,14 +104,15 @@ def hdr_epilogue_from_parts(rgb: jnp.ndarray, pre_collapsed: jnp.ndarray,
     image = jnp.where(accept, intelligent, fallback)
 
     # EV multiplier applies to whichever tier won (`hdr_vae_decode.py:180-182`).
-    image = image * cfg.conservative_ev_multiplier
+    image = image * (cfg.conservative_ev_multiplier if ev is None else ev)
 
     return image.astype(jnp.float32), jnp.logical_not(accept), analysis
 
 
 def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
-                 cfg: HDRDecodeConfig) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                                ConvOutAnalysis]:
+                 cfg: HDRDecodeConfig,
+                 ev=None) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                   ConvOutAnalysis]:
     """Analysis + mode math + acceptance select on decoder outputs
     (whole-image form).  The collapse + raw statistics default to XLA's
     fused reductions; cfg.use_fused_epilogue opts into the experimental
@@ -115,7 +124,7 @@ def hdr_epilogue(rgb: jnp.ndarray, pre_conv_out: jnp.ndarray,
     pre_first3 = (pre_conv_out[..., :3].astype(jnp.float32)
                   if cfg.fallback_collapse == "first3" else None)
     return hdr_epilogue_from_parts(rgb, pre_collapsed, pre_stats, cfg,
-                                   pre_first3)
+                                   pre_first3, ev)
 
 
 def _decode_batched(params: Params, latent: jnp.ndarray,
@@ -140,11 +149,11 @@ def _decode_batched(params: Params, latent: jnp.ndarray,
 
 def _epilogue_and_stats(conv_out_params: Params, out: DecodeOutput,
                         latent: jnp.ndarray, cfg: HDRDecodeConfig,
-                        precision: Precision):
+                        precision: Precision, ev=None):
     """Epilogue + the stats record.  ``latent`` must be the UNPADDED
     latent so stats['input'] never includes pad pixels."""
     image, used_fallback, analysis = hdr_epilogue(out.rgb, out.pre_conv_out,
-                                                  cfg)
+                                                  cfg, ev)
     stats = {
         "input": hdr_stats(latent),
         "pre": analysis.pre_stats,
@@ -172,16 +181,18 @@ def _epilogue_and_stats(conv_out_params: Params, out: DecodeOutput,
 
 def _hdr_decode_jit(params: Params, latent: jnp.ndarray,
                     decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
-                    precision: Precision):
+                    precision: Precision, ev=None):
     out = _decode_batched(params, latent, decoder_cfg, precision)
     return _epilogue_and_stats(params["conv_out"], out, latent, cfg,
-                               precision)
+                               precision, ev)
 
 
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
                                              "precision"))
-def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision):
-    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision)
+def _hdr_decode_compiled(params, latent, decoder_cfg, cfg, precision,
+                         ev=None):
+    # `ev` is TRACED (not in static_argnames): see _split_ev.
+    return _hdr_decode_jit(params, latent, decoder_cfg, cfg, precision, ev)
 
 
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "precision"))
@@ -206,13 +217,28 @@ def _decoder_forward_bucketed(params, latent, valid_hw, decoder_cfg,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "precision"))
 def _epilogue_compiled(conv_out_params, out_rgb, pre_conv_out, latent,
-                       cfg, precision):
+                       cfg, precision, ev=None):
     """Standalone epilogue for the bucketed path: compiles per ORIGINAL
     shape, but is a few reductions + pointwise math — seconds, not the
     decoder's minutes."""
     out = DecodeOutput(rgb=out_rgb, pre_conv_out=pre_conv_out)
     return _epilogue_and_stats(conv_out_params, out, latent, cfg,
-                               precision)
+                               precision, ev)
+
+
+def _split_ev(cfg: HDRDecodeConfig):
+    """(cfg with multiplier 1.0, traced ev scalar).
+
+    The EV multiplier is one pointwise f32 multiply; keeping it inside the
+    static ``cfg`` means every distinct float compiles a NEW program — on
+    the unbucketed path that is the full 49M-param decoder per value, an
+    unbounded-recompile hazard for serving workloads that pass
+    client-supplied multipliers.  Tracing it keeps one program per shape;
+    the result is bit-identical (x * 1.0 folding included)."""
+    ev = jnp.float32(cfg.conservative_ev_multiplier)
+    if cfg.conservative_ev_multiplier != 1.0:
+        cfg = dataclasses.replace(cfg, conservative_ev_multiplier=1.0)
+    return cfg, ev
 
 
 def hdr_decode(params: Params, latent: jnp.ndarray,
@@ -252,15 +278,21 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
     orig_h, orig_w = latent.shape[1], latent.shape[2]
     orig_latent = latent
     valid_hw = None
+    cfg, ev = _split_ev(cfg)
     if pad_to is not None:
-        # explicit bucket target (decode.buckets.BucketPolicy.snap_hw)
+        # explicit bucket target (decode.buckets.BucketPolicy.snap_hw).
+        # A latent already AT the target still takes the bucketed program
+        # (full-valid PadMask): serving callers rely on one decoder
+        # program per bucket shape — routing exact-multiple latents to
+        # the unbucketed program would compile every bucket twice and
+        # make warmup pre-compile the wrong one.
         if pad_to[0] < orig_h or pad_to[1] < orig_w:
             raise ValueError(f"pad_to {pad_to} smaller than latent "
                              f"{(orig_h, orig_w)}")
         if pad_to != (orig_h, orig_w):
             latent = jnp.pad(latent, ((0, 0), (0, pad_to[0] - orig_h),
                                       (0, pad_to[1] - orig_w), (0, 0)))
-            valid_hw = (orig_h, orig_w)
+        valid_hw = (orig_h, orig_w)
     elif shape_bucket > 0:
         pad_h = -orig_h % shape_bucket
         pad_w = -orig_w % shape_bucket
@@ -280,10 +312,10 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
         rgb = rgb[:, :orig_h * s, :orig_w * s]
         pre = pre[:, :orig_h * s, :orig_w * s]
         image, standard, stats, used_fallback = _epilogue_compiled(
-            params["conv_out"], rgb, pre, orig_latent, cfg, precision)
+            params["conv_out"], rgb, pre, orig_latent, cfg, precision, ev)
     else:
         image, standard, stats, used_fallback = _hdr_decode_compiled(
-            params, latent, decoder_cfg, cfg, precision)
+            params, latent, decoder_cfg, cfg, precision, ev)
     return HDRDecodeResult(image=image, standard=standard, stats=stats,
                            used_fallback=used_fallback)
 

@@ -119,8 +119,6 @@ class ServeEngine:
         auto-detected by ``hdr_decode``).
         """
         import concurrent.futures as cf
-        if self._closed:
-            raise RuntimeError("engine is closed")
         latent = np.asarray(latent)
         if latent.ndim == 3:
             latent = latent[None]
@@ -129,12 +127,25 @@ class ServeEngine:
         fut: "cf.Future" = cf.Future()
         item = (fut, latent, cfg if cfg is not None else self.hdr_cfg,
                 time.monotonic())
-        try:
-            self._queue.put(item, block=block, timeout=timeout)
-        except queue.Full:
-            raise EngineOverloaded(
-                f"{self._queue.maxsize} requests already pending") from None
-        return fut
+        # closed-check and enqueue are one atomic step under the lock:
+        # a put that raced past a bare closed-check could land AFTER the
+        # worker consumed _STOP, leaving a future that never resolves
+        # (and a caller blocked forever in fut.result()).
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._lock:
+                if self._closed:
+                    raise RuntimeError("engine is closed")
+                try:
+                    self._queue.put_nowait(item)
+                    return fut
+                except queue.Full:
+                    pass
+            if not block or (deadline is not None
+                             and time.monotonic() >= deadline):
+                raise EngineOverloaded(
+                    f"{self._queue.maxsize} requests already pending")
+            time.sleep(0.005)
 
     def decode_sync(self, latent: np.ndarray,
                     cfg: Optional[HDRDecodeConfig] = None) -> ServeResponse:
@@ -173,9 +184,12 @@ class ServeEngine:
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain in-flight work and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+        # every item enqueued (under the lock) before _closed flipped is
+        # ahead of _STOP in FIFO order, so the worker drains it first
         self._queue.put(_STOP)
         self._worker.join(timeout)
 

@@ -55,6 +55,20 @@ _CONTENT_TYPES = {
 }
 
 
+def _json_safe(obj):
+    """Replace non-finite floats with strings: a NaN-laden input latent
+    yields NaN decode stats, and bare ``NaN``/``Infinity`` tokens are not
+    valid JSON (strict clients fail to parse the summary header)."""
+    import math
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return repr(obj)   # 'nan' / 'inf' / '-inf'
+    return obj
+
+
 def _encode_image(image: np.ndarray, fmt: str, bit_depth: str,
                   compression: str) -> bytes:
     """Encode one [H, W, C] frame with the owned codecs (via a temp file —
@@ -93,6 +107,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(body)))
+        if code != 200:
+            # error replies may be sent before the request body was
+            # drained; on a keep-alive connection the unread bytes would
+            # be parsed as the next request — close instead (the header
+            # tells the client; the flag stops handle_one_request)
+            self.send_header("Connection", "close")
+            self.close_connection = True
         for k, v in (extra_headers or {}).items():
             self.send_header(k, v)
         self.end_headers()
@@ -157,7 +178,21 @@ class _Handler(BaseHTTPRequestHandler):
         if bit_depth not in ("16bit", "32bit"):
             self._error(400, "bit_depth must be '16bit' or '32bit'")
             return
-        compression = param("compression", "zip")
+        compression = param("compression", "zip").lower()
+        # validate EVERYTHING knowable up front: a request rejected after
+        # the decode already spent the device (and possibly a full XLA
+        # compile on a cold shape)
+        if fmt == "exr":
+            from hdrvae.io.exr_py import COMPRESSION_IDS
+            if compression not in COMPRESSION_IDS:
+                self._error(400, f"compression must be one of "
+                                 f"{sorted(COMPRESSION_IDS)}")
+                return
+        if fmt != "npy" and latent.ndim == 4 and latent.shape[0] != 1:
+            self._error(400, f"format={fmt} requires batch 1, got "
+                             f"{latent.shape[0]} (use format=npy for "
+                             f"batches)")
+            return
 
         import dataclasses
 
@@ -179,7 +214,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(503, json.dumps({"error": str(e)}).encode(),
                         "application/json", {"Retry-After": "1"})
             return
-        except (ValueError, RuntimeError) as e:
+        except RuntimeError as e:   # engine closed = shutting down, retryable
+            self._reply(503, json.dumps({"error": str(e)}).encode(),
+                        "application/json", {"Retry-After": "1"})
+            return
+        except ValueError as e:
             self._error(400, str(e))
             return
 
@@ -193,23 +232,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(500, f"decode failed: {e}")
             return
 
-        summary = json.dumps({**resp.summary,
-                              "latency_s": round(resp.latency_s, 4),
-                              "padded_latent_hw": list(resp.padded_hw)})
+        summary = json.dumps(_json_safe({
+            **resp.summary,
+            "latency_s": round(resp.latency_s, 4),
+            "padded_latent_hw": list(resp.padded_hw)}), allow_nan=False)
         try:
             if fmt == "npy":
                 buf = io.BytesIO()
                 np.save(buf, resp.image)
                 payload = buf.getvalue()
             else:
-                if resp.image.shape[0] != 1:
-                    self._error(400, f"format={fmt} requires batch 1, "
-                                     f"got {resp.image.shape[0]} "
-                                     f"(use format=npy for batches)")
-                    return
                 payload = _encode_image(resp.image[0], fmt, bit_depth,
                                         compression)
-        except ValueError as e:           # bad bit_depth/compression
+        except ValueError as e:           # codec-level rejection
             self._error(400, str(e))
             return
         self._reply(200, payload, _CONTENT_TYPES[fmt],

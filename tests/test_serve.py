@@ -140,6 +140,43 @@ def test_engine_backpressure_and_close(vae, rng):
         engine.submit(_latent(rng, vae.config))
 
 
+def test_pad_to_exact_multiple_shares_bucketed_program(vae, rng):
+    """A latent already AT the bucket size must run the SAME bucketed
+    decoder program as padded traffic — otherwise warmup (which submits
+    exact-bucket latents) pre-compiles a program general traffic never
+    uses, and every bucket shape compiles twice."""
+    from hdrvae.decode import pipeline as P
+    P._decoder_forward_bucketed.clear_cache()
+    with ServeEngine(vae, bucket=8) as engine:
+        engine.decode_sync(_latent(rng, vae.config, h=5, w=7))   # padded
+        n_padded = P._decoder_forward_bucketed._cache_size()
+        engine.decode_sync(_latent(rng, vae.config, h=8, w=8))   # exact
+        n_exact = P._decoder_forward_bucketed._cache_size()
+    assert n_padded == 1
+    assert n_exact == 1   # no second decoder program
+
+
+def test_ev_multiplier_is_traced_not_static(vae, rng):
+    """Distinct conservative_ev_multiplier values must reuse one compiled
+    program (the multiplier is one f32 multiply; baking it into the jit
+    static key lets clients force unbounded full-decoder recompiles)."""
+    from hdrvae.decode import pipeline as P
+    latent = _latent(rng, vae.config)
+    P._hdr_decode_compiled.clear_cache()
+    base = hdr_decode(vae.params, latent, vae.config,
+                      HDRDecodeConfig(conservative_ev_multiplier=1.0),
+                      Precision.parity())
+    n1 = P._hdr_decode_compiled._cache_size()
+    scaled = hdr_decode(vae.params, latent, vae.config,
+                        HDRDecodeConfig(conservative_ev_multiplier=2.5),
+                        Precision.parity())
+    assert P._hdr_decode_compiled._cache_size() == n1   # no recompile
+    # and the multiplier still applies, bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(scaled.image),
+        np.asarray(base.image) * np.float32(2.5))
+
+
 def test_engine_warmup_compiles_shapes(vae):
     with ServeEngine(vae, bucket=None) as engine:
         engine.warmup([(6, 6), (8, 8)])
@@ -238,13 +275,35 @@ def test_http_bad_requests(server, rng, vae):
          _npy_bytes(_latent(rng, vae.config))),                   # bad fmt
         ("/v1/decode?bit_depth=8bit",
          _npy_bytes(_latent(rng, vae.config))),                   # bad depth
+        ("/v1/decode?compression=lzma",
+         _npy_bytes(_latent(rng, vae.config))),                   # bad comp
         ("/v1/decode",
          _npy_bytes(np.zeros((6, 6, 4), np.int32))),              # int dtype
         ("/v1/decode",
          _npy_bytes(np.zeros((1, 6, 6, 3), np.float32))),         # 3ch
     ]
     for path, body in cases:
-        status, _, resp = _request(server, "POST", path, body=body)
+        status, headers, resp = _request(server, "POST", path, body=body)
         assert status == 400, (path, resp)
+        # error replies may leave the request body unread: the connection
+        # must close (else leftover bytes poison keep-alive parsing)
+        assert headers.get("Connection", "").lower() == "close", path
     status, _, _ = _request(server, "POST", "/v1/other", body=b"x")
     assert status == 404
+
+
+def test_http_nonfinite_stats_header_is_strict_json(server, vae, rng):
+    """A NaN-laden latent yields NaN stats; the summary header must still
+    be STRICT JSON (no bare NaN/Infinity tokens)."""
+    latent = _latent(rng, vae.config)
+    latent[0, 0, 0, 0] = np.nan
+    status, headers, _ = _request(server, "POST", "/v1/decode?format=npy",
+                                  body=_npy_bytes(latent))
+    assert status == 200
+
+    def reject(_):
+        raise AssertionError("non-strict JSON constant in summary header")
+
+    summary = json.loads(headers["X-HDRVAE-Summary"],
+                         parse_constant=reject)
+    assert "input" in summary
