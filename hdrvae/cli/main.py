@@ -345,11 +345,23 @@ def cmd_serve(args) -> int:
     else:
         logger.warning("no --vae checkpoint given; using random weights")
         vae = VAE.random_init(seed=0, config=DecoderConfig())
-    precision = Precision.parity() if args.parity else Precision.fast()
-    engine = ServeEngine(vae, hdr_cfg=HDRDecodeConfig(hdr_mode=args.mode),
-                         precision=precision,
-                         bucket=args.bucket if args.bucket > 0 else None,
-                         max_pending=args.max_pending)
+    precision = {"parity": Precision.parity, "mixed": Precision.mixed,
+                 "fast": Precision.fast}[args.precision]()
+    if args.parity:
+        precision = Precision.parity()
+    mesh = None
+    if args.sharded:
+        from hdrvae.sharding.mesh import make_mesh
+        mesh = make_mesh()
+        logger.info("serving through the exact sharded slab path on a "
+                    "%d-device mesh", mesh.devices.size)
+    engine = ServeEngine(
+        vae, hdr_cfg=HDRDecodeConfig(hdr_mode=args.mode),
+        precision=precision,
+        bucket=(None if mesh is not None
+                else args.bucket if args.bucket > 0 else None),
+        max_pending=args.max_pending, mesh=mesh,
+        deadline_s=args.deadline if args.deadline > 0 else None)
     if args.warmup:
         scale = vae.config.spatial_scale
         sizes = [int(s) // scale for s in args.warmup.split(",") if s]
@@ -448,12 +460,26 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("conservative", "exposure", "adaptive_recovery",
                             "mathematical_recovery"))
     p.add_argument("--parity", action="store_true",
-                   help="full float32 numerics (slower)")
+                   help="full float32 numerics (alias for "
+                        "--precision parity)")
+    p.add_argument("--precision", default="fast",
+                   choices=("fast", "mixed", "parity"),
+                   help="numerics tier: fast (bf16), mixed (f32 "
+                        "activations + 3-pass MXU dots, meets the "
+                        "<=1e-3 contract), parity (exact f32)")
     p.add_argument("--bucket", type=int, default=64,
                    help="latent shape-bucket multiple (0 = compile per "
                         "exact shape)")
     p.add_argument("--max-pending", type=int, default=32,
                    help="request-queue bound (503 beyond it)")
+    p.add_argument("--sharded", action="store_true",
+                   help="route decodes through the exact sharded slab "
+                        "path over the full device mesh (disables "
+                        "bucketing; pre-compile shapes with --warmup)")
+    p.add_argument("--deadline", type=float, default=0.0,
+                   help="per-request queue deadline in seconds (0 = "
+                        "none); expired-in-queue requests fail fast "
+                        "with 504")
     p.add_argument("--warmup", default="",
                    help="comma-separated output edges to pre-compile, "
                         "e.g. 1024,2048")

@@ -198,8 +198,18 @@ class Precision:
     # Inter-layer activation storage: bf16 in fast mode halves HBM traffic
     # (reductions/accumulation stay float32 either way).
     storage_dtype: jnp.dtype = jnp.float32
-    # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST.
+    # "fast" uses bf16 compute for conv/matmul; "parity" forces f32/HIGHEST;
+    # "mixed" keeps f32 activations but runs MXU contractions at HIGH
+    # (3-pass bf16x3) precision — the fidelity-at-speed tier (see mixed()).
     mode: str = "parity"
+    # Number of decoder up levels (counting from the full-resolution level
+    # 0) at/above which the HEAD runs in full fast mode (bf16 compute +
+    # storage) while the tail keeps this object's dtypes/precision.  Only
+    # meaningful for mode="mixed"; 0 = the whole decoder runs mixed.
+    # Example: fast_head_levels=2 runs conv_in + mid + up levels 3 and 2
+    # (the low-resolution half) in bf16 and levels 1, 0 + norm_out +
+    # conv_out in f32/HIGH.
+    fast_head_levels: int = 0
     # Conv-path executor: "auto" runs the decoder's mid + up path as
     # fused Pallas kernels (models.pallas_tail) on TPU in fast mode
     # (batch 1, whole-image; measured 1.15-1.2x the XLA layers, see
@@ -224,6 +234,38 @@ class Precision:
     @classmethod
     def parity(cls) -> "Precision":
         return cls(mode="parity")
+
+    @classmethod
+    def mixed(cls, fast_head_levels: int = 0) -> "Precision":
+        """The fidelity-at-speed tier (BASELINE.md couples ">=5x MP/s" with
+        "max-abs <=1e-3 vs the reference EXR"; fast mode meets the first,
+        parity the second — this tier meets BOTH with one configuration).
+
+        Float32 activations end to end with MXU contractions at
+        ``jax.lax.Precision.HIGH`` (3-pass bfloat16x3: each f32 operand is
+        split hi+lo in bf16 and the cross terms accumulated in f32 — ~1e-6
+        relative per dot, vs ~2e-3 for 1-pass DEFAULT and exact 6-pass
+        HIGHEST).  ``fast_head_levels`` optionally runs the low-resolution
+        head in full fast mode (see the field docstring); the measured
+        error/speed trade-off per setting is in PERF_NOTES.md section 6.
+        """
+        return cls(mode="mixed", fast_head_levels=fast_head_levels)
+
+    def head_precision(self) -> "Precision":
+        """The Precision used for decoder levels >= fast_head_levels
+        (identity unless mode="mixed" with fast_head_levels > 0)."""
+        if self.mode != "mixed" or self.fast_head_levels <= 0:
+            return self
+        return dataclasses.replace(
+            self, compute_dtype=jnp.bfloat16, storage_dtype=jnp.bfloat16,
+            mode="fast", fast_head_levels=0)
+
+    def for_level(self, level: int) -> "Precision":
+        """Per-up-level Precision: fast for levels >= fast_head_levels."""
+        if (self.mode == "mixed" and self.fast_head_levels > 0
+                and level >= self.fast_head_levels):
+            return self.head_precision()
+        return self
 
 
 # ---------------------------------------------------------------------------

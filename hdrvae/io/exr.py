@@ -93,6 +93,109 @@ def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
                      compression=compression, zip_level=zip_level)
 
 
+class ExrBandWriter:
+    """Incremental scanline-EXR writer (native-or-Python dispatch).
+
+    Append scanline bands top to bottom with :meth:`write_rows`; every
+    band except the last must cover a whole number of chunks (round with
+    :meth:`band_rows`).  The finished file is byte-identical to
+    :func:`write_exr` on the same pixels regardless of band split or
+    thread count (chunk independence; asserted in tests/test_io.py).
+    This is the encode half of the streamed single-frame export
+    (`hdrvae.io.pipeline.export_stream` / VERDICT round-3 item 3): encode
+    band k on host threads while band k+1 is still in flight from the
+    device.
+    """
+
+    def __init__(self, path: str, height: int, width: int, channels: int,
+                 *, pixel_type: str = "half", compression: str = "zip",
+                 zip_level: int = 4, workers: int = 0,
+                 use_native: bool = True):
+        self._lib = load_native() if use_native else None
+        compression = _resolve_compression(compression,
+                                           self._lib is not None)
+        self._handle = None
+        self._py = None
+        self._closed = False
+        if self._lib is not None:
+            ptype = 1 if pixel_type == "half" else 2
+            comp_id = exr_py.COMPRESSION_IDS[compression]
+            self._ptype = ptype
+            handle = self._lib.exr_begin(path.encode(), height, width,
+                                         channels, ptype, comp_id,
+                                         zip_level, workers)
+            if handle:
+                self._handle = ctypes.c_void_p(handle)
+                self._lines = self._lib.exr_lines_per_chunk(comp_id)
+                return
+            logger.warning("native EXR begin failed; using pure-Python "
+                           "band writer")
+            compression = _resolve_compression(compression, False)
+        self._py = exr_py.ExrBandWriter(
+            path, height, width, channels, pixel_type=pixel_type,
+            compression=compression, zip_level=zip_level, workers=workers)
+        self._lines = self._py._lines
+
+    def band_rows(self, requested: int) -> int:
+        """Round a band size up to a whole number of chunks."""
+        return max(self._lines,
+                   (requested + self._lines - 1) // self._lines
+                   * self._lines)
+
+    def write_rows(self, band: np.ndarray) -> None:
+        band = np.asarray(band)
+        if band.ndim == 2:
+            band = band[..., None]
+        if self._py is not None:
+            self._py.write_rows(band)
+            return
+        half_in = band.dtype == np.float16
+        band = np.ascontiguousarray(
+            band if half_in else band.astype(np.float32, copy=False))
+        if half_in:
+            rc = self._lib.exr_write_rows_half(
+                self._handle, band.view(np.uint16).ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint16)), band.shape[0])
+        else:
+            rc = self._lib.exr_write_rows(
+                self._handle, band.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)), band.shape[0])
+        if rc != 0:
+            self.abort()
+            raise ValueError(f"native EXR band write failed (rc={rc})")
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._py is not None:
+            self._py.close()
+            return
+        rc = self._lib.exr_end(self._handle)
+        self._handle = None
+        if rc != 0:
+            raise ValueError(f"native EXR finalize failed (rc={rc})")
+
+    def abort(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._py is not None:
+            self._py.abort()
+        elif self._handle is not None:
+            self._lib.exr_abort(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+
 def read_exr(path: str, *, use_native: bool = True) -> np.ndarray:
     """Read a scanline EXR as float32 (H, W, C), RGB-ordered."""
     if not os.path.exists(path):

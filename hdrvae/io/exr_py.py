@@ -21,6 +21,7 @@ Format notes (OpenEXR spec):
 
 from __future__ import annotations
 
+import os
 import re
 import struct
 import zlib
@@ -468,72 +469,186 @@ def _channel_names(c: int) -> List[str]:
     return [f"channel{i:0{width}d}" for i in range(c)]
 
 
+def _encode_chunk(band: np.ndarray, yb0: int, yb1: int, y0_global: int,
+                  order: List[int], ptype: int, comp_id: int,
+                  zip_level: int) -> bytes:
+    """Encode one scanline chunk (rows [yb0, yb1) of ``band``, which sits
+    at global row ``y0_global - yb0``... i.e. the chunk's global first row
+    is ``y0_global``).  Chunks are independent in every supported EXR
+    compression, which is what makes both band streaming and chunk-thread
+    parallelism byte-identical to the serial whole-image writer."""
+    dtype = _PIX_DTYPE[ptype]
+    raw_rows: List[bytes] = []
+    for y in range(yb0, yb1):
+        for i in order:
+            raw_rows.append(np.ascontiguousarray(
+                band[y, :, i]).astype(dtype).tobytes())
+    raw = b"".join(raw_rows)
+    if comp_id == 0:
+        data = raw
+    elif comp_id == 1:  # RLE
+        data = _rle_encode(_filter_encode(raw))
+    elif comp_id in (2, 3):  # ZIPS / ZIP
+        data = zlib.compress(_filter_encode(raw), zip_level)
+    elif comp_id == 5:  # PXR24
+        rows = []
+        for y in range(yb0, yb1):
+            for i in order:
+                rows.append((np.asarray(band[y, :, i], np.float32),
+                             ptype))
+        data = zlib.compress(_pxr24_pack_rows(rows), zip_level)
+    else:
+        raise NotImplementedError(_ID_TO_NAME.get(comp_id, comp_id))
+    if len(data) >= len(raw):
+        data = raw
+    return struct.pack("<ii", y0_global, len(data)) + data
+
+
+class ExrBandWriter:
+    """Incremental scanline-EXR writer: header + zeroed offset table
+    first, chunks appended band by band, table patched on :meth:`close`.
+
+    Built for the streamed single-frame export (io.pipeline): the exporter
+    encodes band k while band k+1 is still in flight from the device, so
+    single-frame latency is max(fetch, encode) instead of fetch + encode.
+    Chunk payloads within a band are compressed on a small thread pool
+    (zlib/numpy release the GIL); EXR chunks are independent, so the file
+    is IDENTICAL to the serial writer's byte for byte — asserted across
+    band splits and worker counts in tests/test_io.py.
+
+    Every band except the last must cover a whole number of chunks
+    (``rows %% lines_per_chunk == 0``); :attr:`band_rows` rounds any
+    requested band size to a valid one.
+    """
+
+    def __init__(self, path: str, height: int, width: int, channels: int,
+                 *, pixel_type: str = "half", compression: str = "zip",
+                 zip_level: int = 4, workers: int = 0):
+        self._comp_id = COMPRESSION_IDS[compression]
+        if self._comp_id == COMPRESSION_IDS["piz"]:
+            raise NotImplementedError(
+                "PIZ writing unsupported in the pure-Python codec; "
+                "substitute zip (hdrvae.io.exr does this automatically)")
+        self._ptype = PIXEL_HALF if pixel_type == "half" else PIXEL_FLOAT
+        self._h, self._w, self._c = height, width, channels
+        self._lines = LINES_PER_CHUNK[self._comp_id]
+        names = _channel_names(channels)
+        self._order = sorted(range(channels), key=lambda i: names[i])
+        self._zip_level = zip_level
+        if workers <= 0:
+            workers = min(8, os.cpu_count() or 1)
+        self._workers = workers
+        self._pool = None
+        if workers > 1:
+            import concurrent.futures as cf
+            self._pool = cf.ThreadPoolExecutor(workers)
+
+        header = (struct.pack("<I", MAGIC) + struct.pack("<i", VERSION)
+                  + _build_header(width, height, self._ptype, self._comp_id,
+                                  names))
+        self._n_chunks = (height + self._lines - 1) // self._lines
+        self._offsets: List[int] = []
+        self._f = open(path, "wb")
+        ok = False
+        try:
+            self._f.write(header)
+            self._table_pos = len(header)
+            self._f.write(b"\0" * (8 * self._n_chunks))
+            self._pos = len(header) + 8 * self._n_chunks
+            self._next_row = 0
+            ok = True
+        finally:
+            if not ok:
+                self._f.close()
+
+    def band_rows(self, requested: int) -> int:
+        """Round a band size up to a whole number of chunks."""
+        lines = self._lines
+        return max(lines, (requested + lines - 1) // lines * lines)
+
+    def write_rows(self, band: np.ndarray) -> None:
+        """Append the next ``band.shape[0]`` scanlines ([rows, W, C])."""
+        if band.ndim == 2:
+            band = band[..., None]
+        rows, w, c = band.shape
+        if (w, c) != (self._w, self._c):
+            raise ValueError(f"band is {w}x{c}, file is "
+                             f"{self._w}x{self._c}")
+        y0 = self._next_row
+        if y0 + rows > self._h:
+            raise ValueError(f"rows {y0}+{rows} beyond height {self._h}")
+        if rows % self._lines and y0 + rows != self._h:
+            raise ValueError(
+                f"band of {rows} rows is not a whole number of "
+                f"{self._lines}-line chunks (use band_rows())")
+        spans = [(yb0, min(yb0 + self._lines, rows))
+                 for yb0 in range(0, rows, self._lines)]
+
+        def enc(span):
+            return _encode_chunk(band, span[0], span[1], y0 + span[0],
+                                 self._order, self._ptype, self._comp_id,
+                                 self._zip_level)
+
+        chunks = (self._pool.map(enc, spans) if self._pool is not None
+                  else map(enc, spans))
+        for chunk in chunks:      # pool.map preserves order
+            self._offsets.append(self._pos)
+            self._f.write(chunk)
+            self._pos += len(chunk)
+        self._next_row = y0 + rows
+
+    def close(self) -> None:
+        """Finalize: patch the offset table and close the file."""
+        try:
+            if self._next_row != self._h:
+                raise ValueError(f"only {self._next_row} of {self._h} "
+                                 "rows written")
+            self._f.seek(self._table_pos)
+            self._f.write(struct.pack(f"<{len(self._offsets)}Q",
+                                      *self._offsets))
+        finally:
+            self._f.close()
+            if self._pool is not None:
+                self._pool.shutdown(wait=False)
+
+    def abort(self) -> None:
+        """Close without finalizing (error path; file is left invalid)."""
+        self._f.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+
 def write_exr(path: str, image: np.ndarray, *, pixel_type: str = "half",
-              compression: str = "zip", zip_level: int = 4) -> None:
+              compression: str = "zip", zip_level: int = 4,
+              workers: int = 0) -> None:
     """Write an RGB (H, W, 3) or single-channel (H, W) float image.
 
     pixel_type: "half" | "float"; compression: none/rle/zips/zip/pxr24
     ("piz" must be substituted by the caller — see `hdrvae.io.exr`);
-    zip_level: zlib level for zip/zips/pxr24 chunks.
+    zip_level: zlib level for zip/zips/pxr24 chunks; workers: chunk-
+    compression threads (0 = auto; 1 = serial).  One whole-image band
+    through :class:`ExrBandWriter` — same bytes at any worker count.
     """
-    image = np.asarray(image, np.float32)
+    image = np.asarray(image)
+    if image.dtype != np.float16:   # preserve the f16 fast path bit-exactly
+        image = np.asarray(image, np.float32)
     if image.ndim == 2:
         image = image[..., None]
     h, w, c = image.shape
-    names = _channel_names(c)
-    ptype = PIXEL_HALF if pixel_type == "half" else PIXEL_FLOAT
-    comp_id = COMPRESSION_IDS[compression]
-    if comp_id == COMPRESSION_IDS["piz"]:
-        raise NotImplementedError("PIZ writing unsupported; substitute zip")
-    lines = LINES_PER_CHUNK[comp_id]
-    dtype = _PIX_DTYPE[ptype]
-
-    # channel planes in alphabetical order, as rows of bytes
-    order = sorted(range(c), key=lambda i: names[i])
-    planes = [np.ascontiguousarray(image[..., i]).astype(dtype)
-              for i in order]
-
-    chunks: List[bytes] = []
-    for y0 in range(0, h, lines):
-        y1 = min(y0 + lines, h)
-        raw_rows: List[bytes] = []
-        for y in range(y0, y1):
-            for plane in planes:
-                raw_rows.append(plane[y].tobytes())
-        raw = b"".join(raw_rows)
-        if comp_id == 0:
-            data = raw
-        elif comp_id == 1:  # RLE
-            data = _rle_encode(_filter_encode(raw))
-        elif comp_id in (2, 3):  # ZIPS / ZIP
-            data = zlib.compress(_filter_encode(raw), zip_level)
-        elif comp_id == 5:  # PXR24
-            rows = []
-            for y in range(y0, y1):
-                for i in order:
-                    rows.append((np.asarray(image[y, :, i], np.float32),
-                                 ptype))
-            data = zlib.compress(_pxr24_pack_rows(rows), zip_level)
-        else:
-            raise NotImplementedError(compression)
-        if len(data) >= len(raw):
-            data = raw
-        chunks.append(struct.pack("<ii", y0, len(data)) + data)
-
-    header = (struct.pack("<I", MAGIC) + struct.pack("<i", VERSION)
-              + _build_header(w, h, ptype, comp_id, names))
-    offset_table_size = 8 * len(chunks)
-    pos = len(header) + offset_table_size
-    offsets = []
-    for chunk in chunks:
-        offsets.append(pos)
-        pos += len(chunk)
-
-    with open(path, "wb") as f:
-        f.write(header)
-        f.write(struct.pack(f"<{len(offsets)}Q", *offsets))
-        for chunk in chunks:
-            f.write(chunk)
+    writer = ExrBandWriter(path, h, w, c, pixel_type=pixel_type,
+                           compression=compression, zip_level=zip_level,
+                           workers=workers)
+    with writer:
+        writer.write_rows(image)
 
 
 # ---------------------------------------------------------------------------

@@ -10,10 +10,13 @@
 // Bound from Python via ctypes (hdrvae/io/exr.py); no pybind11 needed.
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 #include <zlib.h>
 
@@ -814,26 +817,20 @@ inline uint16_t as_half(uint16_t v) { return v; }
 inline float as_float(float v) { return v; }
 inline float as_float(uint16_t v) { return half_to_float(v); }
 
-// Write an interleaved image (height x width x channels, RGB order for
-// 3-channel); T = float (float32 input) or uint16_t (IEEE half input).
-// pixel_type: 1=half 2=float; compression_id: OpenEXR id
-// (0 none, 1 rle, 2 zips, 3 zip, 5 pxr24); zip_level: zlib level 1-9 for
-// ZIP/ZIPS (modern OpenEXR defaults to 4 — near-identical size to 6 on
-// delta-filtered pixel data, ~2x faster deflate).  Returns 0 on success.
-template <typename T>
-int exr_write_impl(const char* path, const T* data, int height, int width,
-                   int channels, int pixel_type, int compression_id,
-                   int zip_level) {
-  if (pixel_type != HALF && pixel_type != FLOAT) return -2;
-  if (compression_id < 0 || compression_id > 5) return -3;
+// ---------------------------------------------------------------------------
+// Streaming writer: header + zeroed offset table up front, chunks appended
+// band by band (chunk payloads compressed on a small thread pool — EXR
+// chunks are independent, so the output is byte-identical to a serial
+// whole-image write), offset table patched at the end.  exr_write(_half)
+// runs the whole image as one band through the same machinery; the
+// exr_begin/exr_write_rows/exr_end C API is the band-streamed form used by
+// the pipelined single-frame exporter (hdrvae/io/pipeline.py), which
+// encodes band k while band k+1 is still in flight from the device.
+// ---------------------------------------------------------------------------
 
-  const int lines = lines_per_chunk(compression_id);
-  const int psz = pixel_size(pixel_type);
-  const auto names = channel_names(channels);
-  const auto src_idx = channel_source_index(channels);
-  const size_t row_bytes = static_cast<size_t>(width) * psz * channels;
-
-  // ----- header -----
+std::vector<uint8_t> build_exr_header(int height, int width,
+                                      const std::vector<std::string>& names,
+                                      int pixel_type, int compression_id) {
   std::vector<uint8_t> head;
   head.reserve(512);
   put_i32(&head, static_cast<int32_t>(kMagic));
@@ -873,174 +870,309 @@ int exr_write_impl(const char* path, const T* data, int height, int width,
     put_attr(&head, "screenWindowWidth", "float", f);
   }
   head.push_back(0);  // end of header
+  return head;
+}
 
-  // ----- chunks -----
-  const int n_chunks = (height + lines - 1) / lines;
-  std::vector<std::vector<uint8_t>> chunks;
-  chunks.reserve(n_chunks);
-  std::vector<uint8_t> raw, tmp, enc;
+struct ExrWriter {
+  FILE* f = nullptr;
+  int height = 0, width = 0, channels = 0;
+  int pixel_type = HALF, compression_id = ZIP, zip_level = 4;
+  int lines = 1, workers = 0, next_row = 0, n_chunks = 0;
+  std::vector<int> src_idx;
+  size_t row_bytes = 0;
+  uint64_t head_size = 0, pos = 0;
+  std::vector<uint64_t> offsets;
+};
 
-  for (int y0 = 0; y0 < height; y0 += lines) {
-    const int y1 = y0 < height - lines ? y0 + lines : height;
-    const int nrows = y1 - y0;
-    const size_t raw_size = static_cast<size_t>(nrows) * row_bytes;
-    raw.resize(raw_size);
+// Encode one chunk (global rows [y0, y1)) from a band whose first row is
+// global row band_y0.  Returns false on a compression error.
+template <typename T>
+bool encode_one_chunk(const ExrWriter& wr, const T* band, int band_y0,
+                      int y0, int y1, std::vector<uint8_t>* chunk) {
+  const int width = wr.width, channels = wr.channels;
+  const int pixel_type = wr.pixel_type, compression_id = wr.compression_id;
+  const int psz = pixel_size(pixel_type);
+  const int nrows = y1 - y0;
+  const size_t raw_size = static_cast<size_t>(nrows) * wr.row_bytes;
+  std::vector<uint8_t> raw(raw_size), tmp, enc;
+  const auto& src_idx = wr.src_idx;
+  auto band_row = [&](int y, int ci) -> const T* {
+    return band + (static_cast<size_t>(y - band_y0) * width * channels)
+               + src_idx[ci];
+  };
 
-    // pack scanlines: per row, per channel (alphabetical), w pixels
-    size_t off = 0;
+  // pack scanlines: per row, per channel (alphabetical), w pixels
+  size_t off = 0;
+  for (int y = y0; y < y1; ++y) {
+    for (int ci = 0; ci < channels; ++ci) {
+      const T* row = band_row(y, ci);
+      if (pixel_type == HALF) {
+        uint16_t* dst = reinterpret_cast<uint16_t*>(raw.data() + off);
+        for (int x = 0; x < width; ++x)
+          dst[x] = as_half(row[static_cast<size_t>(x) * channels]);
+        off += static_cast<size_t>(width) * 2;
+      } else {
+        float* dst = reinterpret_cast<float*>(raw.data() + off);
+        for (int x = 0; x < width; ++x)
+          dst[x] = as_float(row[static_cast<size_t>(x) * channels]);
+        off += static_cast<size_t>(width) * 4;
+      }
+    }
+  }
+
+  std::vector<uint8_t> payload;
+  if (compression_id == NONE) {
+    payload = raw;
+  } else if (compression_id == PIZ) {
+    // un-interleave scanlines into channel-major short planes
+    const int psize = psz / 2;  // shorts per pixel
+    const size_t plane_shorts =
+        static_cast<size_t>(nrows) * width * psize;
+    std::vector<uint16_t> shorts(plane_shorts * channels);
+    {
+      const uint16_t* src = reinterpret_cast<const uint16_t*>(raw.data());
+      size_t spos = 0;
+      for (int r = 0; r < nrows; ++r) {
+        for (int ci = 0; ci < channels; ++ci) {
+          uint16_t* plane = shorts.data() + plane_shorts * ci +
+                            static_cast<size_t>(r) * width * psize;
+          std::memcpy(plane, src + spos,
+                      static_cast<size_t>(width) * psize * 2);
+          spos += static_cast<size_t>(width) * psize;
+        }
+      }
+    }
+    // bitmap + forward LUT
+    std::vector<uint8_t> bitmap(piz::kBitmapSize, 0);
+    for (uint16_t v : shorts) bitmap[v >> 3] |= 1 << (v & 7);
+    bitmap[0] &= ~1u;  // zero is not stored
+    std::vector<uint16_t> lut(piz::kUShortRange);
+    uint16_t max_value = piz::forwardLutFromBitmap(bitmap.data(),
+                                                   lut.data());
+    for (uint16_t& v : shorts) v = lut[v];
+    // wavelet per channel per short-plane
+    for (int ci = 0; ci < channels; ++ci) {
+      for (int j = 0; j < psize; ++j) {
+        piz::wav2Encode(shorts.data() + plane_shorts * ci + j, width,
+                        psize, nrows, width * psize, max_value);
+      }
+    }
+    // payload: bitmap range + bitmap + huffman
+    int min_nz = piz::kBitmapSize, max_nz = -1;
+    for (int i = 0; i < piz::kBitmapSize; ++i) {
+      if (bitmap[i]) {
+        if (i < min_nz) min_nz = i;
+        max_nz = i;
+      }
+    }
+    if (max_nz < 0) { min_nz = 1; max_nz = 0; }  // empty bitmap signal
+    payload.push_back(min_nz & 0xFF);
+    payload.push_back((min_nz >> 8) & 0xFF);
+    payload.push_back(max_nz & 0xFF);
+    payload.push_back((max_nz >> 8) & 0xFF);
+    for (int i = min_nz; i <= max_nz; ++i) payload.push_back(bitmap[i]);
+    std::vector<uint8_t> huf;
+    piz::hufCompress(shorts.data(), shorts.size(), &huf);
+    int32_t hlen = static_cast<int32_t>(huf.size());
+    for (int i = 0; i < 4; ++i)
+      payload.push_back((hlen >> (8 * i)) & 0xFF);
+    payload.insert(payload.end(), huf.begin(), huf.end());
+  } else if (compression_id == ZIPS || compression_id == ZIP) {
+    tmp.resize(raw_size);
+    filter_encode(raw.data(), raw_size, tmp.data());
+    if (!zlib_deflate(tmp.data(), raw_size, &payload, wr.zip_level))
+      return false;
+  } else if (compression_id == RLE) {
+    tmp.resize(raw_size);
+    filter_encode(raw.data(), raw_size, tmp.data());
+    enc.resize(raw_size * 2 + 16);
+    size_t n = rle_encode(tmp.data(), raw_size, enc.data());
+    payload.assign(enc.begin(), enc.begin() + n);
+  } else {  // PXR24
+    // plane-pack deltas per channel-row from the float source
+    tmp.clear();
+    tmp.reserve(raw_size);
     for (int y = y0; y < y1; ++y) {
       for (int ci = 0; ci < channels; ++ci) {
-        const T* row = data +
-            (static_cast<size_t>(y) * width * channels) + src_idx[ci];
-        if (pixel_type == HALF) {
-          uint16_t* dst = reinterpret_cast<uint16_t*>(raw.data() + off);
-          for (int x = 0; x < width; ++x)
-            dst[x] = as_half(row[static_cast<size_t>(x) * channels]);
-          off += static_cast<size_t>(width) * 2;
-        } else {
-          float* dst = reinterpret_cast<float*>(raw.data() + off);
-          for (int x = 0; x < width; ++x)
-            dst[x] = as_float(row[static_cast<size_t>(x) * channels]);
-          off += static_cast<size_t>(width) * 4;
+        const T* row = band_row(y, ci);
+        if (pixel_type == FLOAT) {
+          std::vector<uint8_t> hi(width), mid(width), lo(width);
+          uint32_t prev = 0;
+          for (int x = 0; x < width; ++x) {
+            uint32_t p = float_to_float24(
+                as_float(row[static_cast<size_t>(x) * channels]));
+            uint32_t diff = (p - prev) & 0xFFFFFFu;
+            prev = p;
+            hi[x] = (diff >> 16) & 0xFF;
+            mid[x] = (diff >> 8) & 0xFF;
+            lo[x] = diff & 0xFF;
+          }
+          tmp.insert(tmp.end(), hi.begin(), hi.end());
+          tmp.insert(tmp.end(), mid.begin(), mid.end());
+          tmp.insert(tmp.end(), lo.begin(), lo.end());
+        } else {  // HALF
+          std::vector<uint8_t> hi(width), lo(width);
+          uint32_t prev = 0;
+          for (int x = 0; x < width; ++x) {
+            uint32_t p = as_half(
+                row[static_cast<size_t>(x) * channels]);
+            uint32_t diff = (p - prev) & 0xFFFFu;
+            prev = p;
+            hi[x] = (diff >> 8) & 0xFF;
+            lo[x] = diff & 0xFF;
+          }
+          tmp.insert(tmp.end(), hi.begin(), hi.end());
+          tmp.insert(tmp.end(), lo.begin(), lo.end());
         }
       }
     }
+    if (!zlib_deflate(tmp.data(), tmp.size(), &payload, wr.zip_level))
+      return false;
+  }
+  if (payload.size() >= raw_size) payload = raw;  // store raw
 
-    std::vector<uint8_t> payload;
-    if (compression_id == NONE) {
-      payload = raw;
-    } else if (compression_id == PIZ) {
-      // un-interleave scanlines into channel-major short planes
-      const int psize = psz / 2;  // shorts per pixel
-      const size_t plane_shorts =
-          static_cast<size_t>(nrows) * width * psize;
-      std::vector<uint16_t> shorts(plane_shorts * channels);
-      {
-        const uint16_t* src = reinterpret_cast<const uint16_t*>(raw.data());
-        size_t spos = 0;
-        for (int r = 0; r < nrows; ++r) {
-          for (int ci = 0; ci < channels; ++ci) {
-            uint16_t* plane = shorts.data() + plane_shorts * ci +
-                              static_cast<size_t>(r) * width * psize;
-            std::memcpy(plane, src + spos,
-                        static_cast<size_t>(width) * psize * 2);
-            spos += static_cast<size_t>(width) * psize;
-          }
-        }
-      }
-      // bitmap + forward LUT
-      std::vector<uint8_t> bitmap(piz::kBitmapSize, 0);
-      for (uint16_t v : shorts) bitmap[v >> 3] |= 1 << (v & 7);
-      bitmap[0] &= ~1u;  // zero is not stored
-      std::vector<uint16_t> lut(piz::kUShortRange);
-      uint16_t max_value = piz::forwardLutFromBitmap(bitmap.data(),
-                                                     lut.data());
-      for (uint16_t& v : shorts) v = lut[v];
-      // wavelet per channel per short-plane
-      for (int ci = 0; ci < channels; ++ci) {
-        for (int j = 0; j < psize; ++j) {
-          piz::wav2Encode(shorts.data() + plane_shorts * ci + j, width,
-                          psize, nrows, width * psize, max_value);
-        }
-      }
-      // payload: bitmap range + bitmap + huffman
-      int min_nz = piz::kBitmapSize, max_nz = -1;
-      for (int i = 0; i < piz::kBitmapSize; ++i) {
-        if (bitmap[i]) {
-          if (i < min_nz) min_nz = i;
-          max_nz = i;
-        }
-      }
-      if (max_nz < 0) { min_nz = 1; max_nz = 0; }  // empty bitmap signal
-      payload.push_back(min_nz & 0xFF);
-      payload.push_back((min_nz >> 8) & 0xFF);
-      payload.push_back(max_nz & 0xFF);
-      payload.push_back((max_nz >> 8) & 0xFF);
-      for (int i = min_nz; i <= max_nz; ++i) payload.push_back(bitmap[i]);
-      std::vector<uint8_t> huf;
-      piz::hufCompress(shorts.data(), shorts.size(), &huf);
-      int32_t hlen = static_cast<int32_t>(huf.size());
-      for (int i = 0; i < 4; ++i)
-        payload.push_back((hlen >> (8 * i)) & 0xFF);
-      payload.insert(payload.end(), huf.begin(), huf.end());
-    } else if (compression_id == ZIPS || compression_id == ZIP) {
-      tmp.resize(raw_size);
-      filter_encode(raw.data(), raw_size, tmp.data());
-      if (!zlib_deflate(tmp.data(), raw_size, &payload, zip_level))
-        return -4;
-    } else if (compression_id == RLE) {
-      tmp.resize(raw_size);
-      filter_encode(raw.data(), raw_size, tmp.data());
-      enc.resize(raw_size * 2 + 16);
-      size_t n = rle_encode(tmp.data(), raw_size, enc.data());
-      payload.assign(enc.begin(), enc.begin() + n);
-    } else {  // PXR24
-      // plane-pack deltas per channel-row from the float source
-      tmp.clear();
-      tmp.reserve(raw_size);
-      for (int y = y0; y < y1; ++y) {
-        for (int ci = 0; ci < channels; ++ci) {
-          const T* row = data +
-              (static_cast<size_t>(y) * width * channels) + src_idx[ci];
-          if (pixel_type == FLOAT) {
-            std::vector<uint8_t> hi(width), mid(width), lo(width);
-            uint32_t prev = 0;
-            for (int x = 0; x < width; ++x) {
-              uint32_t p = float_to_float24(
-                  as_float(row[static_cast<size_t>(x) * channels]));
-              uint32_t diff = (p - prev) & 0xFFFFFFu;
-              prev = p;
-              hi[x] = (diff >> 16) & 0xFF;
-              mid[x] = (diff >> 8) & 0xFF;
-              lo[x] = diff & 0xFF;
-            }
-            tmp.insert(tmp.end(), hi.begin(), hi.end());
-            tmp.insert(tmp.end(), mid.begin(), mid.end());
-            tmp.insert(tmp.end(), lo.begin(), lo.end());
-          } else {  // HALF
-            std::vector<uint8_t> hi(width), lo(width);
-            uint32_t prev = 0;
-            for (int x = 0; x < width; ++x) {
-              uint32_t p = as_half(
-                  row[static_cast<size_t>(x) * channels]);
-              uint32_t diff = (p - prev) & 0xFFFFu;
-              prev = p;
-              hi[x] = (diff >> 8) & 0xFF;
-              lo[x] = diff & 0xFF;
-            }
-            tmp.insert(tmp.end(), hi.begin(), hi.end());
-            tmp.insert(tmp.end(), lo.begin(), lo.end());
-          }
-        }
-      }
-      if (!zlib_deflate(tmp.data(), tmp.size(), &payload, zip_level))
-        return -4;
+  chunk->clear();
+  put_i32(chunk, y0);
+  put_i32(chunk, static_cast<int32_t>(payload.size()));
+  chunk->insert(chunk->end(), payload.begin(), payload.end());
+  return true;
+}
+
+ExrWriter* exr_begin_impl(const char* path, int height, int width,
+                          int channels, int pixel_type, int compression_id,
+                          int zip_level, int workers, int* rc) {
+  *rc = 0;
+  if (pixel_type != HALF && pixel_type != FLOAT) { *rc = -2; return nullptr; }
+  if (compression_id < 0 || compression_id > 5) { *rc = -3; return nullptr; }
+  if (height <= 0 || width <= 0 || channels <= 0) { *rc = -2; return nullptr; }
+
+  auto wr = new ExrWriter();
+  wr->height = height; wr->width = width; wr->channels = channels;
+  wr->pixel_type = pixel_type; wr->compression_id = compression_id;
+  wr->zip_level = zip_level;
+  wr->lines = lines_per_chunk(compression_id);
+  wr->workers = workers;
+  wr->src_idx = channel_source_index(channels);
+  wr->row_bytes = static_cast<size_t>(width) * pixel_size(pixel_type)
+                  * channels;
+  wr->n_chunks = (height + wr->lines - 1) / wr->lines;
+
+  const auto names = channel_names(channels);
+  const auto head = build_exr_header(height, width, names, pixel_type,
+                                     compression_id);
+  wr->head_size = head.size();
+  wr->pos = head.size() + 8ull * wr->n_chunks;
+  wr->offsets.reserve(wr->n_chunks);
+
+  wr->f = std::fopen(path, "wb");
+  if (!wr->f) { *rc = -1; delete wr; return nullptr; }
+  const std::vector<uint8_t> zeros(8ull * wr->n_chunks, 0);
+  if (std::fwrite(head.data(), 1, head.size(), wr->f) != head.size() ||
+      std::fwrite(zeros.data(), 1, zeros.size(), wr->f) != zeros.size()) {
+    std::fclose(wr->f); delete wr; *rc = -5; return nullptr;
+  }
+  return wr;
+}
+
+template <typename T>
+int write_rows_impl(ExrWriter* wr, const T* band, int nrows) {
+  if (!wr || !wr->f) return -1;
+  const int y0_band = wr->next_row;
+  if (nrows <= 0 || y0_band + nrows > wr->height) return -6;
+  if (nrows % wr->lines != 0 && y0_band + nrows != wr->height)
+    return -6;  // bands must cover whole chunks (except the final band)
+
+  const int lines = wr->lines;
+  std::vector<std::pair<int, int>> spans;
+  for (int y0 = y0_band; y0 < y0_band + nrows; y0 += lines) {
+    spans.emplace_back(y0, std::min(y0 + lines, y0_band + nrows));
+  }
+  const int n = static_cast<int>(spans.size());
+  std::vector<std::vector<uint8_t>> out(n);
+
+  int nthreads = wr->workers;
+  if (nthreads <= 0) {
+    nthreads = static_cast<int>(std::thread::hardware_concurrency());
+    if (nthreads <= 0) nthreads = 1;
+    if (nthreads > 8) nthreads = 8;
+  }
+  nthreads = std::min(nthreads, n);
+
+  std::atomic<int> next(0);
+  std::atomic<bool> failed(false);
+  auto work = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n && !failed.load()) {
+      if (!encode_one_chunk(*wr, band, y0_band, spans[i].first,
+                            spans[i].second, &out[i]))
+        failed.store(true);
     }
-    if (payload.size() >= raw_size) payload = raw;  // store raw
-
-    std::vector<uint8_t> chunk;
-    put_i32(&chunk, y0);
-    put_i32(&chunk, static_cast<int32_t>(payload.size()));
-    chunk.insert(chunk.end(), payload.begin(), payload.end());
-    chunks.push_back(std::move(chunk));
+  };
+  if (nthreads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
   }
+  if (failed.load()) return -4;
 
-  // ----- offsets + file assembly -----
-  std::vector<uint8_t> table;
-  uint64_t pos = head.size() + 8ull * chunks.size();
-  for (const auto& c : chunks) {
-    put_u64(&table, pos);
-    pos += c.size();
+  for (int i = 0; i < n; ++i) {
+    wr->offsets.push_back(wr->pos);
+    if (std::fwrite(out[i].data(), 1, out[i].size(), wr->f)
+        != out[i].size())
+      return -5;
+    wr->pos += out[i].size();
   }
+  wr->next_row = y0_band + nrows;
+  return 0;
+}
 
-  FILE* f = std::fopen(path, "wb");
-  if (!f) return -1;
-  bool ok = std::fwrite(head.data(), 1, head.size(), f) == head.size() &&
-            std::fwrite(table.data(), 1, table.size(), f) == table.size();
-  for (const auto& c : chunks)
-    ok = ok && std::fwrite(c.data(), 1, c.size(), f) == c.size();
-  std::fclose(f);
-  return ok ? 0 : -5;
+int exr_end_impl(ExrWriter* wr) {
+  if (!wr) return -1;
+  int rc = 0;
+  if (!wr->f) {
+    rc = -1;
+  } else if (wr->next_row != wr->height) {
+    rc = -6;
+  } else {
+    std::vector<uint8_t> table;
+    table.reserve(8 * wr->offsets.size());
+    for (uint64_t o : wr->offsets) put_u64(&table, o);
+    if (std::fseek(wr->f, static_cast<long>(wr->head_size), SEEK_SET) != 0 ||
+        std::fwrite(table.data(), 1, table.size(), wr->f) != table.size())
+      rc = -5;
+  }
+  if (wr->f) std::fclose(wr->f);
+  delete wr;
+  return rc;
+}
+
+void exr_abort_impl(ExrWriter* wr) {
+  if (!wr) return;
+  if (wr->f) std::fclose(wr->f);
+  delete wr;
+}
+
+// Write an interleaved image (height x width x channels, RGB order for
+// 3-channel); T = float (float32 input) or uint16_t (IEEE half input).
+// pixel_type: 1=half 2=float; compression_id: OpenEXR id
+// (0 none, 1 rle, 2 zips, 3 zip, 5 pxr24); zip_level: zlib level 1-9 for
+// ZIP/ZIPS (modern OpenEXR defaults to 4 — near-identical size to 6 on
+// delta-filtered pixel data, ~2x faster deflate).  Returns 0 on success.
+template <typename T>
+int exr_write_impl(const char* path, const T* data, int height, int width,
+                   int channels, int pixel_type, int compression_id,
+                   int zip_level) {
+  int rc = 0;
+  ExrWriter* wr = exr_begin_impl(path, height, width, channels, pixel_type,
+                                 compression_id, zip_level, /*workers=*/0,
+                                 &rc);
+  if (!wr) return rc;
+  rc = write_rows_impl(wr, data, height);
+  if (rc != 0) { exr_abort_impl(wr); return rc; }
+  return exr_end_impl(wr);
 }
 
 }  // namespace
@@ -1052,6 +1184,41 @@ int exr_write(const char* path, const float* data, int height, int width,
               int zip_level) {
   return exr_write_impl(path, data, height, width, channels, pixel_type,
                         compression_id, zip_level);
+}
+
+// ---- streaming (banded) writer API ----------------------------------------
+// exr_begin -> N x exr_write_rows[_half] -> exr_end.  Bands must cover a
+// whole number of scanline chunks (lines = exr_lines_per_chunk(comp)),
+// except the final band.  The produced file is byte-identical to
+// exr_write on the same pixels.  workers: chunk-compression threads
+// (0 = auto).  On any non-zero rc from exr_write_rows, call exr_abort.
+
+int exr_lines_per_chunk(int compression_id) {
+  return lines_per_chunk(compression_id);
+}
+
+void* exr_begin(const char* path, int height, int width, int channels,
+                int pixel_type, int compression_id, int zip_level,
+                int workers) {
+  int rc = 0;
+  return exr_begin_impl(path, height, width, channels, pixel_type,
+                        compression_id, zip_level, workers, &rc);
+}
+
+int exr_write_rows(void* handle, const float* band, int nrows) {
+  return write_rows_impl(static_cast<ExrWriter*>(handle), band, nrows);
+}
+
+int exr_write_rows_half(void* handle, const uint16_t* band, int nrows) {
+  return write_rows_impl(static_cast<ExrWriter*>(handle), band, nrows);
+}
+
+int exr_end(void* handle) {
+  return exr_end_impl(static_cast<ExrWriter*>(handle));
+}
+
+void exr_abort(void* handle) {
+  exr_abort_impl(static_cast<ExrWriter*>(handle));
 }
 
 // Half-precision input (IEEE 754 binary16 as uint16, e.g. numpy float16):

@@ -27,8 +27,8 @@ _build_failed = False
 
 
 def _compile() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _LIB, "-lz"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           _SRC, "-o", _LIB, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -76,5 +76,22 @@ def load_native() -> Optional[ctypes.CDLL]:
         lib.exr_read.argtypes = [ctypes.c_char_p,
                                  ctypes.POINTER(ctypes.c_float)]
         lib.exr_read.restype = ctypes.c_int
+        # streaming (banded) writer API
+        lib.exr_lines_per_chunk.argtypes = [ctypes.c_int]
+        lib.exr_lines_per_chunk.restype = ctypes.c_int
+        lib.exr_begin.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.exr_begin.restype = ctypes.c_void_p
+        lib.exr_write_rows.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.exr_write_rows.restype = ctypes.c_int
+        lib.exr_write_rows_half.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int]
+        lib.exr_write_rows_half.restype = ctypes.c_int
+        lib.exr_end.argtypes = [ctypes.c_void_p]
+        lib.exr_end.restype = ctypes.c_int
+        lib.exr_abort.argtypes = [ctypes.c_void_p]
+        lib.exr_abort.restype = None
         _lib = lib
         return _lib

@@ -66,6 +66,101 @@ def _fetch(frame, want_half: bool, fetch_workers: int) -> np.ndarray:
     return np.asarray(jax.device_get(frame))
 
 
+def export_frame_streamed(frame: Frame,
+                          cfg: ExportConfig = ExportConfig(),
+                          *, default_output_dir: str = "output",
+                          prompt: Optional[dict] = None,
+                          extra_pnginfo: Optional[dict] = None,
+                          band_rows: int = 256,
+                          workers: int = 0) -> ExportResult:
+    """Single-frame EXR export with INTRA-frame overlap: fetch scanline
+    band k+1 from the device while band k is being encoded (threaded
+    chunk compression) and written (VERDICT round-3 item 3).
+
+    The serial path pays fetch + encode + write in sequence over the whole
+    frame (`io.export.export_linear` after an `np.asarray(image)`); here
+    the frame never exists whole on the host and the wall time approaches
+    max(total fetch, total encode).  The file is byte-identical to the
+    serial exporter's (EXR chunks are independent; `io.exr.ExrBandWriter`).
+
+    frame: one [H, W, C] image — a jax device array (the intended use), a
+    numpy array, or a zero-arg callable returning either.  Non-EXR formats
+    and invalid configs fall back to the serial exporter (same contract).
+    """
+    if callable(frame):
+        frame = frame()
+    if cfg.format != "exr" or getattr(frame, "ndim", 0) != 3:
+        import jax
+        arr = frame if isinstance(frame, np.ndarray) else np.asarray(
+            jax.device_get(frame))
+        from hdrvae.io.export import export_linear
+        return export_linear(arr, cfg,
+                             default_output_dir=default_output_dir,
+                             prompt=prompt, extra_pnginfo=extra_pnginfo)
+
+    result = ExportResult()
+    try:
+        from hdrvae.io.exr import ExrBandWriter
+        import os
+        h, w, c = frame.shape
+        output_dir, template, sequenced = plan_output(
+            cfg, default_output_dir, 1)
+        filename = template % cfg.start_frame if sequenced else template
+        filepath = os.path.join(output_dir, filename)
+        pixel_type = "float" if cfg.bit_depth == "32bit" else "half"
+
+        want_half = pixel_type == "half"
+        if not isinstance(frame, np.ndarray):
+            import jax.numpy as jnp
+            if want_half:
+                # the file stores halves anyway: cast on device and fetch
+                # half the bytes (bit-identical EXR payload)
+                frame = frame.astype(jnp.float16)
+
+        writer = ExrBandWriter(filepath, h, w, c, pixel_type=pixel_type,
+                               compression=cfg.compression,
+                               workers=workers)
+        rows = writer.band_rows(band_rows)
+        spans = [(y0, min(y0 + rows, h)) for y0 in range(0, h, rows)]
+        stats = {"hdr": 0, "neg": 0}
+
+        def fetch(span):
+            band = frame[span[0]:span[1]]
+            if not isinstance(band, np.ndarray):
+                import jax
+                band = np.asarray(jax.device_get(band))
+            stats["hdr"] += int((band > 1.0).sum())
+            stats["neg"] += int((band < 0.0).sum())
+            return band
+
+        fetcher = cf.ThreadPoolExecutor(1)
+        try:
+            with writer:
+                fut = fetcher.submit(fetch, spans[0])
+                for i in range(len(spans)):
+                    band = fut.result()
+                    if i + 1 < len(spans):
+                        fut = fetcher.submit(fetch, spans[i + 1])
+                    writer.write_rows(band)
+        finally:
+            fetcher.shutdown(wait=True, cancel_futures=True)
+        logger.info("export (streamed): %s hdr_pixels=%d negatives=%d",
+                    filepath, stats["hdr"], stats["neg"])
+        if cfg.save_workflow:
+            _write_sidecar(filepath, prompt, extra_pnginfo)
+        result.filepaths = [filepath]
+        try:
+            result.verify_stats = verify_save(filepath)
+            result.verified = True
+        except Exception as e:   # diagnostic, not gating
+            logger.warning("read-back verification failed: %s", e)
+        return result
+    except Exception as e:  # node contract: report, don't raise
+        logger.error("streamed export failed: %s", e, exc_info=True)
+        result.error = f"ERROR: {e}"
+        return result
+
+
 def export_stream(frames: Iterable[Frame],
                   cfg: ExportConfig = ExportConfig(),
                   *, default_output_dir: str = "output",

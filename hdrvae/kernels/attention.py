@@ -35,7 +35,19 @@ _BLOCK_K = 512
 def _matmul_precision(precision: Precision):
     if precision.mode == "parity":
         return jax.lax.Precision.HIGHEST
+    if precision.mode == "mixed":
+        return jax.lax.Precision.HIGH
     return jax.lax.Precision.DEFAULT
+
+
+def _as_dot_precision(precise) -> jax.lax.Precision:
+    """``precise`` flag -> MXU dot precision.  Accepts the legacy bool
+    (True == parity HIGHEST) or an explicit jax.lax.Precision (the mixed
+    tier passes HIGH)."""
+    if isinstance(precise, jax.lax.Precision):
+        return precise
+    return (jax.lax.Precision.HIGHEST if precise
+            else jax.lax.Precision.DEFAULT)
 
 
 def spatial_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -71,7 +83,7 @@ def spatial_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                  scale: float, precise: bool):
+                  scale: float, precise):
     """Grid (num_q, num_kv): Q block i against KV block j, online softmax
     carried in VMEM scratch across the j dimension.
 
@@ -92,9 +104,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     k_blk = k_ref[...].astype(jnp.float32)
     v_blk = v_ref[...].astype(jnp.float32)
     # Mosaic honors matmul precision: HIGHEST gives true-f32 MXU passes
-    # (measured 1e-7 rel) for the parity contract; DEFAULT is the fast path.
-    prec = (jax.lax.Precision.HIGHEST if precise
-            else jax.lax.Precision.DEFAULT)
+    # (measured 1e-7 rel) for the parity contract; HIGH is the 3-pass
+    # mixed tier; DEFAULT is the fast path.
+    prec = _as_dot_precision(precise)
     s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
                             precision=prec,
                             preferred_element_type=jnp.float32)
@@ -119,7 +131,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
 
 def _flash_attention_2d(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                         scale: float, block_q: int, block_k: int,
-                        precise: bool = False) -> jnp.ndarray:
+                        precise=False) -> jnp.ndarray:
     """q, k: [N, Cqk]; v: [N, Cv]; N divisible by block sizes."""
     n, c_qk = q.shape
     c_v = v.shape[1]
@@ -155,7 +167,7 @@ def _flash_attention_2d(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              *, block_q: int = _BLOCK_Q,
                              block_k: int = _BLOCK_K,
-                             precise: bool = False,
+                             precise=False,
                              interpret: bool = False,
                              key_valid: jnp.ndarray | None = None
                              ) -> jnp.ndarray:
@@ -181,7 +193,9 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     def single(qi, ki, vi):
         # precise mode streams f32 blocks; fast mode keeps the conv output
         # dtype (bf16) through HBM->VMEM — the kernel upcasts per block.
-        dtype = jnp.float32 if precise else qi.dtype
+        dtype = (qi.dtype
+                 if _as_dot_precision(precise) == jax.lax.Precision.DEFAULT
+                 else jnp.float32)
         qf = qi.reshape(n, c).astype(dtype)
         kf = ki.reshape(n, c).astype(dtype)
         vf = vi.reshape(n, c).astype(dtype)
@@ -228,7 +242,7 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if (on_tpu and n >= _PALLAS_MIN_TOKENS and q.shape[-1] % 128 == 0
             and n % _BLOCK_Q == 0):
         return spatial_attention_pallas(
-            q, k, v, precise=precision.mode == "parity",
+            q, k, v, precise=_matmul_precision(precision),
             key_valid=key_valid)
     return spatial_attention_xla(q, k, v, precision=precision,
                                  key_valid=key_valid)

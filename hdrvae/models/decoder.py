@@ -115,21 +115,27 @@ def decoder_head(params: Params, z: jnp.ndarray,
         # unpadded decode)
         z = tape.mask_output(z)
 
-    x = conv2d(z, params["conv_in"], precision=precision)
+    # Mixed tier with fast_head_levels > 0: conv_in + mid run in fast
+    # bf16 (they sit at latent resolution, where the per-stage sweep in
+    # PERF_NOTES.md section 6 measured negligible end-to-end error
+    # contribution); each up level picks its own precision below.
+    hp = precision.head_precision()
+    x = conv2d(z, params["conv_in"], precision=hp)
 
     mid = params["mid"]
     x = resnet_block(x, mid["block_1"], num_groups=cfg.num_groups,
-                     precision=precision, tape=tape)
+                     precision=hp, tape=tape)
     if cfg.attn_mid:
         x = attn_block(x, mid["attn_1"], num_groups=cfg.num_groups,
-                       precision=precision, tape=tape)
+                       precision=hp, tape=tape)
     x = resnet_block(x, mid["block_2"], num_groups=cfg.num_groups,
-                     precision=precision, tape=tape)
+                     precision=hp, tape=tape)
 
     # Up path: highest multiplier first (matches AutoencoderKL's
     # reversed(range(num_resolutions)) traversal).
     for level in reversed(range(tail_levels, cfg.num_levels)):
-        x = _up_level(params["up"][level], x, level, cfg, precision, tape)
+        x = _up_level(params["up"][level], x, level, cfg,
+                      precision.for_level(level), tape)
     return x
 
 
@@ -183,7 +189,8 @@ def decoder_tail(params: Params, x: jnp.ndarray,
     mesh — exact whole-image statistics from per-slab partials.
     """
     for level in reversed(range(tail_levels)):
-        x = _up_level(params["up"][level], x, level, cfg, precision, tape)
+        x = _up_level(params["up"][level], x, level, cfg,
+                      precision.for_level(level), tape)
 
     x = group_norm_silu(x, params["norm_out"], num_groups=cfg.num_groups,
                         precision=precision, tape=tape)

@@ -70,12 +70,16 @@ class ServeEngine:
     owns the device.  Use as a context manager or call :meth:`close`.
     """
 
+    _DEFAULT_BUCKET = object()   # sentinel: 64 single-device, None w/ mesh
+
     def __init__(self, vae, *,
                  hdr_cfg: HDRDecodeConfig = HDRDecodeConfig(),
                  precision: Optional[Precision] = None,
-                 bucket: Union[BucketPolicy, int, None] = 64,
+                 bucket: Union[BucketPolicy, int, None] = _DEFAULT_BUCKET,
                  max_pending: int = 32,
-                 depth: int = 2):
+                 depth: int = 2,
+                 mesh=None,
+                 deadline_s: Optional[float] = None):
         """
         Args:
           vae: a loaded :class:`hdrvae.api.vae.VAE` handle.
@@ -84,18 +88,46 @@ class ServeEngine:
           precision: defaults to the VAE handle's precision.
           bucket: a fitted :class:`BucketPolicy`, a plain multiple (int,
             latent-space pixels), or None to compile per exact shape.
+            Defaults to 64 on a single device and None with a mesh (the
+            exact slab path has no PadMask support, so mesh serving
+            compiles per latent shape — pre-compile with :meth:`warmup`).
           max_pending: request-queue bound (backpressure).
           depth: in-flight decodes kept dispatched ahead of the host
             fetch (2 = classic double buffering).
+          mesh: a ``jax.sharding.Mesh``; decodes route through the exact
+            sharded slab path (``sharding.mesh.sharded_slab_decode``)
+            instead of the single-device program — multi-chip serving
+            (VERDICT round-3 item 2).  Responses are equal to the
+            single-device ones (the slab path is exact; asserted in
+            tests/test_serve.py on the 8-device CPU mesh).
+          deadline_s: default per-request deadline.  A request still
+            QUEUED when its deadline expires fails with TimeoutError
+            instead of dispatching — a cold-shape XLA compile ahead of
+            it cannot wedge the whole queue into timing out one by one.
+            (A request already dispatched is never abandoned: the device
+            work is paid for, so its result is kept.)
         """
         self._vae = vae
         self.hdr_cfg = hdr_cfg
         self._precision = precision if precision is not None \
             else vae.precision
+        if bucket is ServeEngine._DEFAULT_BUCKET:
+            bucket = None if mesh is not None else 64
+        if mesh is not None and bucket is not None:
+            raise ValueError(
+                "bucket snapping is unsupported with a mesh (the exact "
+                "slab path pads nothing); pass bucket=None")
         self._bucket = bucket
+        self._mesh = mesh
+        self._deadline_s = deadline_s
         self._depth = max(1, depth)
         self._queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._lock = threading.Lock()
+        # submit() blocks on this instead of poll-sleeping; the worker
+        # notifies after every get (ADVICE round-3: the 5 ms sleep loop
+        # burned CPU under overload and lost FIFO fairness — Condition
+        # waiters wake in wait() order).
+        self._space = threading.Condition(self._lock)
         self._closed = False
         self._n_done = 0
         self._n_errors = 0
@@ -109,14 +141,22 @@ class ServeEngine:
 
     # -- client side --------------------------------------------------
 
+    _USE_DEFAULT = object()
+
     def submit(self, latent: np.ndarray,
                cfg: Optional[HDRDecodeConfig] = None, *,
-               block: bool = True, timeout: Optional[float] = None):
+               block: bool = True, timeout: Optional[float] = None,
+               deadline_s=_USE_DEFAULT):
         """Enqueue one decode; returns a ``concurrent.futures.Future``
         resolving to a :class:`ServeResponse`.
 
         latent: [h, w, z], [B, h, w, z] (NHWC) or [B, z, h, w] (NCHW,
         auto-detected by ``hdr_decode``).
+
+        ``deadline_s`` (default: the engine's ``deadline_s``; pass None
+        for no deadline): if the request is still queued this many
+        seconds after submit, it fails with TimeoutError instead of
+        dispatching.
         """
         import concurrent.futures as cf
         latent = np.asarray(latent)
@@ -125,15 +165,19 @@ class ServeEngine:
         if latent.ndim != 4:
             raise ValueError(f"latent must be 3D/4D, got {latent.shape}")
         fut: "cf.Future" = cf.Future()
+        t0 = time.monotonic()
+        if deadline_s is ServeEngine._USE_DEFAULT:
+            deadline_s = self._deadline_s
+        drop_at = None if deadline_s is None else t0 + deadline_s
         item = (fut, latent, cfg if cfg is not None else self.hdr_cfg,
-                time.monotonic())
+                t0, drop_at)
         # closed-check and enqueue are one atomic step under the lock:
         # a put that raced past a bare closed-check could land AFTER the
         # worker consumed _STOP, leaving a future that never resolves
         # (and a caller blocked forever in fut.result()).
-        deadline = None if timeout is None else time.monotonic() + timeout
-        while True:
-            with self._lock:
+        deadline = None if timeout is None else t0 + timeout
+        with self._space:
+            while True:
                 if self._closed:
                     raise RuntimeError("engine is closed")
                 try:
@@ -141,11 +185,15 @@ class ServeEngine:
                     return fut
                 except queue.Full:
                     pass
-            if not block or (deadline is not None
-                             and time.monotonic() >= deadline):
-                raise EngineOverloaded(
-                    f"{self._queue.maxsize} requests already pending")
-            time.sleep(0.005)
+                if not block:
+                    raise EngineOverloaded(
+                        f"{self._queue.maxsize} requests already pending")
+                wait = (None if deadline is None
+                        else deadline - time.monotonic())
+                if wait is not None and wait <= 0:
+                    raise EngineOverloaded(
+                        f"{self._queue.maxsize} requests already pending")
+                self._space.wait(wait)
 
     def decode_sync(self, latent: np.ndarray,
                     cfg: Optional[HDRDecodeConfig] = None) -> ServeResponse:
@@ -153,9 +201,14 @@ class ServeEngine:
         return self.submit(latent, cfg).result()
 
     def warmup(self, latent_hw_list, batch: int = 1) -> None:
-        """Pre-compile the programs for a list of latent (h, w) sizes."""
+        """Pre-compile the programs for a list of latent (h, w) sizes.
+
+        Warmup requests carry no deadline — they exist to absorb the cold
+        XLA compiles that the deadline protects real requests from.
+        """
         zc = self._vae.config.z_channels
-        futs = [self.submit(np.zeros((batch, h, w, zc), np.float32))
+        futs = [self.submit(np.zeros((batch, h, w, zc), np.float32),
+                            deadline_s=None)
                 for h, w in latent_hw_list]
         for f in futs:
             f.result()
@@ -184,10 +237,11 @@ class ServeEngine:
 
     def close(self, timeout: float = 30.0) -> None:
         """Drain in-flight work and stop the worker."""
-        with self._lock:
+        with self._space:
             if self._closed:
                 return
             self._closed = True
+            self._space.notify_all()   # wake blocked submitters -> closed
         # every item enqueued (under the lock) before _closed flipped is
         # ahead of _STOP in FIFO order, so the worker drains it first
         self._queue.put(_STOP)
@@ -221,6 +275,12 @@ class ServeEngine:
             h, w = latent.shape[2], latent.shape[3]
         else:
             h, w = latent.shape[1], latent.shape[2]
+        if self._mesh is not None:
+            from hdrvae.sharding.mesh import sharded_slab_decode
+            result = sharded_slab_decode(
+                self._vae.params, jnp.asarray(latent), self._vae.config,
+                cfg, mesh=self._mesh, precision=self._precision)
+            return result, (h, w)
         target = self._pad_target(h, w)
         result = hdr_decode(self._vae.params, jnp.asarray(latent),
                             self._vae.config, cfg, self._precision,
@@ -265,12 +325,23 @@ class ServeEngine:
                 if stopping:
                     return
                 item = self._queue.get()   # idle: block for work
+            with self._space:
+                self._space.notify()   # one queue slot freed
             if item is _STOP:
                 stopping = True
                 continue
-            fut, latent, cfg, t0 = item
+            fut, latent, cfg, t0, drop_at = item
             if not fut.set_running_or_notify_cancel():
                 continue   # client cancelled while queued
+            if drop_at is not None and time.monotonic() > drop_at:
+                # expired while queued (e.g. behind a cold-shape compile):
+                # fail fast instead of spending the device on a result
+                # nobody is waiting for
+                with self._lock:
+                    self._n_errors += 1
+                fut.set_exception(TimeoutError(
+                    "request deadline expired before dispatch"))
+                continue
             try:
                 result, padded_hw = self._dispatch(latent, cfg)
             except Exception as e:

@@ -28,6 +28,7 @@ host behind any standard load balancer.
 
 from __future__ import annotations
 
+import concurrent.futures as _futures
 import io
 import json
 import logging
@@ -47,6 +48,17 @@ __all__ = ["make_server", "serve_forever"]
 
 _MAX_BODY = 1 << 30   # 1 GiB latent cap: a 4096^2-output Flux latent is
 #                       512*512*16*4 = 16 MiB; anything near the cap is abuse
+
+# Default request-size limits (overridable via make_server): one
+# unauthenticated request must not be able to OOM the device or trigger a
+# multi-minute XLA compile of an enormous bucket shape (ADVICE round 3).
+# 512*512 latent pixels == a 4096^2-pixel output, the largest shape the
+# single-chip exact path handles (PERF_NOTES.md section 5).
+_MAX_LATENT_PIXELS = 512 * 512
+_MAX_BATCH = 8
+# Reference widget bounds for the EV multiplier
+# (`hdr_vae_decode.py:53`: min 0.1, max 10.0).
+_EV_MIN, _EV_MAX = 0.1, 10.0
 
 _CONTENT_TYPES = {
     "exr": "image/x-exr",
@@ -92,6 +104,10 @@ def _encode_image(image: np.ndarray, fmt: str, bit_depth: str,
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server_version = "hdrvae-serve"
+    # Socket read timeout: a client that sends headers then stalls the
+    # body otherwise pins a ThreadingHTTPServer thread forever
+    # (BaseHTTPRequestHandler closes the connection when rfile times out).
+    timeout = 60.0
 
     # -- plumbing ------------------------------------------------------
 
@@ -163,6 +179,27 @@ class _Handler(BaseHTTPRequestHandler):
         if not np.issubdtype(latent.dtype, np.floating):
             self._error(400, f"latent dtype {latent.dtype} is not float")
             return
+        if latent.ndim not in (3, 4):
+            self._error(400, f"latent must be 3D/4D, got {latent.shape}")
+            return
+        # size caps BEFORE touching the engine: shape comes from the
+        # request, and an oversized one costs device memory + a fresh
+        # XLA compile
+        zc = getattr(self.engine._vae.config, "z_channels", 16)
+        shp = latent.shape[-3:]
+        if latent.ndim == 4 and shp[-1] != zc and latent.shape[1] == zc:
+            shp = latent.shape[2:] + latent.shape[1:2]   # NCHW -> (h, w, z)
+        h_lat, w_lat = int(shp[0]), int(shp[1])
+        max_px = self.server.max_latent_pixels   # type: ignore[attr-defined]
+        if h_lat * w_lat > max_px:
+            self._error(400, f"latent {h_lat}x{w_lat} exceeds the "
+                             f"{max_px}-latent-pixel request cap")
+            return
+        batch = latent.shape[0] if latent.ndim == 4 else 1
+        max_b = self.server.max_batch   # type: ignore[attr-defined]
+        if batch > max_b:
+            self._error(400, f"batch {batch} exceeds the cap of {max_b}")
+            return
 
         q = urllib.parse.parse_qs(url.query)
 
@@ -201,8 +238,16 @@ class _Handler(BaseHTTPRequestHandler):
             if "mode" in q:
                 cfg = dataclasses.replace(cfg, hdr_mode=param("mode", ""))
             if "ev" in q:
+                import math
+                ev = float(param("ev", "1"))
+                # reference widget bounds (`hdr_vae_decode.py:53`);
+                # nan/inf/<=0 would trace straight into the image
+                if not math.isfinite(ev) or not _EV_MIN <= ev <= _EV_MAX:
+                    raise ValueError(
+                        f"ev must be a finite float in "
+                        f"[{_EV_MIN}, {_EV_MAX}], got {param('ev', '1')}")
                 cfg = dataclasses.replace(
-                    cfg, conservative_ev_multiplier=float(param("ev", "1")))
+                    cfg, conservative_ev_multiplier=ev)
             cfg.canonical_mode()   # validate eagerly -> 400, not 500
         except (ValueError, KeyError) as e:
             self._error(400, str(e))
@@ -223,9 +268,19 @@ class _Handler(BaseHTTPRequestHandler):
             return
 
         try:
-            resp = fut.result()
+            # hard response bound: even a wedged worker (or a future
+            # orphaned by a BaseException in it) cannot hang the
+            # connection past this
+            resp = fut.result(timeout=self.server.request_timeout_s)  # type: ignore[attr-defined]
         except ValueError as e:           # bad shapes/channels etc.
             self._error(400, str(e))
+            return
+        except (TimeoutError, _futures.TimeoutError) as e:
+            # engine deadline (expired while queued) or result-wait bound
+            fut.cancel()
+            self._reply(504, json.dumps(
+                {"error": f"decode timed out: {e or 'deadline exceeded'}"}
+            ).encode(), "application/json", {"Retry-After": "1"})
             return
         except Exception as e:
             logger.error("decode failed: %s", e, exc_info=True)
@@ -252,11 +307,23 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(engine: ServeEngine, host: str = "127.0.0.1",
-                port: int = 8475) -> ThreadingHTTPServer:
+                port: int = 8475, *,
+                max_latent_pixels: int = _MAX_LATENT_PIXELS,
+                max_batch: int = _MAX_BATCH,
+                request_timeout_s: float = 600.0) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; ``port=0`` picks a free
-    port (``server.server_address[1]`` has the bound one)."""
+    port (``server.server_address[1]`` has the bound one).
+
+    ``max_latent_pixels`` / ``max_batch`` bound a single request's decode
+    size (400 on violation); ``request_timeout_s`` bounds the wait on the
+    engine future (504 on expiry — generous by default: it is the
+    last-resort hang guard, while the ENGINE's ``deadline_s`` is the
+    queue-health policy)."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.engine = engine   # type: ignore[attr-defined]
+    server.max_latent_pixels = max_latent_pixels   # type: ignore[attr-defined]
+    server.max_batch = max_batch                   # type: ignore[attr-defined]
+    server.request_timeout_s = request_timeout_s   # type: ignore[attr-defined]
     server.daemon_threads = True
     return server
 

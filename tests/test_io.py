@@ -1082,3 +1082,136 @@ def test_hdr_reader_corruption_fuzz(tmp_path):
             assert out.size < 10 ** 9   # no unbounded allocation
         except Exception:
             pass                        # clean rejection is fine
+
+
+class TestBandWriter:
+    """Streamed (banded) EXR writing — round-4 export-latency work.
+
+    The contract: any band split x any chunk-thread count produces the
+    SAME BYTES as the serial whole-image writer (EXR scanline chunks are
+    independent), for both codec implementations.
+    """
+
+    @pytest.mark.parametrize("compression", ALL_COMPRESSIONS + ["piz"])
+    @pytest.mark.parametrize("pixel_type", ["half", "float"])
+    def test_byte_identical_to_serial(self, tmp_path, compression,
+                                      pixel_type):
+        r = np.random.default_rng(7)
+        img = (r.standard_normal((45, 33, 3)) * 4).astype(np.float32)
+        ref = tmp_path / "ref.exr"
+        exr.write_exr(str(ref), img, pixel_type=pixel_type,
+                      compression=compression)
+        ref_bytes = ref.read_bytes()
+        for band, workers in [(1, 1), (16, 1), (17, 4), (45, 4)]:
+            p = tmp_path / f"band{band}w{workers}.exr"
+            w = exr.ExrBandWriter(str(p), *img.shape,
+                                  pixel_type=pixel_type,
+                                  compression=compression, workers=workers)
+            rows = w.band_rows(band)
+            with w:
+                y = 0
+                while y < img.shape[0]:
+                    w.write_rows(img[y:y + rows])
+                    y += rows
+            assert p.read_bytes() == ref_bytes, (compression, band, workers)
+
+    def test_python_band_writer_byte_identical(self, tmp_path):
+        """The pure-Python band writer too (native dispatch bypassed)."""
+        r = np.random.default_rng(8)
+        img = (r.standard_normal((40, 20, 3)) * 2).astype(np.float32)
+        ref = tmp_path / "ref.exr"
+        exr_py.write_exr(str(ref), img, compression="zip", workers=1)
+        p = tmp_path / "banded.exr"
+        w = exr_py.ExrBandWriter(str(p), *img.shape, compression="zip",
+                                 workers=3)
+        with w:
+            w.write_rows(img[:16])
+            w.write_rows(img[16:32])
+            w.write_rows(img[32:])
+        assert p.read_bytes() == ref.read_bytes()
+
+    def test_partial_band_rejected(self, tmp_path):
+        img = np.zeros((40, 8, 3), np.float32)
+        w = exr_py.ExrBandWriter(str(tmp_path / "x.exr"), 40, 8, 3,
+                                 compression="zip")
+        with pytest.raises(ValueError, match="chunk"):
+            w.write_rows(img[:10])   # 10 rows is not a 16-line chunk
+        w.abort()
+
+    def test_incomplete_close_rejected(self, tmp_path):
+        w = exr_py.ExrBandWriter(str(tmp_path / "x.exr"), 32, 8, 3,
+                                 compression="zip")
+        w.write_rows(np.zeros((16, 8, 3), np.float32))
+        with pytest.raises(ValueError, match="rows"):
+            w.close()
+
+    def test_f16_band_input_matches_serial(self, tmp_path):
+        """The reduced-precision-fetch path: float16 bands through the
+        half-input entry point, byte-identical to a whole-frame write."""
+        r = np.random.default_rng(9)
+        img16 = (r.standard_normal((37, 19, 3)) * 4).astype(np.float16)
+        ref = tmp_path / "ref.exr"
+        exr.write_exr(str(ref), img16, pixel_type="half",
+                      compression="zip")
+        p = tmp_path / "banded.exr"
+        w = exr.ExrBandWriter(str(p), *img16.shape, pixel_type="half",
+                              compression="zip", workers=2)
+        with w:
+            w.write_rows(img16[:32])
+            w.write_rows(img16[32:])
+        assert p.read_bytes() == ref.read_bytes()
+
+
+class TestStreamedFrameExport:
+    def test_matches_serial_exporter_bytes(self, tmp_path, hdr_image):
+        from hdrvae.io.pipeline import export_frame_streamed
+        serial = export_linear(
+            hdr_image, ExportConfig(filename_prefix="s", output_path="",
+                                    bit_depth="32bit", compression="zip"),
+            default_output_dir=str(tmp_path))
+        assert serial.error is None
+        streamed = export_frame_streamed(
+            hdr_image, ExportConfig(filename_prefix="t", output_path="",
+                                    bit_depth="32bit", compression="zip"),
+            default_output_dir=str(tmp_path), band_rows=16)
+        assert streamed.error is None
+        assert streamed.verified
+        a = open(serial.last, "rb").read()
+        b = open(streamed.last, "rb").read()
+        assert a == b
+
+    def test_device_frame_16bit(self, tmp_path, hdr_image):
+        """A jax device frame streams through the f16 device-cast path and
+        matches the serial exporter's half file byte for byte."""
+        import jax.numpy as jnp
+        from hdrvae.io.pipeline import export_frame_streamed
+        serial = export_linear(
+            hdr_image.astype(np.float16),
+            ExportConfig(filename_prefix="s16", output_path="",
+                         bit_depth="16bit", compression="zip"),
+            default_output_dir=str(tmp_path))
+        streamed = export_frame_streamed(
+            jnp.asarray(hdr_image),
+            ExportConfig(filename_prefix="t16", output_path="",
+                         bit_depth="16bit", compression="zip"),
+            default_output_dir=str(tmp_path), band_rows=16)
+        assert streamed.error is None
+        assert (open(serial.last, "rb").read()
+                == open(streamed.last, "rb").read())
+
+    def test_non_exr_falls_back(self, tmp_path, hdr_image):
+        from hdrvae.io.pipeline import export_frame_streamed
+        res = export_frame_streamed(
+            hdr_image, ExportConfig(filename_prefix="h", output_path="",
+                                    format="hdr"),
+            default_output_dir=str(tmp_path))
+        assert res.error is None
+        assert res.last.endswith(".hdr")
+
+    def test_error_contract(self, tmp_path, hdr_image):
+        from hdrvae.io.pipeline import export_frame_streamed
+        res = export_frame_streamed(
+            hdr_image, ExportConfig(filename_prefix="e", output_path="",
+                                    compression="nope"),
+            default_output_dir=str(tmp_path))
+        assert res.error is not None and res.error.startswith("ERROR")
