@@ -1215,3 +1215,48 @@ class TestStreamedFrameExport:
                                     compression="nope"),
             default_output_dir=str(tmp_path))
         assert res.error is not None and res.error.startswith("ERROR")
+
+
+class TestInteropPack:
+    """The committed EXR conformance pack (tools/interop_pack/) must stay
+    in sync with the codecs: regenerating it bitwise-reproduces the
+    committed files, and both own readers decode the committed fixtures to
+    the committed expected pixels.  External-reader validation runs via
+    `python tools/interop_check.py` on any machine with an OpenEXR-capable
+    library (it self-skips here — no such library in this image)."""
+
+    def test_pack_is_reproducible_and_decodes(self, tmp_path):
+        import importlib.util
+        import json
+        spec = importlib.util.spec_from_file_location(
+            "gen_interop_pack",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "gen_interop_pack.py"))
+        gen = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(gen)
+        committed_dir = gen.PACK_DIR
+        manifest = gen.generate(str(tmp_path))
+        committed = json.load(
+            open(os.path.join(committed_dir, "MANIFEST.json")))
+        assert manifest["files"] == committed["files"]
+        expected = np.load(os.path.join(committed_dir, "expected.npz"))
+        for name in manifest["files"]:
+            fresh = (tmp_path / name).read_bytes()
+            assert fresh == open(
+                os.path.join(committed_dir, name), "rb").read(), name
+            for use_native in (True, False):
+                got = exr.read_exr(os.path.join(committed_dir, name),
+                                   use_native=use_native)
+                assert np.array_equal(got, expected[name]), (name,
+                                                             use_native)
+
+    def test_check_script_self_skips_or_passes(self):
+        import subprocess
+        import sys
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "interop_check.py")],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert ("SKIP" in r.stdout) or ("all fixtures agree" in r.stdout)
