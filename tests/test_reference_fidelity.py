@@ -831,3 +831,30 @@ def test_upscaler_swinir_fidelity_vs_reference(tmp_path):
     scale = max(1.0, float(np.abs(ref_img).max()))
     err = _max_abs(got, ref_img)
     assert err <= 1e-3 * scale, f"SwinIR upscaler: max-abs {err:.3e}"
+
+
+def test_mixed_tier_fidelity_vs_reference(ref_hdr, fid_params, fid_shim,
+                                          fid_latent):
+    """The FIDELITY-AT-SPEED tier (Precision.mixed(), round 4): the same
+    <=1e-3 contract the parity tier carries, asserted against the
+    reference's own code for every mode.  On CPU this pins the plumbing
+    (f32 activations end to end, no bf16 casts); the on-chip HIGH-dot
+    error budget is pinned by `tpu_checks.py mixed` (3e-4 vs parity) and
+    the measured PERF_NOTES section 6 sweep."""
+    for mode in ("conservative", "exposure", "adaptive_recovery",
+                 "mathematical_recovery"):
+        node = ref_hdr.HDRVAEDecode()
+        z_t = _to_torch_nchw(fid_latent)
+        (ref_out,) = node.simple_hdr_decode({"samples": z_t}, fid_shim,
+                                            hdr_mode=mode,
+                                            conservative_ev_multiplier=1.0)
+        ref_img = ref_out.detach().numpy()
+        cfg = HDRDecodeConfig(hdr_mode=mode)
+        result = hdr_decode(fid_params, fid_latent, FID_CFG, cfg,
+                            Precision.mixed())
+        got = np.asarray(result.image)
+        scale = max(1.0, float(np.abs(ref_img).max()))
+        err = _max_abs(got, ref_img)
+        assert err <= 1e-3 * scale, (
+            f"mixed tier mode={mode}: max-abs {err:.3e} "
+            f"(scale {scale:.2f})")
