@@ -62,14 +62,18 @@ def _add_export_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--versioning", action="store_true")
 
 
-def _export(image: np.ndarray, args) -> str:
+def _export_cfg(args):
     from hdrvae.core.config import ExportConfig
+    return ExportConfig(filename_prefix=args.prefix,
+                        output_path=args.output_path,
+                        format=args.format, bit_depth=args.bit_depth,
+                        compression=args.compression,
+                        versioning=args.versioning)
+
+
+def _export(image: np.ndarray, args) -> str:
     from hdrvae.io.export import export_linear
-    cfg = ExportConfig(filename_prefix=args.prefix,
-                       output_path=args.output_path,
-                       format=args.format, bit_depth=args.bit_depth,
-                       compression=args.compression,
-                       versioning=args.versioning)
+    cfg = _export_cfg(args)
     from hdrvae.api import folders
     res = export_linear(image, cfg,
                         default_output_dir=folders.get_output_directory())
@@ -107,7 +111,10 @@ def cmd_decode(args) -> int:
     if latent.ndim == 3:
         latent = latent[None]
 
-    precision = Precision.parity() if args.parity else Precision.fast()
+    precision = {"fast": Precision.fast, "mixed": Precision.mixed,
+                 "parity": Precision.parity}[args.precision]()
+    if args.parity:
+        precision = Precision.parity()
     hdr_cfg = HDRDecodeConfig(
         hdr_mode=args.mode,
         conservative_ev_multiplier=args.ev_multiplier)
@@ -163,7 +170,20 @@ def cmd_decode(args) -> int:
         result = hdr_decode(vae.params, jnp.asarray(latent), cfg, hdr_cfg,
                             precision)
     print(json.dumps(decode_summary(result)))
-    _export(np.asarray(result.image), args)
+    if result.image.shape[0] == 1 and args.format == "exr":
+        # single-frame EXR: stream scanline bands off the device while
+        # earlier bands compress/write (io.pipeline.export_frame_streamed
+        # — byte-identical file, ~max(fetch, encode) wall time)
+        from hdrvae.api import folders
+        from hdrvae.io.pipeline import export_frame_streamed
+        res = export_frame_streamed(result.image[0], _export_cfg(args),
+                                    default_output_dir=
+                                    folders.get_output_directory())
+        if res.error:
+            raise SystemExit(res.error)
+        print(json.dumps({"file": res.last, **res.verify_stats}))
+    else:
+        _export(np.asarray(result.image), args)
     return 0
 
 
@@ -399,7 +419,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output edge when generating a random latent")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--parity", action="store_true",
-                   help="full float32 numerics (slower)")
+                   help="full float32 numerics (alias for "
+                        "--precision parity)")
+    p.add_argument("--precision", default="fast",
+                   choices=("fast", "mixed", "parity"),
+                   help="numerics tier: fast (bf16 throughput), mixed "
+                        "(f32 + 3-pass dots, meets the <=1e-3 "
+                        "contract), parity (exact f32)")
     p.add_argument("--batch", type=int, default=1,
                    help="frames when generating a random latent")
     p.add_argument("--tiled", action="store_true",

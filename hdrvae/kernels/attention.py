@@ -241,8 +241,14 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     on_tpu = jax.default_backend() == "tpu"
     if (on_tpu and n >= _PALLAS_MIN_TOKENS and q.shape[-1] % 128 == 0
             and n % _BLOCK_Q == 0):
+        prec = _matmul_precision(precision)
+        if prec == jax.lax.Precision.HIGH:
+            # Mosaic lowers DEFAULT and HIGHEST dots only ("Unsupported
+            # dot precision: HIGH") — the mixed tier's kernel dots run
+            # HIGHEST (exact f32, 6-pass).  Attention is a small share of
+            # a mixed decode, and exact > the tier's contract.
+            prec = jax.lax.Precision.HIGHEST
         return spatial_attention_pallas(
-            q, k, v, precise=_matmul_precision(precision),
-            key_valid=key_valid)
+            q, k, v, precise=prec, key_valid=key_valid)
     return spatial_attention_xla(q, k, v, precision=precision,
                                  key_valid=key_valid)
