@@ -397,3 +397,32 @@ class TestShardedUpscale:
                                   precision=prec)
         err = float(jnp.abs(got.image - ref.image).max())
         assert err <= 1e-5, f"max-abs {err:.3e}"
+
+
+def test_slab_decode_mixed_tier(small_params, small_cfg, rng):
+    """The mixed fidelity-at-speed tier composes with the exact slab path:
+    sharded-mixed == whole-image-mixed (plumbing through SlabGNReducer's
+    non-parity branch and HIGH conv dots)."""
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    latent = _latent(rng, small_cfg, 16, 16)
+    whole = hdr_decode(small_params, latent, small_cfg,
+                       HDRDecodeConfig(), Precision.mixed())
+    slab = sharded_slab_decode(small_params, latent, small_cfg,
+                               HDRDecodeConfig(),
+                               mesh=make_mesh(num_devices=4), tail_levels=1,
+                               precision=Precision.mixed())
+    w, s = np.asarray(whole.image), np.asarray(slab.image)
+    signal = max(1.0, float(np.abs(w).max()))
+    assert np.abs(w - s).max() / signal < 1e-3
+
+
+def test_bucketed_decode_mixed_tier(small_params, small_cfg, rng):
+    """Shape-bucketed (PadMask) decode in the mixed tier stays exact."""
+    latent = _latent(rng, small_cfg, 5, 7)
+    plain = hdr_decode(small_params, latent, small_cfg,
+                       precision=Precision.mixed())
+    bucketed = hdr_decode(small_params, latent, small_cfg,
+                          precision=Precision.mixed(), shape_bucket=8)
+    err = np.abs(np.asarray(plain.image)
+                 - np.asarray(bucketed.image)).max()
+    assert err < 1e-4, err
