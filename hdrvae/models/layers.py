@@ -37,6 +37,24 @@ def _conv_precision(precision: Precision):
     return jax.lax.Precision.DEFAULT
 
 
+def _stats_precision(precision: Precision):
+    """MXU precision for GroupNorm STATISTICS contractions.
+
+    Parity keeps HIGHEST (the bit-level f32 contract).  The mixed tier
+    uses DEFAULT here, unlike its HIGH conv/matmul dots: the stats
+    einsums contract the activation map against an EXACT 0/1 one-hot, so
+    the only rounding is of the activations themselves — zero-mean RTNE
+    noise that averages out over the n >= 1e5 elements behind each
+    (batch, group) moment.  Measured on chip at 1024^2 (PERF_NOTES.md
+    section 6): DEFAULT stats change mixed's rgb max-abs by <1e-5 while
+    removing ~1/3 of the tier's runtime — the HIGH stats passes re-read
+    every feature map 3x for accuracy the averaging already provides.
+    """
+    if precision.mode == "parity":
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def conv2d(x: jnp.ndarray, p: Params, *, stride: int = 1, padding: str = "SAME",
            precision: Precision = Precision()) -> jnp.ndarray:
     """2D convolution; p = {'kernel': HWIO, 'bias': [O]}.
@@ -135,7 +153,7 @@ class PadMask:
         mask = self._mask2d(h, w)[None, :, :, None].astype(jnp.float32)
         n_valid = (self.valid_h * f) * (self.valid_w * f) * cpg
         xm = xf * mask
-        mp = _conv_precision(precision)
+        mp = _stats_precision(precision)
         mean = jnp.einsum("bhwc,cg->bg", xm, onehot, precision=mp) / n_valid
         if precision.mode == "parity":
             grp = jnp.arange(c) // cpg
@@ -187,10 +205,10 @@ def _gn_affine(x: jnp.ndarray, p: Params, num_groups: int, eps: float,
         mean = override[0].astype(jnp.float32)   # [B, G]
         var = override[1].astype(jnp.float32)
     else:
-        # statistics einsums must honor parity precision: DEFAULT lowers
-        # f32 MXU dots to bf16, and the rounding enters every activation
-        # through gamma/beta
-        mp = _conv_precision(precision)
+        # statistics einsums honor parity's HIGHEST (the rounding enters
+        # every activation through gamma/beta); mixed/fast use DEFAULT —
+        # see _stats_precision for why that is accuracy-free here
+        mp = _stats_precision(precision)
         mean = jnp.einsum("bhwc,cg->bg", xf, onehot, precision=mp) / n
         if precision.mode == "parity":
             grp = jnp.arange(c) // cpg

@@ -305,8 +305,8 @@ class SlabGNReducer:
         mask = self._row_mask(h, f)[None, :, None, None]
         n_global = (self.entry_h * f) * w * cpg
         xm = xf * mask
-        from hdrvae.models.layers import _conv_precision
-        mp = _conv_precision(precision)
+        from hdrvae.models.layers import _stats_precision
+        mp = _stats_precision(precision)
         mean = jax.lax.psum(jnp.einsum("bhwc,cg->bg", xm, onehot,
                                        precision=mp),
                             self.axis_name) / n_global

