@@ -322,7 +322,6 @@ def main() -> int:
             futs = [engine.submit(lat_np[s]) for s in reqs]
             resps = [f.result() for f in futs]
             serve_s = time.perf_counter() - t0
-            stats_row = engine.stats()
         mp_served = sum(r.image.shape[1] * r.image.shape[2]
                         for r in resps) / 1e6
         extra_rows.append({
@@ -331,10 +330,16 @@ def main() -> int:
             "vs_baseline": round(mp_served / serve_s / REFERENCE_MP_PER_S,
                                  1)})
         if args.extra:
+            # quantiles over the TIMED requests only (engine.stats()
+            # would also count the warmup requests' compile latencies).
+            # On a tunneled device this row is transport-bound (each
+            # response fetches the full frame; see PERF_NOTES 6.5) —
+            # the engine's own scheduling overhead is microseconds.
+            lats = sorted(r.latency_s for r in resps)
             print(json.dumps({**detail, "metric": "serve",
                               "requests": len(reqs),
-                              "p50_s": stats_row["latency_p50_s"],
-                              "p95_s": stats_row["latency_p95_s"]}),
+                              "p50_s": round(lats[len(lats) // 2], 3),
+                              "p95_s": round(lats[-1], 3)}),
                   file=sys.stderr)
 
         if args.full:

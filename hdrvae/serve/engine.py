@@ -146,7 +146,7 @@ class ServeEngine:
     def submit(self, latent: np.ndarray,
                cfg: Optional[HDRDecodeConfig] = None, *,
                block: bool = True, timeout: Optional[float] = None,
-               deadline_s=_USE_DEFAULT):
+               deadline_s=_USE_DEFAULT, fetch_dtype=None):
         """Enqueue one decode; returns a ``concurrent.futures.Future``
         resolving to a :class:`ServeResponse`.
 
@@ -157,6 +157,14 @@ class ServeEngine:
         for no deadline): if the request is still queued this many
         seconds after submit, it fails with TimeoutError instead of
         dispatching.
+
+        ``fetch_dtype``: optional numpy dtype for the device->host image
+        fetch.  A client that only needs half-precision output (16-bit
+        EXR responses — the HTTP front end sets this automatically)
+        passes float16: the cast runs on device and the transfer moves
+        half the bytes, with zero quality loss for a half-float file
+        (the same reduced-precision-fetch lever as io.pipeline).  The
+        response's ``image`` then has that dtype.
         """
         import concurrent.futures as cf
         latent = np.asarray(latent)
@@ -170,7 +178,7 @@ class ServeEngine:
             deadline_s = self._deadline_s
         drop_at = None if deadline_s is None else t0 + deadline_s
         item = (fut, latent, cfg if cfg is not None else self.hdr_cfg,
-                t0, drop_at)
+                t0, drop_at, fetch_dtype)
         # closed-check and enqueue are one atomic step under the lock:
         # a put that raced past a bare closed-check could land AFTER the
         # worker consumed _STOP, leaving a future that never resolves
@@ -289,10 +297,14 @@ class ServeEngine:
 
     def _finalize(self, entry) -> None:
         from hdrvae.decode.pipeline import decode_summary
-        fut, result, padded_hw, t0 = entry
+        fut, result, padded_hw, t0, fetch_dtype = entry
         try:
             summary = decode_summary(result)       # one host sync
-            image = np.asarray(result.image)       # device -> host fetch
+            image = result.image
+            if fetch_dtype is not None and image.dtype != fetch_dtype:
+                image = image.astype(fetch_dtype)  # cast ON DEVICE:
+                # the transfer below then moves half the bytes for f16
+            image = np.asarray(image)              # device -> host fetch
             latency = time.monotonic() - t0
             with self._lock:
                 self._n_done += 1
@@ -330,7 +342,7 @@ class ServeEngine:
             if item is _STOP:
                 stopping = True
                 continue
-            fut, latent, cfg, t0, drop_at = item
+            fut, latent, cfg, t0, drop_at, fetch_dtype = item
             if not fut.set_running_or_notify_cancel():
                 continue   # client cancelled while queued
             if drop_at is not None and time.monotonic() > drop_at:
@@ -349,6 +361,6 @@ class ServeEngine:
                     self._n_errors += 1
                 fut.set_exception(e)
                 continue
-            inflight.append((fut, result, padded_hw, t0))
+            inflight.append((fut, result, padded_hw, t0, fetch_dtype))
             while len(inflight) > self._depth:
                 self._finalize(inflight.popleft())

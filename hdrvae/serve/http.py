@@ -253,8 +253,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(400, str(e))
             return
 
+        # 16-bit EXR responses only need half-precision pixels: cast on
+        # device and fetch half the bytes (identical file bytes — the EXR
+        # stores halves either way).  npy/32-bit responses fetch float32.
+        fetch_dtype = (np.float16
+                       if fmt == "exr" and bit_depth == "16bit" else None)
         try:
-            fut = self.engine.submit(latent, cfg, block=False)
+            fut = self.engine.submit(latent, cfg, block=False,
+                                     fetch_dtype=fetch_dtype)
         except EngineOverloaded as e:
             self._reply(503, json.dumps({"error": str(e)}).encode(),
                         "application/json", {"Retry-After": "1"})

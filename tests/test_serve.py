@@ -473,3 +473,35 @@ def test_http_result_timeout_returns_504(vae, rng):
         srv.shutdown()
         srv.server_close()
         engine.close()
+
+
+def test_engine_fetch_dtype_half(vae, rng):
+    """fetch_dtype=float16 returns a half-precision image equal to the
+    float32 result rounded to half (the reduced-byte transport path the
+    HTTP front end uses for 16-bit EXR responses)."""
+    latent = _latent(rng, vae.config)
+    with ServeEngine(vae, bucket=None) as engine:
+        full = engine.decode_sync(latent)
+        half = engine.submit(latent, fetch_dtype=np.float16).result()
+    assert half.image.dtype == np.float16
+    np.testing.assert_array_equal(half.image,
+                                  full.image.astype(np.float16))
+
+
+def test_http_16bit_exr_uses_half_fetch(server, vae, rng, tmp_path):
+    """A 16-bit EXR response through the half-fetch path matches the
+    32-bit-fetched pixels to half precision."""
+    from hdrvae.io.exr import read_exr
+    latent = _latent(rng, vae.config)
+    status, _, body = _request(
+        server, "POST", "/v1/decode?format=exr&bit_depth=16bit",
+        body=_npy_bytes(latent))
+    assert status == 200, body
+    p = tmp_path / "h.exr"
+    p.write_bytes(body)
+    got = read_exr(str(p))
+    direct = hdr_decode(vae.params, latent, vae.config,
+                        precision=Precision.parity())
+    want = np.asarray(direct.image)[0].astype(np.float16).astype(
+        np.float32)
+    np.testing.assert_array_equal(got, want)
