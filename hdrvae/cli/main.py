@@ -62,6 +62,16 @@ def _add_export_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--versioning", action="store_true")
 
 
+def _parse_precision(args):
+    """--precision tier + the legacy --parity override (one definition;
+    cmd_decode and cmd_serve share it)."""
+    from hdrvae.core.config import Precision
+    if getattr(args, "parity", False):
+        return Precision.parity()
+    return {"fast": Precision.fast, "mixed": Precision.mixed,
+            "parity": Precision.parity}[args.precision]()
+
+
 def _export_cfg(args):
     from hdrvae.core.config import ExportConfig
     return ExportConfig(filename_prefix=args.prefix,
@@ -111,10 +121,7 @@ def cmd_decode(args) -> int:
     if latent.ndim == 3:
         latent = latent[None]
 
-    precision = {"fast": Precision.fast, "mixed": Precision.mixed,
-                 "parity": Precision.parity}[args.precision]()
-    if args.parity:
-        precision = Precision.parity()
+    precision = _parse_precision(args)
     hdr_cfg = HDRDecodeConfig(
         hdr_mode=args.mode,
         conservative_ev_multiplier=args.ev_multiplier)
@@ -181,7 +188,8 @@ def cmd_decode(args) -> int:
                                     folders.get_output_directory())
         if res.error:
             raise SystemExit(res.error)
-        print(json.dumps({"file": res.last, **res.verify_stats}))
+        # same stdout contract as the serial export path (_export)
+        print(json.dumps({"filepath": res.last, **res.verify_stats}))
     else:
         _export(np.asarray(result.image), args)
     return 0
@@ -365,10 +373,7 @@ def cmd_serve(args) -> int:
     else:
         logger.warning("no --vae checkpoint given; using random weights")
         vae = VAE.random_init(seed=0, config=DecoderConfig())
-    precision = {"parity": Precision.parity, "mixed": Precision.mixed,
-                 "fast": Precision.fast}[args.precision]()
-    if args.parity:
-        precision = Precision.parity()
+    precision = _parse_precision(args)
     mesh = None
     if args.sharded:
         from hdrvae.sharding.mesh import make_mesh

@@ -117,6 +117,7 @@ class ExrBandWriter:
         self._handle = None
         self._py = None
         self._closed = False
+        self._h, self._w, self._c = height, width, channels
         if self._lib is not None:
             ptype = 1 if pixel_type == "half" else 2
             comp_id = exr_py.COMPRESSION_IDS[compression]
@@ -146,9 +147,17 @@ class ExrBandWriter:
         band = np.asarray(band)
         if band.ndim == 2:
             band = band[..., None]
+        if band.ndim != 3:
+            raise ValueError(f"band must be [rows, W, C], got {band.shape}")
         if self._py is not None:
             self._py.write_rows(band)
             return
+        # the native codec trusts the buffer dimensions it is handed —
+        # validate here or a mismatched band is an out-of-bounds read
+        if (band.shape[1], band.shape[2]) != (self._w, self._c):
+            self.abort()
+            raise ValueError(f"band is {band.shape[1]}x{band.shape[2]}, "
+                             f"file is {self._w}x{self._c}")
         half_in = band.dtype == np.float16
         band = np.ascontiguousarray(
             band if half_in else band.astype(np.float32, copy=False))

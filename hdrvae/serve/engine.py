@@ -54,7 +54,9 @@ class EngineOverloaded(RuntimeError):
 class ServeResponse:
     """One completed decode."""
 
-    image: np.ndarray            # [B, H, W, 3] float32, linear HDR
+    image: np.ndarray            # [B, H, W, 3] linear HDR; float32, or
+                                 # the submit()'s fetch_dtype (float16
+                                 # for 16-bit EXR responses)
     summary: Dict[str, Any]      # decode_summary record (stats, mode, ...)
     latency_s: float             # submit -> result, wall clock
     padded_hw: Tuple[int, int]   # latent shape actually compiled for

@@ -1260,3 +1260,18 @@ class TestInteropPack:
             capture_output=True, text=True, timeout=300)
         assert r.returncode == 0, r.stdout + r.stderr
         assert ("SKIP" in r.stdout) or ("all fixtures agree" in r.stdout)
+
+
+def test_native_band_writer_rejects_mismatched_band(tmp_path):
+    """The native codec trusts buffer dimensions — the dispatcher must
+    validate them or a mismatched band is an out-of-bounds heap read
+    (round-4 review finding)."""
+    w = exr.ExrBandWriter(str(tmp_path / "x.exr"), 32, 64, 3,
+                          compression="zip")
+    with pytest.raises(ValueError, match="64x3"):
+        w.write_rows(np.zeros((16, 8, 3), np.float32))
+    # writer aborted itself; further use is closed-path behavior
+    w2 = exr.ExrBandWriter(str(tmp_path / "y.exr"), 32, 8, 3,
+                           compression="zip")
+    with pytest.raises(ValueError, match="8x3"):
+        w2.write_rows(np.zeros((16, 8, 4), np.float32))

@@ -55,6 +55,14 @@ def fixture_image() -> np.ndarray:
 
 
 def generate(pack_dir: str = PACK_DIR) -> dict:
+    from hdrvae.io.native_build import load_native
+    if load_native() is None:
+        # without the native codec the writer would silently substitute
+        # ZIP for the PIZ fixtures while the manifest still said "piz" —
+        # a mislabeled conformance pack is worse than none
+        raise RuntimeError(
+            "the native EXR codec is required to generate the pack "
+            "(PIZ fixtures); install a C++ toolchain and retry")
     os.makedirs(pack_dir, exist_ok=True)
     img = fixture_image()
     manifest = {
@@ -88,7 +96,9 @@ def generate(pack_dir: str = PACK_DIR) -> dict:
                     open(path, "rb").read()).hexdigest(),
                 "pixels_sha256": hashlib.sha256(
                     np.ascontiguousarray(got_native).tobytes()).hexdigest(),
-                "lossless": comp != "pxr24",
+                # PXR24's 24-bit float truncation only affects FLOAT
+                # pixels; half data passes through losslessly
+                "lossless": comp != "pxr24" or ptype == "half",
             }
     np.savez_compressed(os.path.join(pack_dir, "expected.npz"), **expected)
     with open(os.path.join(pack_dir, "MANIFEST.json"), "w") as f:
