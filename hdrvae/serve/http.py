@@ -8,15 +8,25 @@ Endpoints:
                         [B,h,w,z] NHWC or [B,z,h,w] NCHW, float).
                         Query params:
                           mode=<hdr mode or alias>   (default: engine cfg)
-                          ev=<float>                 (conservative_ev_multiplier)
+                          ev=<float>                 (conservative_ev_multiplier;
+                                                      finite, 0.1-10.0 — the
+                                                      reference widget bounds)
                           format=exr|hdr|npy         (default exr)
-                          bit_depth=16bit|32bit      (exr only)
+                          bit_depth=16bit|32bit      (exr only; 16bit
+                                                      responses fetch f16
+                                                      from the device —
+                                                      half the link bytes,
+                                                      identical file)
                           compression=none|rle|zip|zips|piz|pxr24
                         Response: the encoded file bytes; the decode's
                         stats record rides in the ``X-HDRVAE-Summary``
                         header (JSON).  ``format=npy`` returns the raw
                         float32 [B,H,W,3] array and allows B > 1; the
                         image formats require B == 1.
+                        Errors: 400 (validation, incl. the latent-size /
+                        batch caps), 503 + Retry-After (queue full or
+                        shutting down), 504 (engine deadline expired in
+                        queue, or the server's bounded result wait).
 
 Transport choices: one ``.npy`` body keeps the wire format dependency-free
 (numpy is already the host interchange type); ``ThreadingHTTPServer``
