@@ -64,9 +64,18 @@ def _add_export_args(p: argparse.ArgumentParser) -> None:
 
 def _parse_precision(args):
     """--precision tier + the legacy --parity override (one definition;
-    cmd_decode and cmd_serve share it)."""
+    cmd_decode and cmd_serve share it).  --parity combined with an
+    explicit non-parity --precision is a contradiction and errors out
+    instead of silently running parity (ADVICE round-4)."""
     from hdrvae.core.config import Precision
     if getattr(args, "parity", False):
+        if args.precision not in ("fast", "parity"):
+            # "fast" is the argparse default, so a bare --parity still
+            # works; anything else was explicitly requested and clashes.
+            raise SystemExit(
+                f"--parity contradicts --precision {args.precision}; "
+                "pass only one (--parity is the legacy spelling of "
+                "--precision parity)")
         return Precision.parity()
     return {"fast": Precision.fast, "mixed": Precision.mixed,
             "parity": Precision.parity}[args.precision]()

@@ -548,6 +548,7 @@ class ExrBandWriter:
                                   names))
         self._n_chunks = (height + self._lines - 1) // self._lines
         self._offsets: List[int] = []
+        self._closed = False
         self._f = open(path, "wb")
         ok = False
         try:
@@ -560,6 +561,8 @@ class ExrBandWriter:
         finally:
             if not ok:
                 self._f.close()
+                if self._pool is not None:
+                    self._pool.shutdown(wait=False)
 
     def band_rows(self, requested: int) -> int:
         """Round a band size up to a whole number of chunks."""
@@ -598,7 +601,11 @@ class ExrBandWriter:
         self._next_row = y0 + rows
 
     def close(self) -> None:
-        """Finalize: patch the offset table and close the file."""
+        """Finalize: patch the offset table and close the file.
+        Idempotent (a second close/abort is a no-op)."""
+        if self._closed:
+            return
+        self._closed = True
         try:
             if self._next_row != self._h:
                 raise ValueError(f"only {self._next_row} of {self._h} "
@@ -612,7 +619,11 @@ class ExrBandWriter:
                 self._pool.shutdown(wait=False)
 
     def abort(self) -> None:
-        """Close without finalizing (error path; file is left invalid)."""
+        """Close without finalizing (error path; file is left invalid).
+        Idempotent (a no-op after close/abort)."""
+        if self._closed:
+            return
+        self._closed = True
         self._f.close()
         if self._pool is not None:
             self._pool.shutdown(wait=False)

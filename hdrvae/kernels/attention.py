@@ -43,8 +43,13 @@ def _matmul_precision(precision: Precision):
 def _as_dot_precision(precise) -> jax.lax.Precision:
     """``precise`` flag -> MXU dot precision.  Accepts the legacy bool
     (True == parity HIGHEST) or an explicit jax.lax.Precision (the mixed
-    tier passes HIGH)."""
+    tier passes HIGH).  HIGH is remapped to HIGHEST here — Mosaic rejects
+    HIGH dots ("Unsupported dot precision") — so the public kernel entry
+    points are safe for any caller, not just the remapping wrapper in
+    spatial_attention."""
     if isinstance(precise, jax.lax.Precision):
+        if precise == jax.lax.Precision.HIGH:
+            return jax.lax.Precision.HIGHEST
         return precise
     return (jax.lax.Precision.HIGHEST if precise
             else jax.lax.Precision.DEFAULT)

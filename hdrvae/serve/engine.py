@@ -210,6 +210,12 @@ class ServeEngine:
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(latent, cfg).result()
 
+    @property
+    def z_channels(self) -> int:
+        """Latent channel count of the loaded VAE — public so front ends
+        (serve.http request-size caps) never reach into engine internals."""
+        return self._vae.config.z_channels
+
     def warmup(self, latent_hw_list, batch: int = 1) -> None:
         """Pre-compile the programs for a list of latent (h, w) sizes.
 

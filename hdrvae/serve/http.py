@@ -195,7 +195,7 @@ class _Handler(BaseHTTPRequestHandler):
         # size caps BEFORE touching the engine: shape comes from the
         # request, and an oversized one costs device memory + a fresh
         # XLA compile
-        zc = getattr(self.engine._vae.config, "z_channels", 16)
+        zc = getattr(self.engine, "z_channels", 16)
         shp = latent.shape[-3:]
         if latent.ndim == 4 and shp[-1] != zc and latent.shape[1] == zc:
             shp = latent.shape[2:] + latent.shape[1:2]   # NCHW -> (h, w, z)

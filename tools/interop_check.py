@@ -138,9 +138,10 @@ def main() -> int:
         from tools.gen_interop_pack import fixture_image
         from hdrvae.io import exr as own
         img = fixture_image()
-        p = tempfile.mktemp(suffix=".exr")
-        pyexr.write(p, img)
-        back = own.read_exr(p)
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "reverse.exr")
+            pyexr.write(p, img)
+            back = own.read_exr(p)
         if np.allclose(back, img, atol=0, rtol=0):
             print("ok   reverse  pyexr-written file read by hdrvae")
         else:
