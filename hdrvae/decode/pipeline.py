@@ -276,6 +276,23 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
                 f"(expected NHWC or NCHW with z_channels={zc})")
 
     orig_h, orig_w = latent.shape[1], latent.shape[2]
+
+    # Contract-tier large frames: the mixed tier's f32 activations exceed
+    # single-chip HBM past ~2048^2-class outputs; route through the staged
+    # slab-streamed executor (decode/staged.py), which computes the same
+    # function with bounded peak memory.  Explicitly bucketed/padded calls
+    # keep the whole-image program (serving owns its shape policy).
+    if (precision.mode == "mixed" and latent.shape[0] == 1
+            and shape_bucket == 0 and pad_to is None
+            and decoder_cfg.num_levels >= 2):
+        from hdrvae.decode import staged as _staged
+        s = decoder_cfg.spatial_scale
+        threshold = globals().get("_STAGED_MIN_PIXELS_OVERRIDE") \
+            or _staged.STAGED_MIN_PIXELS
+        if (orig_h * s) * (orig_w * s) >= threshold:
+            return _staged.staged_hdr_decode(params, latent, decoder_cfg,
+                                             cfg, precision)
+
     orig_latent = latent
     valid_hw = None
     cfg, ev = _split_ev(cfg)

@@ -1,0 +1,479 @@
+"""Staged single-device decode for the f32-activation (contract) tier.
+
+The mixed tier (``Precision.mixed()`` — float32 activations, HIGH MXU
+dots, rgb max-abs ~1e-4-class vs the reference; PERF_NOTES.md section 6)
+is the configuration that meets BASELINE.md's ">=5x MP/s AND <=1e-3"
+sentence.  But float32 activations at 4096^2 cannot be decoded
+whole-image on one v5e chip: the level-0 ResNet blocks alone keep three
+4096^2 x 128ch x 4 B maps (8.6 GB each) live, and the upsample junction
+materializes a 4096^2 x 256ch map (17.2 GB) — far past the 15.75 GB HBM.
+(The fast tier fits via bf16 storage + the streaming Pallas top level,
+``models/pallas_tail.py``; "any bf16 anywhere" is measured at
+1e-2-class error, so the contract tier cannot borrow that trick.)
+
+This module is the contract tier's answer (VERDICT round-4 item 2): a
+STAGED whole-image decode that never materializes a full-resolution
+float32 map larger than one 128-channel buffer:
+
+  1. HEAD (whole-image, one pass): conv_in + mid (global attention RUNS)
+     + every up level above the bottom two — all at <= 1/4 output
+     resolution, where f32 activations are cheap.
+  2. LEVEL 1 (row-slab streamed, materialized): each ResNet block runs
+     as two passes over row slabs — a stats pass that computes the
+     block's conv1 output moments (GroupNorm needs whole-image
+     statistics BEFORE the next conv can run, the same global-stats
+     dependency SURVEY.md section 7 calls the tiled-decode hard part),
+     then a full pass that writes the block output into a fresh
+     half-resolution buffer and emits its moments for the next norm.
+  3. JUNCTION + LEVEL 0 (row-slab streamed, one materialized buffer):
+     the 2x-upsample conv and level-0 block 0 stream from the level-1
+     output in three passes (upsample stats, +conv1 stats, full) so the
+     full-resolution 256-channel map never exists in HBM; blocks 1..n
+     (128->128, identity residual) then rewrite the single 128-channel
+     buffer IN PLACE slab by slab, carrying a 2-row stash of
+     overwritten halo rows.
+  4. TAIL: norm_out + SiLU + conv_out + the HDR epilogue's collapse and
+     statistics, streamed per slab into the [H, W, 3] outputs.
+
+Every pass computes exactly the rows it owns (conv halos come from
+guard rows: each buffer carries 2 zero rows top/bottom, which equal
+SAME padding at the image boundary and old-value stashes elsewhere), so
+per-pixel conv arithmetic is IDENTICAL to the whole-image decode; only
+GroupNorm statistic summation order differs (slab partial sums — the
+same decomposition the mesh slab executor psums, `sharding/mesh.py`
+SlabGNReducer).  Asserted equal to the whole-image mixed decode in
+tests/test_staged.py and on chip by `tpu_checks.py staged`.
+
+Cost: the stats passes re-run conv1 once per block plus the junction
+chain up to three times — ~1.6x the FLOPs of a flat decode (measured on
+chip; PERF_NOTES.md section 7).  That buys the one capability x
+fidelity cell the round-4 verdict found empty: contract-tier 4K on ONE
+chip.  The reference analog is plain whole-image float32 decode
+(`/root/reference/hdr_vae_decode.py:859`, `README.md:39,263`) — which
+simply OOMs at these sizes on the reference's own 24 GB-class hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hdrvae.core.config import DecoderConfig, HDRDecodeConfig, Precision
+
+Params = Dict[str, Any]
+
+_EPS = 1e-6          # GroupNorm eps (models.layers default)
+_G = 2               # guard rows per buffer end (>= max pass halo)
+
+# Output-pixel count at/above which hdr_decode auto-routes the mixed tier
+# through the staged path: the whole-image mixed decode is measured to fit
+# one v5e at 2048^2 (README perf table) and the level-0 three-buffer f32
+# peak grows linearly in pixels past HBM between there and 4K.
+STAGED_MIN_PIXELS = 6_000_000
+
+
+def _pick_slab(h: int, target: int) -> int:
+    """Largest-preference divisor of ``h`` nearest ``target`` (slabs must
+    tile the height exactly so every pass owns full rows)."""
+    best = h
+    for s in range(1, h + 1):
+        if h % s == 0 and abs(s - target) < abs(best - target):
+            best = s
+    return best
+
+
+def _finalize(ssum, ssq, n: int):
+    mean = ssum / n
+    return mean, jnp.maximum(ssq / n - jnp.square(mean), 0.0)
+
+
+def _affine(p: Params, mean, var):
+    """Fold GN normalization + learned scale/bias into per-channel
+    (gamma, beta) — same algebra as layers._gn_affine / pallas_tail."""
+    c = p["scale"].shape[0]
+    g = mean.shape[0]
+    grp = jnp.arange(c) // (c // g)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    gamma = p["scale"].astype(jnp.float32) * rstd[grp]
+    beta = p["bias"].astype(jnp.float32) - mean[grp] * gamma
+    return gamma, beta
+
+
+def _silu_affine(x, gamma, beta):
+    y = x * gamma + beta
+    return y * jax.nn.sigmoid(y)
+
+
+def _conv_hv(x, p: Params, precision: Precision):
+    """3x3 conv, VALID on height (halo rows supply the context), SAME on
+    width — consumes 2 rows.  Unbatched [R, W, C]."""
+    from hdrvae.models.layers import conv2d
+    return conv2d(x[None], p, padding=((0, 0), (1, 1)),
+                  precision=precision)[0]
+
+
+def _conv1x1(x, p: Params, precision: Precision):
+    from hdrvae.models.layers import conv2d
+    return conv2d(x[None], p, precision=precision)[0]
+
+
+def _nearest2x(x):
+    r, w, c = x.shape
+    x = jnp.broadcast_to(x[:, None, :, None, :], (r, 2, w, 2, c))
+    return x.reshape(2 * r, 2 * w, c)
+
+
+def _gstats(y, onehot, mp):
+    return (jnp.einsum("hwc,cg->g", y, onehot, precision=mp),
+            jnp.einsum("hwc,cg->g", jnp.square(y), onehot, precision=mp))
+
+
+def _guard(x):
+    """Add _G zero guard rows top and bottom (SAME-padding semantics at
+    the image boundary for every slab window)."""
+    return jnp.pad(x, ((_G, _G), (0, 0), (0, 0)))
+
+
+def _zero_outside(y, start_row, height: int):
+    """Zero rows of ``y`` whose GLOBAL row index (``start_row`` + local)
+    falls outside [0, height) — the slab-chain equivalent of SAME conv
+    padding applied to an intermediate (normalized) map: in the
+    whole-image program those rows do not exist and the next conv sees
+    zeros, while a slab window would otherwise see silu(beta) or values
+    computed from guard zeros."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0],), 0) + start_row
+    mask = (rows >= 0) & (rows < height)
+    return y * mask[:, None, None].astype(y.dtype)
+
+
+def _stats_pass(src, n_slabs: int, in_s: int, out_s: int, halo: int, fn,
+                groups: int, mp) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate (sum, sumsq) of ``fn(window, lo)`` over all slabs; the
+    output rows of each window are exactly the owned rows.  ``lo`` is the
+    slab's global output start row (output resolution), for boundary
+    masking inside fused chains."""
+    onehot = _onehot_for(fn, groups)
+
+    def body(i, acc):
+        win = jax.lax.dynamic_slice_in_dim(
+            src, _G + i * in_s - halo, in_s + 2 * halo, 0)
+        y = fn(win, i * out_s)
+        s1, s2 = _gstats(y, onehot, mp)
+        return acc[0] + s1, acc[1] + s2
+
+    z = jnp.zeros((groups,), jnp.float32)
+    return jax.lax.fori_loop(0, n_slabs, body, (z, z))
+
+
+def _onehot_for(fn, groups: int):
+    # onehot depends on the fn output channel count; probe with eval_shape
+    # is overkill — callers pass channel count via fn.out_c instead.
+    from hdrvae.models.layers import _group_onehot
+    return _group_onehot(fn.out_c, groups)
+
+
+def _map_pass(src, dst, n_slabs: int, in_s: int, out_s: int, halo: int,
+              fn, groups: int, mp):
+    """Write ``fn(window)`` rows into ``dst`` (guarded) and accumulate the
+    output moments."""
+    onehot = _onehot_for(fn, groups)
+
+    def body(i, carry):
+        dst, s1a, s2a = carry
+        win = jax.lax.dynamic_slice_in_dim(
+            src, _G + i * in_s - halo, in_s + 2 * halo, 0)
+        y = fn(win, i * out_s)
+        dst = jax.lax.dynamic_update_slice(dst, y, (_G + i * out_s, 0, 0))
+        s1, s2 = _gstats(y, onehot, mp)
+        return dst, s1a + s1, s2a + s2
+
+    z = jnp.zeros((groups,), jnp.float32)
+    return jax.lax.fori_loop(0, n_slabs, body, (dst, z, z))
+
+
+def _inplace_pass(buf, n_slabs: int, s: int, fn, groups: int, mp):
+    """Rewrite ``buf`` slab by slab with ``fn`` (same shape, halo 2),
+    stashing the 2 overwritten halo rows each iteration so every window
+    sees OLD values — one live full-resolution buffer instead of two."""
+    onehot = _onehot_for(fn, groups)
+    w, c = buf.shape[1], buf.shape[2]
+
+    def body(i, carry):
+        buf, stash, s1a, s2a = carry
+        lo = i * s
+        tail = jax.lax.dynamic_slice_in_dim(buf, _G + lo, s + 2, 0)
+        win = jnp.concatenate([stash, tail], axis=0)   # rows [lo-2, lo+s+2)
+        new_stash = win[s:s + 2]                       # old rows [lo+s-2, lo+s)
+        y = fn(win, lo)
+        buf = jax.lax.dynamic_update_slice(buf, y, (_G + lo, 0, 0))
+        s1, s2 = _gstats(y, onehot, mp)
+        return buf, new_stash, s1a + s1, s2a + s2
+
+    z = jnp.zeros((groups,), jnp.float32)
+    stash0 = jnp.zeros((2, w, c), buf.dtype)
+    return jax.lax.fori_loop(0, n_slabs, body, (buf, stash0, z, z))
+
+
+def _with_out_c(fn, out_c: int):
+    fn.out_c = out_c
+    return fn
+
+
+def _block_conv1_fn(p: Params, g1, b1, precision: Precision, height: int):
+    """window [s+2, W, Cin] -> conv1 output rows [s, W, Cmid]."""
+    def fn(win, lo):
+        a = _zero_outside(_silu_affine(win, g1, b1), lo - 1, height)
+        return _conv_hv(a, p["conv1"], precision)
+    return _with_out_c(fn, p["conv1"]["kernel"].shape[3])
+
+
+def _block_full_fn(p: Params, g1, b1, g2, b2, precision: Precision,
+                   height: int):
+    """window [s+4, W, Cin] -> block output rows [s, W, Cout]."""
+    def fn(win, lo):
+        a = _zero_outside(_silu_affine(win, g1, b1), lo - 2, height)
+        h = _conv_hv(a, p["conv1"], precision)
+        a = _zero_outside(_silu_affine(h, g2, b2), lo - 1, height)
+        h = _conv_hv(a, p["conv2"], precision)
+        x_own = win[2:-2]
+        if "nin_shortcut" in p:
+            res = _conv1x1(x_own, p["nin_shortcut"], precision)
+        else:
+            res = x_own
+        return res + h
+    return _with_out_c(fn, p["conv2"]["kernel"].shape[3])
+
+
+def _up_fn(up_p: Params, precision: Precision):
+    """low window [s2+2, W1, C] -> upsample-conv rows [2*s2, W, C].
+
+    No boundary masking needed: the nearest-upsampled guard rows are true
+    zeros (the source buffer's guards), which IS the SAME padding the
+    whole-image upsample conv sees."""
+    def fn(win, lo):
+        u = _nearest2x(win)[1:-1]
+        return _conv_hv(u, up_p, precision)
+    return _with_out_c(fn, up_p["kernel"].shape[3])
+
+
+def _up_conv1_fn(up_p: Params, b0: Params, gu, bu, precision: Precision,
+                 height: int):
+    """low window [s2+2, W1, C] -> level-0 block-0 conv1 rows [2*s2, ...]."""
+    def fn(win, lo):
+        u = _conv_hv(_nearest2x(win), up_p, precision)
+        a = _zero_outside(_silu_affine(u, gu, bu), lo - 1, height)
+        return _conv_hv(a, b0["conv1"], precision)
+    return _with_out_c(fn, b0["conv1"]["kernel"].shape[3])
+
+
+def _up_block_fn(up_p: Params, b0: Params, gu, bu, g2, b2,
+                 precision: Precision, height: int):
+    """low window [s2+4, W1, C] -> level-0 block-0 output rows [2*s2, ...]."""
+    def fn(win, lo):
+        u4 = _conv_hv(_nearest2x(win)[1:-1], up_p, precision)
+        a = _zero_outside(_silu_affine(u4, gu, bu), lo - 2, height)
+        h = _conv_hv(a, b0["conv1"], precision)
+        a = _zero_outside(_silu_affine(h, g2, b2), lo - 1, height)
+        h = _conv_hv(a, b0["conv2"], precision)
+        x_own = u4[2:-2]
+        if "nin_shortcut" in b0:
+            res = _conv1x1(x_own, b0["nin_shortcut"], precision)
+        else:
+            res = x_own
+        return res + h
+    return _with_out_c(fn, b0["conv2"]["kernel"].shape[3])
+
+
+@functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
+                                             "precision", "slab_rows"))
+def _staged_decode_jit(params: Params, latent: jnp.ndarray,
+                       decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
+                       precision: Precision, slab_rows: int, ev):
+    from hdrvae.decode.formatting import collapse_channels_maxpool
+    from hdrvae.decode.pipeline import hdr_epilogue_from_parts
+    from hdrvae.models.decoder import decoder_head
+    from hdrvae.models.layers import _group_onehot, _stats_precision
+
+    dcfg = decoder_cfg
+    g = dcfg.num_groups
+    mp = _stats_precision(precision)
+    tail_levels = min(2, dcfg.num_levels)
+
+    # ---- 1. whole-image head (levels >= 2, low resolution) --------------
+    u = decoder_head(params, latent, dcfg, precision=precision,
+                     tail_levels=tail_levels)[0]
+    h1, w1 = u.shape[0], u.shape[1]
+    hh, ww = 2 * h1, 2 * w1                    # full output resolution
+    s1 = _pick_slab(h1, max(1, slab_rows // 2))
+    n1 = h1 // s1
+    s0 = 2 * _pick_slab(h1, max(1, slab_rows // 2))
+    n0 = hh // s0
+    s2l = s0 // 2                              # junction low-res slab rows
+
+    def moments_of(x, c):
+        onehot = _group_onehot(c, g)
+        n = x.shape[0] * x.shape[1] * (c // g)
+        s_, q_ = _gstats(x, onehot, mp)
+        return _finalize(s_, q_, n)
+
+    moments = moments_of(u, u.shape[-1])
+    cur = _guard(u)
+
+    # ---- 2. level 1: per-block stats pass + materializing full pass -----
+    lvl1 = params["up"][1]
+    for blk in lvl1["block"]:
+        g1, b1 = _affine(blk["norm1"], *moments)
+        fn_s = _block_conv1_fn(blk, g1, b1, precision, h1)
+        c_mid = fn_s.out_c
+        ssum, ssq = _stats_pass(cur, n1, s1, s1, 1, fn_s, g, mp)
+        g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
+                                                  h1 * w1 * (c_mid // g)))
+        fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h1)
+        c_out = fn_f.out_c
+        dst = jnp.zeros((h1 + 2 * _G, w1, c_out), jnp.float32)
+        cur, ssum, ssq = _map_pass(cur, dst, n1, s1, s1, 2, fn_f, g, mp)
+        moments = _finalize(ssum, ssq, h1 * w1 * (c_out // g))
+
+    # ---- 3. junction (2x upsample conv) + level-0 block 0 ---------------
+    up_p = lvl1["upsample"]
+    lvl0 = params["up"][0]
+    b0 = lvl0["block"][0]
+    c_up = up_p["kernel"].shape[3]
+
+    fn_up = _up_fn(up_p, precision)
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_up, g, mp)
+    mu, vu = _finalize(ssum, ssq, hh * ww * (c_up // g))
+    gu, bu = _affine(b0["norm1"], mu, vu)
+
+    fn_uc1 = _up_conv1_fn(up_p, b0, gu, bu, precision, hh)
+    c_mid = fn_uc1.out_c
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_uc1, g, mp)
+    g2, b2 = _affine(b0["norm2"], *_finalize(ssum, ssq,
+                                             hh * ww * (c_mid // g)))
+
+    fn_ub = _up_block_fn(up_p, b0, gu, bu, g2, b2, precision, hh)
+    c0 = fn_ub.out_c
+    buf = jnp.zeros((hh + 2 * _G, ww, c0), jnp.float32)
+    buf, ssum, ssq = _map_pass(cur, buf, n0, s2l, s0, 2, fn_ub, g, mp)
+    moments = _finalize(ssum, ssq, hh * ww * (c0 // g))
+
+    # ---- 4. level-0 blocks 1..n: in-place slab rewrite ------------------
+    for blk in lvl0["block"][1:]:
+        g1, b1 = _affine(blk["norm1"], *moments)
+        fn_s = _block_conv1_fn(blk, g1, b1, precision, hh)
+        c_mid = fn_s.out_c
+        ssum, ssq = _stats_pass(buf, n0, s0, s0, 1, fn_s, g, mp)
+        g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
+                                                  hh * ww * (c_mid // g)))
+        fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, hh)
+        assert fn_f.out_c == c0, "level-0 blocks 1..n must preserve width"
+        buf, _, ssum, ssq = _inplace_pass(buf, n0, s0, fn_f, g, mp)
+        moments = _finalize(ssum, ssq, hh * ww * (c0 // g))
+
+    # ---- 5. norm_out + SiLU + conv_out + epilogue parts, streamed -------
+    go, bo = _affine(params["norm_out"], *moments)
+    want_first3 = cfg.fallback_collapse == "first3"
+    rgb = jnp.zeros((hh, ww, 3), jnp.float32)
+    pre_c = jnp.zeros((hh, ww, 3), jnp.float32)
+    pre3 = jnp.zeros((hh, ww, 3 if want_first3 else 0), jnp.float32)
+    big = jnp.asarray(jnp.inf, jnp.float32)
+
+    def tail_body(i, carry):
+        rgb, pre_c, pre3, s1a, s2a, mn, mx = carry
+        lo = i * s0
+        win = jax.lax.dynamic_slice_in_dim(buf, _G + lo - 1, s0 + 2, 0)
+        pre_win = _zero_outside(_silu_affine(win, go, bo), lo - 1, hh)
+        y = _conv_hv(pre_win, params["conv_out"], precision)
+        y = y * dcfg.output_scale + dcfg.output_shift
+        if dcfg.output_clamp:
+            y = jnp.clip(y, 0.0, 1.0)
+        rgb = jax.lax.dynamic_update_slice(rgb, y, (lo, 0, 0))
+        pre_own = pre_win[1:-1]
+        coll = collapse_channels_maxpool(pre_own[None])[0]
+        pre_c = jax.lax.dynamic_update_slice(pre_c, coll, (lo, 0, 0))
+        if want_first3:
+            pre3 = jax.lax.dynamic_update_slice(pre3, pre_own[..., :3],
+                                                (lo, 0, 0))
+        return (rgb, pre_c, pre3,
+                s1a + jnp.sum(pre_own), s2a + jnp.sum(jnp.square(pre_own)),
+                jnp.minimum(mn, jnp.min(pre_own)),
+                jnp.maximum(mx, jnp.max(pre_own)))
+
+    rgb, pre_c, pre3, s1a, s2a, mn, mx = jax.lax.fori_loop(
+        0, n0, tail_body,
+        (rgb, pre_c, pre3, jnp.float32(0), jnp.float32(0), big, -big))
+
+    n_pre = hh * ww * buf.shape[-1]
+    mean = s1a / n_pre
+    var = jnp.maximum(s2a / n_pre - jnp.square(mean), 0.0)
+    var = var * n_pre / max(n_pre - 1.0, 1.0)      # ddof=1 (torch .std)
+    pre_stats = {"min": mn, "max": mx, "mean": mean, "std": jnp.sqrt(var)}
+
+    image, used_fallback, analysis = hdr_epilogue_from_parts(
+        rgb[None], pre_c[None], pre_stats, cfg,
+        pre3[None] if want_first3 else None, ev)
+
+    from hdrvae.core.stats import hdr_stats
+    stats = {
+        "input": hdr_stats(latent),
+        "pre": analysis.pre_stats,
+        "post": analysis.post_stats,
+        "norm_kind": analysis.norm_kind,
+        "output": hdr_stats(image),
+    }
+    if cfg.full_analysis:
+        # param-derived part only, like the slab executor (the raw pre
+        # map is never whole in memory to re-apply conv_out to)
+        from hdrvae.core.stats import tensor_stats
+        stats["conv_weight"] = tensor_stats(params["conv_out"]["kernel"])
+        stats["conv_bias"] = tensor_stats(params["conv_out"]["bias"])
+    return image, rgb[None], stats, used_fallback
+
+
+def staged_hdr_decode(params: Params, latent: jnp.ndarray,
+                      decoder_cfg: DecoderConfig = DecoderConfig(),
+                      cfg: HDRDecodeConfig = HDRDecodeConfig(),
+                      precision: Precision = Precision.mixed(),
+                      *, slab_rows: int = 128):
+    """Contract-tier decode of latents whose whole-image f32 activations
+    exceed single-chip HBM (module docstring).  Same result contract as
+    :func:`hdrvae.decode.pipeline.hdr_decode`.
+
+    Requirements: batch 1, ``precision.mode == "mixed"`` (parity's
+    two-pass centered variance does not decompose into one streamed
+    accumulation; fast mode should use the cheaper Pallas lowmem path),
+    ``num_levels >= 2``.
+    """
+    from hdrvae.decode.pipeline import HDRDecodeResult, _split_ev
+    if precision.mode != "mixed":
+        raise ValueError(
+            f"staged decode serves the mixed (contract) tier; got mode="
+            f"{precision.mode!r}.  Fast mode uses the Pallas streaming "
+            "top level instead (models/pallas_tail.py lowmem).")
+    if precision.fast_head_levels not in (0, 2):
+        raise ValueError("staged decode supports fast_head_levels in "
+                         "(0, 2): the staged tail is always levels 1, 0")
+    zc = decoder_cfg.z_channels
+    if latent.ndim != 4:
+        raise ValueError(f"latent must be 4D, got shape {latent.shape}")
+    if latent.shape[-1] != zc:
+        if latent.shape[1] == zc:
+            latent = jnp.transpose(latent, (0, 2, 3, 1))
+        else:
+            raise ValueError(
+                f"latent shape {latent.shape} has no {zc}-channel axis")
+    if latent.shape[0] != 1:
+        raise ValueError("staged decode is batch-1 (a 4K-class frame is "
+                         "already an HBM-scale workload)")
+    if decoder_cfg.num_levels < 2:
+        raise ValueError("staged decode needs num_levels >= 2")
+
+    cfg2, ev = _split_ev(cfg)
+    image, rgb, stats, used_fallback = _staged_decode_jit(
+        params, latent, decoder_cfg, cfg2, precision, slab_rows, ev)
+    return HDRDecodeResult(image=image,
+                           standard=rgb if cfg.keep_standard else None,
+                           stats=stats, used_fallback=used_fallback)
