@@ -188,8 +188,12 @@ def main() -> int:
         # (models/pallas_tail.py lowmem path) keeps the upsampled map
         # out of HBM so this fits one v5e chip.  Replaces round 2's
         # approximate per-tile-stats 4K row as the 4K flagship.
-        extra_rows.append(run_row("hdr_decode_mp_per_s_4096_exact",
-                                  whole_step, 4096, runs=2))
+        # HDRVAE_BENCH_4K=0 skips the 4K rows (CPU smoke runs only; the
+        # driver's default environment keeps them).
+        want_4k = os.environ.get("HDRVAE_BENCH_4K", "1") != "0"
+        if want_4k:
+            extra_rows.append(run_row("hdr_decode_mp_per_s_4096_exact",
+                                      whole_step, 4096, runs=2))
 
         # Config 5 end to end: decode -> linear EXR on disk (+ verify).
         from hdrvae.core.config import ExportConfig
@@ -294,59 +298,114 @@ def main() -> int:
         extra_rows.append(run_row(
             f"hdr_decode_mixed_mp_per_s_{args.size}", mixed_step,
             args.size))
+        extra_rows.append(run_row(
+            f"hdr_decode_mixed_mp_per_s_{big}", mixed_step, big, runs=3))
+
+        # THE NORTH STAR AS ONE NUMBER (VERDICT round-4 item 1):
+        # BASELINE.json's sentence is "decode a 2048^2-class latent to a
+        # linear EXR at >=5x the reference MP/s with <=1e-3 max-abs".
+        # This row IS that sentence, measured as one composition: mixed
+        # (contract) tier decode -> streamed 32-bit zip EXR on disk ->
+        # read-back verify.  The tier's error is pinned by the fidelity
+        # suite + tpu_checks mixed family; this measures its speed.
+        def export_step_mixed(x):
+            from hdrvae.io.pipeline import export_frame_streamed
+            image, rgb, stats, fb = _hdr_decode_compiled(
+                params, x, decoder_cfg, cfg, mixed)
+            res = export_frame_streamed(image[0], export_cfg,
+                                        default_output_dir=tmpdir)
+            assert res.error is None, res.error
+            assert res.verify_stats.get("hdr_preserved",
+                                        True) is not False
+            return x
+
+        best, mean, warm = bench_step(export_step_mixed, lat_big,
+                                      lambda x: None, runs=2, warmup=1)
+        extra_rows.append({
+            "metric": f"hdr_decode_mixed_export_mp_per_s_{big}",
+            "value": round(mp / best, 3), "unit": "MP/s",
+            "vs_baseline": round(mp / best / REFERENCE_MP_PER_S, 1)})
+
+        # Contract tier at 4K (VERDICT round-4 item 2): the staged
+        # executor (decode/staged.py) — whole-image f32 activations do
+        # not fit one chip at 4096^2, the staged slab-streamed decode
+        # computes the same function within HBM.
+        from hdrvae.decode.staged import staged_hdr_decode
+
+        def staged_step(x):
+            res = staged_hdr_decode(params, x, decoder_cfg, cfg, mixed)
+            return x + res.image.mean() * 1e-6
+
+        if want_4k:
+            extra_rows.append(run_row("hdr_decode_mixed_mp_per_s_4096",
+                                      staged_step, 4096, runs=1))
 
         # Serving layer (VERDICT round-3 item 2): a mixed-resolution
         # request stream through ServeEngine — the engine's scheduling
-        # overhead must be visible next to the bare-decode rows.
+        # overhead must be visible next to the bare-decode rows.  Run
+        # once in the headline tier and once in the DELIVERY (mixed
+        # contract) tier at two request scales (VERDICT round-4 item 4);
+        # p50/p95 over the timed requests ride in the row itself.
         from hdrvae.serve.engine import ServeEngine
 
-        class _VAEHandle:
-            def __init__(self):
-                self.params = params
-                self.config = decoder_cfg
-                self.precision = precision
-
         scale = decoder_cfg.spatial_scale
-        e1 = args.size // scale
-        req_shapes = [(e1, e1), (e1 - e1 // 4, e1), (e1, e1 - e1 // 4),
-                      (e1, e1)]
-        with ServeEngine(_VAEHandle(), bucket=e1 // 2,
-                         max_pending=64) as engine:
-            engine.warmup([(e1, e1), (e1 - e1 // 4, e1),
-                           (e1, e1 - e1 // 4)])
-            base_lat = np.asarray(latent_for(args.size))
-            lat_np = {s: base_lat[:, :s[0], :s[1]]
-                      for s in set(req_shapes)}
-            reqs = req_shapes * 2
-            t0 = time.perf_counter()
-            # fetch_dtype float16 = the representative serving config
-            # (ExportConfig's default bit depth is 16bit; the HTTP front
-            # end fetches half for those responses) — halves the
-            # device->host bytes per response with zero quality loss for
-            # a half-float file
-            futs = [engine.submit(lat_np[s], fetch_dtype=np.float16)
-                    for s in reqs]
-            resps = [f.result() for f in futs]
-            serve_s = time.perf_counter() - t0
-        mp_served = sum(r.image.shape[1] * r.image.shape[2]
-                        for r in resps) / 1e6
-        extra_rows.append({
-            "metric": f"serve_decode_mp_per_s_{args.size}",
-            "value": round(mp_served / serve_s, 3), "unit": "MP/s",
-            "vs_baseline": round(mp_served / serve_s / REFERENCE_MP_PER_S,
-                                 1)})
-        if args.extra:
+
+        def serve_row(serve_prec, label, size, n_round):
+            class _VAEHandle:
+                def __init__(self):
+                    self.params = params
+                    self.config = decoder_cfg
+                    self.precision = serve_prec
+
+            e1 = size // scale
+            req_shapes = [(e1, e1), (e1 - e1 // 4, e1),
+                          (e1, e1 - e1 // 4), (e1, e1)]
+            with ServeEngine(_VAEHandle(), bucket=e1 // 2,
+                             max_pending=64) as engine:
+                engine.warmup([(e1, e1), (e1 - e1 // 4, e1),
+                               (e1, e1 - e1 // 4)])
+                base_lat = np.asarray(latent_for(size))
+                lat_np = {s: base_lat[:, :s[0], :s[1]]
+                          for s in set(req_shapes)}
+                reqs = req_shapes * n_round
+                t0 = time.perf_counter()
+                # fetch_dtype float16 = the representative serving config
+                # (ExportConfig's default bit depth is 16bit; the HTTP
+                # front end fetches half for those responses) — halves
+                # the device->host bytes per response with zero quality
+                # loss for a half-float file
+                futs = [engine.submit(lat_np[s], fetch_dtype=np.float16)
+                        for s in reqs]
+                resps = [f.result() for f in futs]
+                serve_s = time.perf_counter() - t0
+            mp_served = sum(r.image.shape[1] * r.image.shape[2]
+                            for r in resps) / 1e6
             # quantiles over the TIMED requests only (engine.stats()
             # would also count the warmup requests' compile latencies).
-            # On a tunneled device this row is transport-bound (each
+            # On a tunneled device these rows are transport-bound (each
             # response fetches the full frame; see PERF_NOTES 6.5) —
             # the engine's own scheduling overhead is microseconds.
             lats = sorted(r.latency_s for r in resps)
-            print(json.dumps({**detail, "metric": "serve",
-                              "requests": len(reqs),
-                              "p50_s": round(lats[len(lats) // 2], 3),
-                              "p95_s": round(lats[-1], 3)}),
-                  file=sys.stderr)
+            row = {"metric": f"serve_decode{label}_mp_per_s_{size}",
+                   "value": round(mp_served / serve_s, 3), "unit": "MP/s",
+                   "vs_baseline": round(
+                       mp_served / serve_s / REFERENCE_MP_PER_S, 1),
+                   "p50_s": round(lats[len(lats) // 2], 3),
+                   "p95_s": round(lats[max(0, -(-len(lats) * 95 // 100)
+                                           - 1)], 3)}
+            if args.extra:
+                print(json.dumps({**detail, "metric": f"serve{label}",
+                                  "size": size, "requests": len(reqs),
+                                  "total_s": round(serve_s, 3),
+                                  "p50_s": row["p50_s"],
+                                  "p95_s": row["p95_s"]}),
+                      file=sys.stderr)
+            return row
+
+        extra_rows.append(serve_row(precision, "", args.size, 2))
+        extra_rows.append(serve_row(Precision.mixed(), "_mixed",
+                                    args.size, 2))
+        extra_rows.append(serve_row(Precision.mixed(), "_mixed", big, 1))
 
         if args.full:
             extra_rows.append(run_row(f"hdr_decode_mp_per_s_{args.size}_b4",
