@@ -406,7 +406,9 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
         0, n0, tail_body,
         (rgb, pre_c, pre3, jnp.float32(0), jnp.float32(0), big, -big))
 
-    n_pre = hh * ww * buf.shape[-1]
+    # float count: at 4096^2 x 128ch this is 2^31 and overflows the i32
+    # weak-type path under jit
+    n_pre = float(hh) * ww * buf.shape[-1]
     mean = s1a / n_pre
     var = jnp.maximum(s2a / n_pre - jnp.square(mean), 0.0)
     var = var * n_pre / max(n_pre - 1.0, 1.0)      # ddof=1 (torch .std)

@@ -114,11 +114,10 @@ class ServeEngine:
         self._precision = precision if precision is not None \
             else vae.precision
         if bucket is ServeEngine._DEFAULT_BUCKET:
+            # mesh default stays unbucketed (exact per-shape programs);
+            # an EXPLICIT bucket now composes with mesh= (round 5:
+            # SlabPadGNReducer threads PadMask through the slab tail).
             bucket = None if mesh is not None else 64
-        if mesh is not None and bucket is not None:
-            raise ValueError(
-                "bucket snapping is unsupported with a mesh (the exact "
-                "slab path pads nothing); pass bucket=None")
         self._bucket = bucket
         self._mesh = mesh
         self._deadline_s = deadline_s
@@ -293,10 +292,17 @@ class ServeEngine:
             h, w = latent.shape[1], latent.shape[2]
         if self._mesh is not None:
             from hdrvae.sharding.mesh import sharded_slab_decode
+            # Bucket snapping composes with the mesh since round 5: the
+            # slab path threads a PadMask-style tape (SlabPadGNReducer)
+            # so one compiled slab program per bucket shape serves every
+            # original resolution in the bucket — no per-exact-shape
+            # recompile storm on multi-chip serving.
+            target = self._pad_target(h, w)
             result = sharded_slab_decode(
                 self._vae.params, jnp.asarray(latent), self._vae.config,
-                cfg, mesh=self._mesh, precision=self._precision)
-            return result, (h, w)
+                cfg, mesh=self._mesh, pad_to=target,
+                precision=self._precision)
+            return result, (target or (h, w))
         target = self._pad_target(h, w)
         result = hdr_decode(self._vae.params, jnp.asarray(latent),
                             self._vae.config, cfg, self._precision,

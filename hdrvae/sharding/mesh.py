@@ -298,12 +298,19 @@ class SlabGNReducer:
         return ((rows >= self.top * f)
                 & (rows < self.bot * f)).astype(jnp.float32)
 
+    def _mask2d(self, h: int, w: int, f: int) -> jnp.ndarray:
+        """[h, w] owned-AND-valid mask at resolution multiple f."""
+        return jnp.broadcast_to(self._row_mask(h, f)[:, None], (h, w))
+
+    def _n_global(self, f: int, w: int, cpg: int):
+        return (self.entry_h * f) * w * cpg
+
     def reduce_stats(self, xf: jnp.ndarray, onehot: jnp.ndarray, cpg: int,
                      precision: Precision):
         b, h, w, c = xf.shape
         f = w // self.entry_w
-        mask = self._row_mask(h, f)[None, :, None, None]
-        n_global = (self.entry_h * f) * w * cpg
+        mask = self._mask2d(h, w, f)[None, :, :, None]
+        n_global = self._n_global(f, w, cpg)
         xm = xf * mask
         from hdrvae.models.layers import _stats_precision
         mp = _stats_precision(precision)
@@ -326,19 +333,80 @@ class SlabGNReducer:
         return mean, var
 
 
+class SlabPadGNReducer(SlabGNReducer):
+    """SlabGNReducer + PadMask semantics in one tape: exact whole-image GN
+    statistics over the VALID region of a zero-padded (shape-bucketed)
+    latent, under slab sharding (VERDICT round-4 item 7 — lets the mesh
+    serving path bucket shapes instead of compiling per exact latent).
+
+    Statistics partials count rows this slab owns that are also valid and
+    columns inside the valid width; ``mask_output`` re-zeros the pad
+    region after every norm/resnet output (exactly what PadMask does
+    whole-image, here with the slab's GLOBAL row offset), so convs see
+    SAME-style zeros at the valid boundary and nothing from the pad
+    region bleeds into valid pixels.  ``valid_eh/valid_ew`` are traced
+    scalars at entry resolution — one compiled program per bucket shape
+    serves every original resolution in the bucket.
+
+    The mid attention runs in the whole-image HEAD under a plain PadMask
+    (key_valid), so this tape needs no attention hook.
+    """
+
+    def __init__(self, axis_name: str, entry_h: int, entry_w: int,
+                 top, bot, start, valid_eh, valid_ew):
+        super().__init__(axis_name, entry_h, entry_w, top, bot)
+        self.start = start            # slab's global top row (entry res)
+        self.valid_eh = valid_eh      # traced valid dims (entry res)
+        self.valid_ew = valid_ew
+
+    def _row_mask(self, h: int, f: int) -> jnp.ndarray:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h,), 0)
+        global_rows = rows + self.start * f
+        return ((rows >= self.top * f) & (rows < self.bot * f)
+                & (global_rows < self.valid_eh * f)).astype(jnp.float32)
+
+    def _mask2d(self, h: int, w: int, f: int) -> jnp.ndarray:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+        col_mask = (cols < self.valid_ew * f).astype(jnp.float32)
+        return self._row_mask(h, f)[:, None] * col_mask[None, :]
+
+    def _n_global(self, f: int, w: int, cpg: int):
+        return (self.valid_eh * f) * (self.valid_ew * f) * cpg
+
+    def mask_output(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Zero the PAD region (NOT the un-owned halo rows — those carry
+        real values the conv halos need)."""
+        b, h, w, c = x.shape
+        f = w // self.entry_w
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h,), 0) + self.start * f
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+        valid = ((rows < self.valid_eh * f)[:, None]
+                 & (cols < self.valid_ew * f)[None, :])
+        return x * valid[None, :, :, None].astype(x.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("decoder_cfg", "cfg", "precision",
-                                    "mesh", "tail_levels", "halo"))
-def _slab_decode_step(params: Params, latent: jnp.ndarray,
+                                    "mesh", "tail_levels", "halo",
+                                    "bucketed"))
+def _slab_decode_step(params: Params, latent: jnp.ndarray, valid_hw,
                       decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
                       precision: Precision, mesh: Mesh, tail_levels: int,
-                      halo: int):
+                      halo: int, ev, bucketed: bool = False):
+    """``bucketed``: ``latent`` is zero-padded to a bucket shape and
+    ``valid_hw`` (traced [2] int32) carries the real latent dims.  The
+    head runs under a PadMask tape, the tail under SlabPadGNReducer, and
+    the step returns the PADDED (rgb, pre_c, pre3, pre_stats) parts —
+    the caller crops outside jit and runs the per-original-shape
+    epilogue program (the same two-program structure as the whole-image
+    bucketed path, decode.pipeline._decoder_forward_bucketed)."""
     axis_name = mesh.axis_names[0]
     n = mesh.devices.size
 
     from hdrvae.models.pallas_tail import (pallas_head, upstack_slab_apply,
                                            upstack_supported)
-    use_pallas = (tail_levels >= 1 and latent.shape[0] == 1
+    use_pallas = (not bucketed and tail_levels >= 1
+                  and latent.shape[0] == 1
                   and upstack_supported(precision, latent.shape[0], None,
                                         width=latent.shape[2],
                                         cfg=decoder_cfg))
@@ -361,14 +429,21 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     # partitioned region either trips the partitioner (io_callback under
     # interpret mode) or demotes neighboring conv fusions to degenerate
     # layouts (pallas_head docstring; measured 184 ms for one conv).
+    f_head = 2 ** (decoder_cfg.num_levels - max(tail_levels, 1))
     if use_pallas:
-        f_head = 2 ** (decoder_cfg.num_levels - tail_levels)
         entry_h = latent.shape[1] * f_head
         entry_w = latent.shape[2] * f_head
     else:
+        head_tape = None
+        if bucketed:
+            from hdrvae.models.layers import PadMask
+            head_tape = PadMask(latent.shape[1], latent.shape[2],
+                                valid_hw[0], valid_hw[1])
         x = decoder_head(params, latent, decoder_cfg, precision=precision,
-                         tail_levels=tail_levels)
+                         tail_levels=tail_levels, tape=head_tape)
         entry_h, entry_w = x.shape[1], x.shape[2]
+    valid_eh = valid_hw[0] * f_head
+    valid_ew = valid_hw[1] * f_head
 
     plan = plan_slabs(entry_h, n, halo)
     fo = 2 ** max(tail_levels - 1, 0)      # tail output resolution multiple
@@ -387,7 +462,13 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
 
     def tail_one(p, slab_or_latent, bnd, st):
         bnd = bnd[0]
-        reducer = SlabGNReducer(axis_name, entry_h, entry_w, bnd[0], bnd[1])
+        if bucketed:
+            reducer = SlabPadGNReducer(axis_name, entry_h, entry_w,
+                                       bnd[0], bnd[1], st[0, 0],
+                                       valid_eh, valid_ew)
+        else:
+            reducer = SlabGNReducer(axis_name, entry_h, entry_w,
+                                    bnd[0], bnd[1])
         if use_pallas:
             # Kernel-chain path: head per device, then this device's slab
             # with per-slab owned-row stat partials psum'd across the
@@ -419,8 +500,8 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
                                tail_levels=tail_levels, tape=reducer)
         pre_f = out.pre_conv_out.astype(jnp.float32)
         b, ho, wo, c = pre_f.shape
-        mask = reducer._row_mask(ho, fo)[None, :, None, None]
-        n_pre = b * (entry_h * fo) * wo * c
+        mask = reducer._mask2d(ho, wo, fo)[None, :, :, None]
+        n_pre = b * reducer._n_global(fo, wo, 1) * c
         masked = pre_f * mask
         s1 = jax.lax.psum(jnp.sum(masked), axis_name)
         s2 = jax.lax.psum(jnp.sum(jnp.square(masked)), axis_name)
@@ -429,10 +510,11 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
                           axis_name)
         mx = jax.lax.pmax(jnp.max(jnp.where(mask > 0, pre_f, -big)),
                           axis_name)
+        n_pre = jnp.asarray(n_pre, jnp.float32)   # traced when bucketed
         mean = s1 / n_pre
         # one-pass variance; only logged (modes use min/max/mean), ddof=1
         var = jnp.maximum(s2 / n_pre - jnp.square(mean), 0.0)
-        var = var * n_pre / max(n_pre - 1.0, 1.0)
+        var = var * n_pre / jnp.maximum(n_pre - 1.0, 1.0)
         pre_stats = {"min": mn, "max": mx, "mean": mean,
                      "std": jnp.sqrt(var)}
         pre_c = collapse_channels_maxpool(pre_f)
@@ -457,8 +539,14 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     pre_c = stitch(prec_s)
     pre3 = stitch(pre3_s) if want_first3 else None
 
+    if bucketed:
+        # Padded parts out; the caller crops and runs the small
+        # per-original-shape epilogue program (pre_stats are already
+        # valid-region-exact from the masked partials).
+        return rgb, pre_c, pre3, pre_stats
+
     image, used_fallback, analysis = hdr_epilogue_from_parts(
-        rgb, pre_c, pre_stats, cfg, pre3)
+        rgb, pre_c, pre_stats, cfg, pre3, ev)
     from hdrvae.core.stats import hdr_stats
     stats = {
         "input": hdr_stats(latent),
@@ -477,12 +565,35 @@ def _slab_decode_step(params: Params, latent: jnp.ndarray,
     return image, rgb, stats, used_fallback
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _epilogue_parts_compiled(conv_out_params, rgb, pre_c, pre3, pre_stats,
+                             latent, cfg, ev):
+    """Per-original-shape epilogue for the bucketed slab path: mode math
+    + acceptance from already-cropped parts (small program — seconds to
+    compile, unlike the slab decoder program the bucket shape shares)."""
+    image, used_fallback, analysis = hdr_epilogue_from_parts(
+        rgb, pre_c, pre_stats, cfg, pre3, ev)
+    from hdrvae.core.stats import hdr_stats, tensor_stats
+    stats = {
+        "input": hdr_stats(latent),
+        "pre": analysis.pre_stats,
+        "post": analysis.post_stats,
+        "norm_kind": analysis.norm_kind,
+        "output": hdr_stats(image),
+    }
+    if cfg.full_analysis:
+        stats["conv_weight"] = tensor_stats(conv_out_params["kernel"])
+        stats["conv_bias"] = tensor_stats(conv_out_params["bias"])
+    return image, stats, used_fallback
+
+
 def sharded_slab_decode(params: Params, latent: jnp.ndarray,
                         decoder_cfg: DecoderConfig = DecoderConfig(),
                         cfg: HDRDecodeConfig = HDRDecodeConfig(),
                         *, mesh: Optional[Mesh] = None,
                         tail_levels: Optional[int] = None,
                         halo: Optional[int] = None,
+                        pad_to: Optional[Tuple[int, int]] = None,
                         precision: Precision = Precision()):
     """EXACT sharded decode: head whole-image, tail on row slabs.
 
@@ -500,9 +611,15 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     which is where the full-resolution memory lives.  On a 1-device mesh
     this degenerates to the plain whole-image decode (no halo waste).
 
+    ``pad_to`` (round-5): zero-pad the latent up to a bucket shape and
+    decode EXACTLY via PadMask-through-the-slab-path (SlabPadGNReducer) —
+    one compiled slab program per bucket shape serves every original
+    resolution in the bucket, the answer to the mesh-serving recompile
+    storm (serve.engine bucket snapping now composes with mesh=).
+
     Returns an ``HDRDecodeResult`` (same contract as ``hdr_decode``).
     """
-    from hdrvae.decode.pipeline import HDRDecodeResult
+    from hdrvae.decode.pipeline import HDRDecodeResult, _split_ev
     zc = decoder_cfg.z_channels
     if latent.ndim != 4:
         raise ValueError(f"latent must be 4D, got shape {latent.shape}")
@@ -525,12 +642,42 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     if halo is None:
         halo = tail_receptive_radius(decoder_cfg, tail_levels)
 
+    orig_h, orig_w = latent.shape[1], latent.shape[2]
+    orig_latent = latent
+    cfg2, ev = _split_ev(cfg)
+    bucketed = pad_to is not None and tuple(pad_to) != (orig_h, orig_w)
+    if pad_to is not None:
+        if pad_to[0] < orig_h or pad_to[1] < orig_w:
+            raise ValueError(f"pad_to {pad_to} smaller than latent "
+                             f"{(orig_h, orig_w)}")
+        # A latent already AT the bucket target still takes the bucketed
+        # program (full-valid mask) so serving keeps ONE program per
+        # bucket shape — same policy as hdr_decode(pad_to=...).
+        bucketed = True
+        if tuple(pad_to) != (orig_h, orig_w):
+            latent = jnp.pad(latent, ((0, 0), (0, pad_to[0] - orig_h),
+                                      (0, pad_to[1] - orig_w), (0, 0)))
+
     params = _replicate_params(params, mesh)
     latent = jax.device_put(latent, NamedSharding(mesh, P()))
+    valid_hw = jnp.asarray([orig_h, orig_w], jnp.int32)
 
-    image, rgb, stats, used_fallback = _slab_decode_step(
-        params, latent, decoder_cfg, cfg, precision, mesh, tail_levels,
-        halo)
+    if bucketed:
+        rgb, pre_c, pre3, pre_stats = _slab_decode_step(
+            params, latent, valid_hw, decoder_cfg, cfg2, precision, mesh,
+            tail_levels, halo, ev, bucketed=True)
+        s = decoder_cfg.spatial_scale
+        rgb = rgb[:, :orig_h * s, :orig_w * s]
+        pre_c = pre_c[:, :orig_h * s, :orig_w * s]
+        if pre3 is not None:
+            pre3 = pre3[:, :orig_h * s, :orig_w * s]
+        image, stats, used_fallback = _epilogue_parts_compiled(
+            params["conv_out"], rgb, pre_c, pre3, pre_stats, orig_latent,
+            cfg2, ev)
+    else:
+        image, rgb, stats, used_fallback = _slab_decode_step(
+            params, latent, valid_hw, decoder_cfg, cfg2, precision, mesh,
+            tail_levels, halo, ev, bucketed=False)
     # same contract as hdr_decode (decode/pipeline.py): the standard
     # decode is only returned when asked for
     return HDRDecodeResult(image=image,

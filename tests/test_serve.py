@@ -397,10 +397,31 @@ def test_engine_mesh_matches_single_device(vae, rng):
     assert sharded.summary["normalization"] == single.summary["normalization"]
 
 
-def test_engine_mesh_rejects_bucket(vae):
+def test_engine_mesh_buckets(vae, rng):
+    """Mesh serving BUCKETS since round 5 (SlabPadGNReducer threads
+    PadMask semantics through the slab tail): two different off-bucket
+    shapes share one compiled slab program and both match the unbucketed
+    single-device decode exactly."""
     from hdrvae.sharding.mesh import make_mesh
-    with pytest.raises(ValueError, match="bucket"):
-        ServeEngine(vae, mesh=make_mesh(num_devices=4), bucket=8)
+    shapes = [(13, 11), (10, 14)]
+    lats = {hw: _latent(rng, vae.config, h=hw[0], w=hw[1])
+            for hw in shapes}
+    singles = {}
+    with ServeEngine(vae, bucket=None) as engine:
+        for hw in shapes:
+            singles[hw] = engine.decode_sync(lats[hw])
+    with ServeEngine(vae, mesh=make_mesh(num_devices=4),
+                     bucket=16) as engine:
+        for hw in shapes:
+            resp = engine.decode_sync(lats[hw])
+            assert resp.padded_hw == (16, 16)
+            assert resp.image.shape == singles[hw].image.shape
+            signal = max(1.0, float(np.abs(singles[hw].image).max()))
+            err = np.abs(singles[hw].image - resp.image).max() / signal
+            assert err < 1e-3, f"bucketed mesh-engine error {err:.2e}"
+        stats = engine.stats()
+    # both shapes landed on the SAME compiled (bucket) shape
+    assert stats["compiled_latent_shapes"] == {"16x16": 2}
 
 
 def test_http_ev_validation(server, vae, rng):

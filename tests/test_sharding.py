@@ -456,3 +456,57 @@ def test_slab_decode_exact_full_width(rng, precision):
     signal = max(1.0, float(np.abs(w).max()))
     assert np.abs(w - s).max() / signal < 1e-3
     assert bool(slab.used_fallback) == bool(whole.used_fallback)
+
+
+@pytest.mark.parametrize("precision", [Precision.parity(),
+                                       Precision.mixed()],
+                         ids=["parity", "mixed"])
+@pytest.mark.parametrize("hw", [(13, 11), (9, 15), (16, 16)])
+def test_slab_decode_bucketed(small_cfg, small_params, rng, precision, hw):
+    """PadMask through the slab path (round 5): pad_to buckets the latent
+    and the sharded decode stays EXACT for the valid region — one slab
+    program per bucket shape serves every original resolution (the mesh
+    serving recompile-storm answer).  (16, 16) is the already-at-target
+    case, which must still run the bucketed program."""
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    latent = _latent(rng, small_cfg, *hw)
+    cfg = HDRDecodeConfig()
+    whole = hdr_decode(small_params, latent, small_cfg, cfg, precision)
+    buck = sharded_slab_decode(small_params, latent, small_cfg, cfg,
+                               mesh=make_mesh(num_devices=4),
+                               tail_levels=1, pad_to=(16, 16),
+                               precision=precision)
+    assert buck.image.shape == whole.image.shape
+    err_rgb = np.abs(np.asarray(whole.standard)
+                     - np.asarray(buck.standard)).max()
+    assert err_rgb <= 1e-5, f"bucketed slab rgb error {err_rgb:.2e}"
+    err = np.abs(np.asarray(whole.image) - np.asarray(buck.image)).max()
+    assert err <= 1e-4, f"bucketed slab image error {err:.2e}"
+    assert bool(buck.used_fallback) == bool(whole.used_fallback)
+
+
+def test_slab_decode_bucketed_first3_and_ev(small_cfg, small_params, rng):
+    """Bucketed slab path with the first3 fallback collapse and a non-1.0
+    EV multiplier (the ev-split path through the parts epilogue)."""
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    latent = _latent(rng, small_cfg, 10, 14)
+    cfg = HDRDecodeConfig(fallback_collapse="first3",
+                          conservative_ev_multiplier=2.5)
+    whole = hdr_decode(small_params, latent, small_cfg, cfg,
+                       Precision.mixed())
+    buck = sharded_slab_decode(small_params, latent, small_cfg, cfg,
+                               mesh=make_mesh(num_devices=4),
+                               tail_levels=1, pad_to=(16, 16),
+                               precision=Precision.mixed())
+    err = np.abs(np.asarray(whole.image) - np.asarray(buck.image)).max()
+    assert err <= 1e-4, f"bucketed first3/ev image error {err:.2e}"
+
+
+def test_slab_decode_pad_to_validation(small_cfg, small_params, rng):
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    latent = _latent(rng, small_cfg, 16, 16)
+    with pytest.raises(ValueError, match="smaller than latent"):
+        sharded_slab_decode(small_params, latent, small_cfg,
+                            HDRDecodeConfig(),
+                            mesh=make_mesh(num_devices=4),
+                            pad_to=(8, 8))
