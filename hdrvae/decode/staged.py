@@ -15,23 +15,25 @@ This module is the contract tier's answer (VERDICT round-4 item 2): a
 STAGED whole-image decode that never materializes a full-resolution
 float32 map larger than one 128-channel buffer:
 
-  1. HEAD (whole-image, one pass): conv_in + mid (global attention RUNS)
-     + every up level above the bottom two — all at <= 1/4 output
-     resolution, where f32 activations are cheap.
-  2. LEVEL 1 (row-slab streamed, materialized): each ResNet block runs
-     as two passes over row slabs — a stats pass that computes the
-     block's conv1 output moments (GroupNorm needs whole-image
-     statistics BEFORE the next conv can run, the same global-stats
-     dependency SURVEY.md section 7 calls the tiled-decode hard part),
-     then a full pass that writes the block output into a fresh
-     half-resolution buffer and emits its moments for the next norm.
-  3. JUNCTION + LEVEL 0 (row-slab streamed, one materialized buffer):
-     the 2x-upsample conv and level-0 block 0 stream from the level-1
-     output in three passes (upsample stats, +conv1 stats, full) so the
-     full-resolution 256-channel map never exists in HBM; blocks 1..n
-     (128->128, identity residual) then rewrite the single 128-channel
-     buffer IN PLACE slab by slab, carrying a 2-row stash of
-     overwritten halo rows.
+  1. HEAD (whole-image): conv_in + mid (global attention RUNS) + up
+     levels above level 2, plus level 2's ResNet blocks — all at
+     <= 1/16 output area, where f32 activations are cheap.  The head
+     stops BEFORE level 2's upsample: whole-image, that upsample+conv
+     peaks at three half-res 512-channel f32 maps (~25 GB at 4K with
+     XLA's layout copy — measured OOM on the first build).
+  2. JUNCTION INTO LEVEL 1 (row-slab streamed): the 2x-upsample conv
+     and level-1 block 0 stream from the level-2 output in three passes
+     — upsample stats, +conv1 stats, full — because GroupNorm needs
+     whole-image statistics BEFORE the next conv can run (the same
+     global-stats dependency SURVEY.md section 7 calls the tiled-decode
+     hard part).  The upsampled map never exists in HBM; only block 0's
+     output is materialized.  Level-1 blocks 1..n then run as
+     stats-pass + full-pass pairs into fresh half-resolution buffers.
+  3. JUNCTION INTO LEVEL 0 (row-slab streamed, one materialized
+     buffer): same three-pass junction from the level-1 output; level-0
+     blocks 1..n (128->128, identity residual) then rewrite the single
+     full-resolution 128-channel buffer IN PLACE slab by slab, carrying
+     a 2-row stash of overwritten halo rows.
   4. TAIL: norm_out + SiLU + conv_out + the HDR epilogue's collapse and
      statistics, streamed per slab into the [H, W, 3] outputs.
 
@@ -287,6 +289,58 @@ def _up_block_fn(up_p: Params, b0: Params, gu, bu, g2, b2,
     return _with_out_c(fn, b0["conv2"]["kernel"].shape[3])
 
 
+def _staged_sameres_block(cur, blk: Params, moments, h: int, w: int,
+                          g: int, mp, precision: Precision,
+                          slab_rows: int, inplace: bool):
+    """One ResNet block over a materialized guarded buffer: conv1 stats
+    pass, then a full pass (into a fresh buffer, or rewriting ``cur`` in
+    place when the block preserves channel width)."""
+    s = _pick_slab(h, slab_rows)
+    n = h // s
+    g1, b1 = _affine(blk["norm1"], *moments)
+    fn_s = _block_conv1_fn(blk, g1, b1, precision, h)
+    ssum, ssq = _stats_pass(cur, n, s, s, 1, fn_s, g, mp)
+    g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
+                                              h * w * (fn_s.out_c // g)))
+    fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h)
+    if inplace:
+        assert fn_f.out_c == cur.shape[-1], \
+            "in-place blocks must preserve channel width"
+        cur, _, ssum, ssq = _inplace_pass(cur, n, s, fn_f, g, mp)
+    else:
+        dst = jnp.zeros((h + 2 * _G, w, fn_f.out_c), jnp.float32)
+        cur, ssum, ssq = _map_pass(cur, dst, n, s, s, 2, fn_f, g, mp)
+    return cur, _finalize(ssum, ssq, h * w * (fn_f.out_c // g))
+
+
+def _staged_junction(cur, up_p: Params, b0: Params, h_in: int, w_in: int,
+                     g: int, mp, precision: Precision, slab_rows: int):
+    """The 2x-upsample conv + the next level's block 0, streamed from the
+    low-resolution buffer in three passes (upsample stats, +conv1 stats,
+    full) — the 2x-resolution upsampled map never exists in HBM.
+    Returns (guarded block-0 output buffer at 2x res, its moments)."""
+    hh, ww = 2 * h_in, 2 * w_in
+    s0 = 2 * _pick_slab(h_in, max(1, slab_rows // 2))
+    n0 = hh // s0
+    s2l = s0 // 2
+    c_up = up_p["kernel"].shape[3]
+
+    fn_up = _up_fn(up_p, precision)
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_up, g, mp)
+    gu, bu = _affine(b0["norm1"], *_finalize(ssum, ssq,
+                                             hh * ww * (c_up // g)))
+
+    fn_uc1 = _up_conv1_fn(up_p, b0, gu, bu, precision, hh)
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_uc1, g, mp)
+    g2, b2 = _affine(b0["norm2"], *_finalize(
+        ssum, ssq, hh * ww * (fn_uc1.out_c // g)))
+
+    fn_ub = _up_block_fn(up_p, b0, gu, bu, g2, b2, precision, hh)
+    buf = jnp.zeros((hh + 2 * _G, ww, fn_ub.out_c), jnp.float32)
+    buf, ssum, ssq = _map_pass(cur, buf, n0, s2l, s0, 2, fn_ub, g, mp)
+    return buf, _finalize(ssum, ssq, hh * ww * (fn_ub.out_c // g))
+
+
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
                                              "precision", "slab_rows"))
 def _staged_decode_jit(params: Params, latent: jnp.ndarray,
@@ -294,24 +348,13 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
                        precision: Precision, slab_rows: int, ev):
     from hdrvae.decode.formatting import collapse_channels_maxpool
     from hdrvae.decode.pipeline import hdr_epilogue_from_parts
-    from hdrvae.models.decoder import decoder_head
+    from hdrvae.models.decoder import decoder_head, resnet_block
     from hdrvae.models.layers import _group_onehot, _stats_precision
 
     dcfg = decoder_cfg
     g = dcfg.num_groups
     mp = _stats_precision(precision)
-    tail_levels = min(2, dcfg.num_levels)
-
-    # ---- 1. whole-image head (levels >= 2, low resolution) --------------
-    u = decoder_head(params, latent, dcfg, precision=precision,
-                     tail_levels=tail_levels)[0]
-    h1, w1 = u.shape[0], u.shape[1]
-    hh, ww = 2 * h1, 2 * w1                    # full output resolution
-    s1 = _pick_slab(h1, max(1, slab_rows // 2))
-    n1 = h1 // s1
-    s0 = 2 * _pick_slab(h1, max(1, slab_rows // 2))
-    n0 = hh // s0
-    s2l = s0 // 2                              # junction low-res slab rows
+    levels = dcfg.num_levels
 
     def moments_of(x, c):
         onehot = _group_onehot(c, g)
@@ -319,59 +362,54 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
         s_, q_ = _gstats(x, onehot, mp)
         return _finalize(s_, q_, n)
 
-    moments = moments_of(u, u.shape[-1])
-    cur = _guard(u)
+    # ---- 1. whole-image head (levels >= 3 at <= 1/4 resolution) ---------
+    # The head stops BEFORE level 2's upsample: at 4K-class outputs that
+    # whole-image upsample+conv peaks at three 2048^2 x 512ch f32 maps
+    # (~25 GB with XLA's layout copy — measured OOM), so level 2's blocks
+    # run whole-image at 1024^2-class resolution and its upsample streams
+    # through the level-1 junction below.
+    u = decoder_head(params, latent, dcfg, precision=precision,
+                     tail_levels=min(3, levels))
+    if levels >= 3:
+        for blk in params["up"][2]["block"]:
+            u = resnet_block(u, blk, num_groups=g, precision=precision)
+    u = u[0]
 
-    # ---- 2. level 1: per-block stats pass + materializing full pass -----
+    # ---- 2. level 1 ------------------------------------------------------
     lvl1 = params["up"][1]
-    for blk in lvl1["block"]:
-        g1, b1 = _affine(blk["norm1"], *moments)
-        fn_s = _block_conv1_fn(blk, g1, b1, precision, h1)
-        c_mid = fn_s.out_c
-        ssum, ssq = _stats_pass(cur, n1, s1, s1, 1, fn_s, g, mp)
-        g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
-                                                  h1 * w1 * (c_mid // g)))
-        fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h1)
-        c_out = fn_f.out_c
-        dst = jnp.zeros((h1 + 2 * _G, w1, c_out), jnp.float32)
-        cur, ssum, ssq = _map_pass(cur, dst, n1, s1, s1, 2, fn_f, g, mp)
-        moments = _finalize(ssum, ssq, h1 * w1 * (c_out // g))
+    if levels >= 3:
+        # junction: level-2 upsample + level-1 block 0, streamed
+        h2, w2 = u.shape[0], u.shape[1]
+        cur, moments = _staged_junction(_guard(u),
+                                        params["up"][2]["upsample"],
+                                        lvl1["block"][0], h2, w2, g, mp,
+                                        precision, slab_rows)
+        h1, w1 = 2 * h2, 2 * w2
+        rest1 = lvl1["block"][1:]
+    else:
+        h1, w1 = u.shape[0], u.shape[1]
+        moments = moments_of(u, u.shape[-1])
+        cur = _guard(u)
+        rest1 = lvl1["block"]
+    for blk in rest1:
+        cur, moments = _staged_sameres_block(cur, blk, moments, h1, w1,
+                                             g, mp, precision, slab_rows,
+                                             inplace=False)
 
-    # ---- 3. junction (2x upsample conv) + level-0 block 0 ---------------
-    up_p = lvl1["upsample"]
+    # ---- 3. junction (level-1 2x upsample) + level-0 block 0 ------------
+    hh, ww = 2 * h1, 2 * w1                    # full output resolution
     lvl0 = params["up"][0]
-    b0 = lvl0["block"][0]
-    c_up = up_p["kernel"].shape[3]
-
-    fn_up = _up_fn(up_p, precision)
-    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_up, g, mp)
-    mu, vu = _finalize(ssum, ssq, hh * ww * (c_up // g))
-    gu, bu = _affine(b0["norm1"], mu, vu)
-
-    fn_uc1 = _up_conv1_fn(up_p, b0, gu, bu, precision, hh)
-    c_mid = fn_uc1.out_c
-    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_uc1, g, mp)
-    g2, b2 = _affine(b0["norm2"], *_finalize(ssum, ssq,
-                                             hh * ww * (c_mid // g)))
-
-    fn_ub = _up_block_fn(up_p, b0, gu, bu, g2, b2, precision, hh)
-    c0 = fn_ub.out_c
-    buf = jnp.zeros((hh + 2 * _G, ww, c0), jnp.float32)
-    buf, ssum, ssq = _map_pass(cur, buf, n0, s2l, s0, 2, fn_ub, g, mp)
-    moments = _finalize(ssum, ssq, hh * ww * (c0 // g))
+    buf, moments = _staged_junction(cur, lvl1["upsample"],
+                                    lvl0["block"][0], h1, w1, g, mp,
+                                    precision, slab_rows)
 
     # ---- 4. level-0 blocks 1..n: in-place slab rewrite ------------------
     for blk in lvl0["block"][1:]:
-        g1, b1 = _affine(blk["norm1"], *moments)
-        fn_s = _block_conv1_fn(blk, g1, b1, precision, hh)
-        c_mid = fn_s.out_c
-        ssum, ssq = _stats_pass(buf, n0, s0, s0, 1, fn_s, g, mp)
-        g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
-                                                  hh * ww * (c_mid // g)))
-        fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, hh)
-        assert fn_f.out_c == c0, "level-0 blocks 1..n must preserve width"
-        buf, _, ssum, ssq = _inplace_pass(buf, n0, s0, fn_f, g, mp)
-        moments = _finalize(ssum, ssq, hh * ww * (c0 // g))
+        buf, moments = _staged_sameres_block(buf, blk, moments, hh, ww,
+                                             g, mp, precision, slab_rows,
+                                             inplace=True)
+    s0 = _pick_slab(hh, slab_rows)
+    n0 = hh // s0
 
     # ---- 5. norm_out + SiLU + conv_out + epilogue parts, streamed -------
     go, bo = _affine(params["norm_out"], *moments)
@@ -455,9 +493,9 @@ def staged_hdr_decode(params: Params, latent: jnp.ndarray,
             f"staged decode serves the mixed (contract) tier; got mode="
             f"{precision.mode!r}.  Fast mode uses the Pallas streaming "
             "top level instead (models/pallas_tail.py lowmem).")
-    if precision.fast_head_levels not in (0, 2):
-        raise ValueError("staged decode supports fast_head_levels in "
-                         "(0, 2): the staged tail is always levels 1, 0")
+    if precision.fast_head_levels != 0:
+        raise ValueError("staged decode runs the whole decoder in the "
+                         "mixed tier (fast_head_levels must be 0)")
     zc = decoder_cfg.z_channels
     if latent.ndim != 4:
         raise ValueError(f"latent must be 4D, got shape {latent.shape}")
