@@ -341,13 +341,18 @@ def _staged_junction(cur, up_p: Params, b0: Params, h_in: int, w_in: int,
     return buf, _finalize(ssum, ssq, hh * ww * (fn_ub.out_c // g))
 
 
-@functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
-                                             "precision", "slab_rows"))
-def _staged_decode_jit(params: Params, latent: jnp.ndarray,
-                       decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
-                       precision: Precision, slab_rows: int, ev):
-    from hdrvae.decode.formatting import collapse_channels_maxpool
-    from hdrvae.decode.pipeline import hdr_epilogue_from_parts
+@functools.partial(jax.jit, static_argnames=("decoder_cfg", "precision",
+                                             "slab_rows"))
+def _staged_front_jit(params: Params, latent: jnp.ndarray,
+                      decoder_cfg: DecoderConfig, precision: Precision,
+                      slab_rows: int):
+    """Head + staged levels down through the level-0 junction.  Returns
+    the guarded level-0 block-0 output buffer and its moments.  The
+    in-place level-0 block passes live in SEPARATE jits with the buffer
+    donated: inside one program, XLA inserts a defensive full-buffer
+    copy when a while-loop carry's input is also read by the preceding
+    stats loop (measured: an 8 GB copy that pushed the 4K program 825 MB
+    past HBM); cross-jit donation aliases it instead."""
     from hdrvae.models.decoder import decoder_head, resnet_block
     from hdrvae.models.layers import _group_onehot, _stats_precision
 
@@ -397,22 +402,69 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
                                              inplace=False)
 
     # ---- 3. junction (level-1 2x upsample) + level-0 block 0 ------------
-    hh, ww = 2 * h1, 2 * w1                    # full output resolution
-    lvl0 = params["up"][0]
     buf, moments = _staged_junction(cur, lvl1["upsample"],
-                                    lvl0["block"][0], h1, w1, g, mp,
-                                    precision, slab_rows)
+                                    params["up"][0]["block"][0], h1, w1,
+                                    g, mp, precision, slab_rows)
+    return buf, moments
 
-    # ---- 4. level-0 blocks 1..n: in-place slab rewrite ------------------
-    for blk in lvl0["block"][1:]:
-        buf, moments = _staged_sameres_block(buf, blk, moments, hh, ww,
-                                             g, mp, precision, slab_rows,
-                                             inplace=True)
+
+@functools.partial(jax.jit, static_argnames=("precision", "num_groups",
+                                             "slab_rows"))
+def _staged_block_stats_jit(buf, blk: Params, moments, precision: Precision,
+                            num_groups: int, slab_rows: int):
+    """conv1-stats pass of one channel-preserving block: buf is read-only
+    here; returns the four folded affines the in-place pass needs."""
+    from hdrvae.models.layers import _stats_precision
+    g = num_groups
+    mp = _stats_precision(precision)
+    h, w = buf.shape[0] - 2 * _G, buf.shape[1]
+    s = _pick_slab(h, slab_rows)
+    g1, b1 = _affine(blk["norm1"], *moments)
+    fn_s = _block_conv1_fn(blk, g1, b1, precision, h)
+    ssum, ssq = _stats_pass(buf, h // s, s, s, 1, fn_s, g, mp)
+    g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
+                                              h * w * (fn_s.out_c // g)))
+    return g1, b1, g2, b2
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "num_groups",
+                                             "slab_rows"),
+                   donate_argnums=(0,))
+def _staged_block_inplace_jit(buf, blk: Params, g1, b1, g2, b2,
+                              precision: Precision, num_groups: int,
+                              slab_rows: int):
+    """In-place full pass of one channel-preserving block; ``buf`` is
+    DONATED so the rewrite aliases the caller's buffer."""
+    from hdrvae.models.layers import _stats_precision
+    g = num_groups
+    mp = _stats_precision(precision)
+    h, w = buf.shape[0] - 2 * _G, buf.shape[1]
+    s = _pick_slab(h, slab_rows)
+    fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h)
+    assert fn_f.out_c == buf.shape[-1], \
+        "in-place blocks must preserve channel width"
+    buf, _, ssum, ssq = _inplace_pass(buf, h // s, s, fn_f, g, mp)
+    return buf, _finalize(ssum, ssq, h * w * (fn_f.out_c // g))
+
+
+@functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
+                                             "precision", "slab_rows"),
+                   donate_argnums=(0,))
+def _staged_tail_jit(buf, norm_out_p: Params, conv_out_p: Params,
+                     moments, latent: jnp.ndarray,
+                     decoder_cfg: DecoderConfig, cfg: HDRDecodeConfig,
+                     precision: Precision, slab_rows: int, ev):
+    """norm_out + SiLU + conv_out + the HDR epilogue, streamed per slab;
+    ``buf`` (the level-0 output) is donated — last use."""
+    from hdrvae.decode.formatting import collapse_channels_maxpool
+    from hdrvae.decode.pipeline import hdr_epilogue_from_parts
+
+    dcfg = decoder_cfg
+    hh, ww = buf.shape[0] - 2 * _G, buf.shape[1]
     s0 = _pick_slab(hh, slab_rows)
     n0 = hh // s0
 
-    # ---- 5. norm_out + SiLU + conv_out + epilogue parts, streamed -------
-    go, bo = _affine(params["norm_out"], *moments)
+    go, bo = _affine(norm_out_p, *moments)
     want_first3 = cfg.fallback_collapse == "first3"
     rgb = jnp.zeros((hh, ww, 3), jnp.float32)
     pre_c = jnp.zeros((hh, ww, 3), jnp.float32)
@@ -424,7 +476,7 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
         lo = i * s0
         win = jax.lax.dynamic_slice_in_dim(buf, _G + lo - 1, s0 + 2, 0)
         pre_win = _zero_outside(_silu_affine(win, go, bo), lo - 1, hh)
-        y = _conv_hv(pre_win, params["conv_out"], precision)
+        y = _conv_hv(pre_win, conv_out_p, precision)
         y = y * dcfg.output_scale + dcfg.output_shift
         if dcfg.output_clamp:
             y = jnp.clip(y, 0.0, 1.0)
@@ -468,8 +520,8 @@ def _staged_decode_jit(params: Params, latent: jnp.ndarray,
         # param-derived part only, like the slab executor (the raw pre
         # map is never whole in memory to re-apply conv_out to)
         from hdrvae.core.stats import tensor_stats
-        stats["conv_weight"] = tensor_stats(params["conv_out"]["kernel"])
-        stats["conv_bias"] = tensor_stats(params["conv_out"]["bias"])
+        stats["conv_weight"] = tensor_stats(conv_out_p["kernel"])
+        stats["conv_bias"] = tensor_stats(conv_out_p["bias"])
     return image, rgb[None], stats, used_fallback
 
 
@@ -512,8 +564,20 @@ def staged_hdr_decode(params: Params, latent: jnp.ndarray,
         raise ValueError("staged decode needs num_levels >= 2")
 
     cfg2, ev = _split_ev(cfg)
-    image, rgb, stats, used_fallback = _staged_decode_jit(
-        params, latent, decoder_cfg, cfg2, precision, slab_rows, ev)
+    g = decoder_cfg.num_groups
+    buf, moments = _staged_front_jit(params, latent, decoder_cfg,
+                                     precision, slab_rows)
+    # level-0 blocks 1..n: one stats jit (read-only) + one DONATING
+    # in-place jit per block — both compile once and serve every block
+    # (the block params are traced arguments, not closure constants)
+    for blk in params["up"][0]["block"][1:]:
+        affines = _staged_block_stats_jit(buf, blk, moments, precision,
+                                          g, slab_rows)
+        buf, moments = _staged_block_inplace_jit(buf, blk, *affines,
+                                                 precision, g, slab_rows)
+    image, rgb, stats, used_fallback = _staged_tail_jit(
+        buf, params["norm_out"], params["conv_out"], moments, latent,
+        decoder_cfg, cfg2, precision, slab_rows, ev)
     return HDRDecodeResult(image=image,
                            standard=rgb if cfg.keep_standard else None,
                            stats=stats, used_fallback=used_fallback)
