@@ -28,13 +28,19 @@ import numpy as np
 from hdrvae.core.runtime import setup
 
 
+def _sync(y):
+    # a scalar FETCH forces completion; block_until_ready through the
+    # axon tunnel returns before the device work finishes (measured —
+    # same reason bench.py's sync fetches)
+    np.asarray(y.ravel()[0])
+
+
 def _bench(step, x, runs):
-    y = step(x)
-    y.block_until_ready()
+    _sync(step(x))
     best = None
     for _ in range(runs):
         t0 = time.perf_counter()
-        step(x).block_until_ready()
+        _sync(step(x))
         best = min(best or 9e9, time.perf_counter() - t0)
     return best
 
@@ -106,7 +112,9 @@ def main() -> int:
         rows.append(row)
         print(json.dumps(row))
 
-    out = os.path.join(os.path.dirname(__file__), "upscaler_parity.json")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__))
+                       if "__file__" in globals() else "tools/perf",
+                       "upscaler_parity.json")
     with open(out, "w") as f:
         json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
                   indent=1)
