@@ -296,6 +296,13 @@ def check_staged() -> bool:
     ok = _report("staged vs whole mixed rgb at 2048^2", err_rgb, 1e-4)
     ok &= _report("staged vs whole mixed conservative img", err_img, 1e-3)
 
+    # The 4K staged decode needs ~14 GB of HBM headroom: drop every
+    # device buffer the 2048^2 comparison (and earlier families in a
+    # full sweep) left alive before launching it.
+    import gc
+    del img_w, rgb_w, staged, z
+    gc.collect()
+
     z4 = jax.random.normal(jax.random.PRNGKey(2),
                            (1, 512, 512, cfg.z_channels))
     res = staged_hdr_decode(params, z4, cfg, hdr, mixed)
@@ -338,8 +345,11 @@ def main() -> int:
         return 2
     names = sys.argv[1:] or list(CHECKS)
     ok = True
+    import gc
     for name in names:
         ok &= CHECKS[name]()
+        gc.collect()   # free each family's device buffers (the staged
+        #                family's 4K decode needs most of HBM)
     print("ALL PASS" if ok else "FAILURES above")
     return 0 if ok else 1
 
