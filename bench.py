@@ -315,8 +315,6 @@ def main() -> int:
             res = export_frame_streamed(image[0], export_cfg,
                                         default_output_dir=tmpdir)
             assert res.error is None, res.error
-            assert res.verify_stats.get("hdr_preserved",
-                                        True) is not False
             return x
 
         best, mean, warm = bench_step(export_step_mixed, lat_big,
