@@ -194,6 +194,15 @@ def spatial_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     n_pad = n_padded - n
     scale = c ** -0.5
     need_flag = n_pad > 0 or key_valid is not None
+    if (need_flag and c >= 512
+            and _as_dot_precision(precise) != jax.lax.Precision.DEFAULT):
+        # Scoped-VMEM guard: precise modes stream f32 blocks, and the
+        # dead-key flag channel pads the lane dim 512 -> 640; at
+        # block 512 that overflows the 16 MB scoped VMEM (measured
+        # +940 KB at n=65536, C=512 — the bucketed mixed 2048 serving
+        # shape).  Halving the key block drops the k/v/score working
+        # set ~2.9 MB; the q block keeps its MXU-friendly 512 rows.
+        block_k = min(block_k, 256)
 
     def single(qi, ki, vi):
         # precise mode streams f32 blocks; fast mode keeps the conv output
