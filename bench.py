@@ -401,8 +401,10 @@ def main() -> int:
             return row
 
         extra_rows.append(serve_row(precision, "", args.size, 2))
-        extra_rows.append(serve_row(Precision.mixed(), "_mixed",
-                                    args.size, 2))
+        if args.precision != "mixed":
+            # skip the duplicate when the headline tier IS mixed
+            extra_rows.append(serve_row(Precision.mixed(), "_mixed",
+                                        args.size, 2))
         extra_rows.append(serve_row(Precision.mixed(), "_mixed", big, 1))
 
         if args.full:

@@ -37,6 +37,11 @@ from hdrvae.models.decoder import DecodeOutput, decoder_apply
 Params = Dict[str, Any]
 
 
+# Test hook: overrides decode.staged.STAGED_MIN_PIXELS for the staged
+# auto-routing threshold in hdr_decode (None = use the real constant).
+_STAGED_MIN_PIXELS_OVERRIDE = None
+
+
 class HDRDecodeResult(NamedTuple):
     image: jnp.ndarray                    # [B, H, W, 3] float32 linear HDR
     standard: jnp.ndarray | None          # plain decode (None when
@@ -281,13 +286,16 @@ def hdr_decode(params: Params, latent: jnp.ndarray,
     # single-chip HBM past ~2048^2-class outputs; route through the staged
     # slab-streamed executor (decode/staged.py), which computes the same
     # function with bounded peak memory.  Explicitly bucketed/padded calls
-    # keep the whole-image program (serving owns its shape policy).
-    if (precision.mode == "mixed" and latent.shape[0] == 1
+    # keep the whole-image program (serving owns its shape policy), as do
+    # fast_head_levels configs (the staged executor runs the whole
+    # decoder in the mixed tier).
+    if (precision.mode == "mixed" and precision.fast_head_levels == 0
+            and latent.shape[0] == 1
             and shape_bucket == 0 and pad_to is None
             and decoder_cfg.num_levels >= 2):
         from hdrvae.decode import staged as _staged
         s = decoder_cfg.spatial_scale
-        threshold = globals().get("_STAGED_MIN_PIXELS_OVERRIDE") \
+        threshold = _STAGED_MIN_PIXELS_OVERRIDE \
             or _staged.STAGED_MIN_PIXELS
         if (orig_h * s) * (orig_w * s) >= threshold:
             return _staged.staged_hdr_decode(params, latent, decoder_cfg,

@@ -78,13 +78,36 @@ STAGED_MIN_PIXELS = 6_000_000
 
 
 def _pick_slab(h: int, target: int) -> int:
-    """Largest-preference divisor of ``h`` nearest ``target`` (slabs must
-    tile the height exactly so every pass owns full rows)."""
+    """Divisor of ``h`` nearest ``target`` (exact-tiling slab mode)."""
     best = h
     for s in range(1, h + 1):
         if h % s == 0 and abs(s - target) < abs(best - target):
             best = s
     return best
+
+
+def _plan_rows(h: int, target: int, even: bool = False):
+    """(slab_rows, n_slabs, ragged) for a height ``h`` pass.
+
+    Prefers an exact divisor near ``target`` (every slab owns full rows).
+    When the nearest divisor is degenerate (< target/4 — e.g. h = 8 * a
+    prime, whose only small divisors are 1/2/4/8, which would explode
+    the pass into hundreds of tiny sequential slabs), fall back to
+    RAGGED slabs: fixed ``target``-row windows with the LAST window's
+    start clamped to ``h - slab_rows`` — its overlap rows recompute
+    bitwise-identical values (same inputs, same ops) and are masked out
+    of the statistics.  ``even`` forces an even slab size (the junction
+    passes halve the output start to index the low-res source)."""
+    step = 2 if even else 1
+    target = max(step, min((target // step) * step, h - h % step))
+    best = None
+    for s in range(step, h + 1, step):
+        if h % s == 0 and (best is None
+                           or abs(s - target) < abs(best - target)):
+            best = s
+    if best is not None and 4 * best >= target:
+        return best, h // best, False
+    return target, -(-h // target), True
 
 
 def _finalize(ssum, ssq, n: int):
@@ -151,18 +174,36 @@ def _zero_outside(y, start_row, height: int):
     return y * mask[:, None, None].astype(y.dtype)
 
 
+def _slab_start(i, s: int, h: int):
+    """Global start row of slab ``i``: ``i*s`` clamped so the window stays
+    in-bounds — only the LAST slab of a ragged plan actually clamps."""
+    return jnp.minimum(i * s, h - s)
+
+
+def _fresh_mask(y, i, out_s: int, start):
+    """Zero rows a previous slab already produced (ragged last-slab
+    overlap): window row r is fresh iff start + r >= i*out_s."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (y.shape[0],), 0)
+    keep = rows >= (i * out_s - start)
+    return y * keep[:, None, None].astype(y.dtype)
+
+
 def _stats_pass(src, n_slabs: int, in_s: int, out_s: int, halo: int, fn,
-                groups: int, mp) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                groups: int, mp, h_out: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Accumulate (sum, sumsq) of ``fn(window, lo)`` over all slabs; the
-    output rows of each window are exactly the owned rows.  ``lo`` is the
-    slab's global output start row (output resolution), for boundary
-    masking inside fused chains."""
+    output rows of each window are the slab's owned rows (ragged overlap
+    rows masked from the statistics).  ``lo`` is the slab's global output
+    start row (output resolution), for boundary masking inside fused
+    chains."""
     onehot = _onehot_for(fn, groups)
+    f = out_s // in_s
 
     def body(i, acc):
+        lo_out = _slab_start(i, out_s, h_out)
         win = jax.lax.dynamic_slice_in_dim(
-            src, _G + i * in_s - halo, in_s + 2 * halo, 0)
-        y = fn(win, i * out_s)
+            src, _G + lo_out // f - halo, in_s + 2 * halo, 0)
+        y = _fresh_mask(fn(win, lo_out), i, out_s, lo_out)
         s1, s2 = _gstats(y, onehot, mp)
         return acc[0] + s1, acc[1] + s2
 
@@ -178,18 +219,22 @@ def _onehot_for(fn, groups: int):
 
 
 def _map_pass(src, dst, n_slabs: int, in_s: int, out_s: int, halo: int,
-              fn, groups: int, mp):
+              fn, groups: int, mp, h_out: int):
     """Write ``fn(window)`` rows into ``dst`` (guarded) and accumulate the
-    output moments."""
+    output moments.  A ragged last slab overwrites its overlap rows with
+    bitwise-identical values (same inputs, same ops) and masks them from
+    the statistics."""
     onehot = _onehot_for(fn, groups)
+    f = out_s // in_s
 
     def body(i, carry):
         dst, s1a, s2a = carry
+        lo_out = _slab_start(i, out_s, h_out)
         win = jax.lax.dynamic_slice_in_dim(
-            src, _G + i * in_s - halo, in_s + 2 * halo, 0)
-        y = fn(win, i * out_s)
-        dst = jax.lax.dynamic_update_slice(dst, y, (_G + i * out_s, 0, 0))
-        s1, s2 = _gstats(y, onehot, mp)
+            src, _G + lo_out // f - halo, in_s + 2 * halo, 0)
+        y = fn(win, lo_out)
+        dst = jax.lax.dynamic_update_slice(dst, y, (_G + lo_out, 0, 0))
+        s1, s2 = _gstats(_fresh_mask(y, i, out_s, lo_out), onehot, mp)
         return dst, s1a + s1, s2a + s2
 
     z = jnp.zeros((groups,), jnp.float32)
@@ -294,22 +339,23 @@ def _staged_sameres_block(cur, blk: Params, moments, h: int, w: int,
                           slab_rows: int, inplace: bool):
     """One ResNet block over a materialized guarded buffer: conv1 stats
     pass, then a full pass (into a fresh buffer, or rewriting ``cur`` in
-    place when the block preserves channel width)."""
-    s = _pick_slab(h, slab_rows)
-    n = h // s
+    place when the block preserves channel width).  A ragged slab plan
+    (awkward-divisor heights) forces the fresh-buffer form — the
+    in-place stash assumes contiguous slab starts."""
+    s, n, ragged = _plan_rows(h, slab_rows)
     g1, b1 = _affine(blk["norm1"], *moments)
     fn_s = _block_conv1_fn(blk, g1, b1, precision, h)
-    ssum, ssq = _stats_pass(cur, n, s, s, 1, fn_s, g, mp)
+    ssum, ssq = _stats_pass(cur, n, s, s, 1, fn_s, g, mp, h)
     g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
                                               h * w * (fn_s.out_c // g)))
     fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h)
-    if inplace:
+    if inplace and not ragged:
         assert fn_f.out_c == cur.shape[-1], \
             "in-place blocks must preserve channel width"
         cur, _, ssum, ssq = _inplace_pass(cur, n, s, fn_f, g, mp)
     else:
         dst = jnp.zeros((h + 2 * _G, w, fn_f.out_c), jnp.float32)
-        cur, ssum, ssq = _map_pass(cur, dst, n, s, s, 2, fn_f, g, mp)
+        cur, ssum, ssq = _map_pass(cur, dst, n, s, s, 2, fn_f, g, mp, h)
     return cur, _finalize(ssum, ssq, h * w * (fn_f.out_c // g))
 
 
@@ -320,24 +366,23 @@ def _staged_junction(cur, up_p: Params, b0: Params, h_in: int, w_in: int,
     full) — the 2x-resolution upsampled map never exists in HBM.
     Returns (guarded block-0 output buffer at 2x res, its moments)."""
     hh, ww = 2 * h_in, 2 * w_in
-    s0 = 2 * _pick_slab(h_in, max(1, slab_rows // 2))
-    n0 = hh // s0
+    s0, n0, _ = _plan_rows(hh, 2 * max(1, slab_rows // 2), even=True)
     s2l = s0 // 2
     c_up = up_p["kernel"].shape[3]
 
     fn_up = _up_fn(up_p, precision)
-    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_up, g, mp)
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_up, g, mp, hh)
     gu, bu = _affine(b0["norm1"], *_finalize(ssum, ssq,
                                              hh * ww * (c_up // g)))
 
     fn_uc1 = _up_conv1_fn(up_p, b0, gu, bu, precision, hh)
-    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_uc1, g, mp)
+    ssum, ssq = _stats_pass(cur, n0, s2l, s0, 1, fn_uc1, g, mp, hh)
     g2, b2 = _affine(b0["norm2"], *_finalize(
         ssum, ssq, hh * ww * (fn_uc1.out_c // g)))
 
     fn_ub = _up_block_fn(up_p, b0, gu, bu, g2, b2, precision, hh)
     buf = jnp.zeros((hh + 2 * _G, ww, fn_ub.out_c), jnp.float32)
-    buf, ssum, ssq = _map_pass(cur, buf, n0, s2l, s0, 2, fn_ub, g, mp)
+    buf, ssum, ssq = _map_pass(cur, buf, n0, s2l, s0, 2, fn_ub, g, mp, hh)
     return buf, _finalize(ssum, ssq, hh * ww * (fn_ub.out_c // g))
 
 
@@ -418,10 +463,10 @@ def _staged_block_stats_jit(buf, blk: Params, moments, precision: Precision,
     g = num_groups
     mp = _stats_precision(precision)
     h, w = buf.shape[0] - 2 * _G, buf.shape[1]
-    s = _pick_slab(h, slab_rows)
+    s, n, _ = _plan_rows(h, slab_rows)
     g1, b1 = _affine(blk["norm1"], *moments)
     fn_s = _block_conv1_fn(blk, g1, b1, precision, h)
-    ssum, ssq = _stats_pass(buf, h // s, s, s, 1, fn_s, g, mp)
+    ssum, ssq = _stats_pass(buf, n, s, s, 1, fn_s, g, mp, h)
     g2, b2 = _affine(blk["norm2"], *_finalize(ssum, ssq,
                                               h * w * (fn_s.out_c // g)))
     return g1, b1, g2, b2
@@ -434,17 +479,41 @@ def _staged_block_inplace_jit(buf, blk: Params, g1, b1, g2, b2,
                               precision: Precision, num_groups: int,
                               slab_rows: int):
     """In-place full pass of one channel-preserving block; ``buf`` is
-    DONATED so the rewrite aliases the caller's buffer."""
+    DONATED so the rewrite aliases the caller's buffer.  Exact-tiling
+    slab plans only (the stash assumes contiguous starts); the driver
+    routes ragged heights through :func:`_staged_block_map_jit`."""
     from hdrvae.models.layers import _stats_precision
     g = num_groups
     mp = _stats_precision(precision)
     h, w = buf.shape[0] - 2 * _G, buf.shape[1]
-    s = _pick_slab(h, slab_rows)
+    s, n, ragged = _plan_rows(h, slab_rows)
+    assert not ragged, "ragged plans use the map-pass block jit"
     fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h)
     assert fn_f.out_c == buf.shape[-1], \
         "in-place blocks must preserve channel width"
-    buf, _, ssum, ssq = _inplace_pass(buf, h // s, s, fn_f, g, mp)
+    buf, _, ssum, ssq = _inplace_pass(buf, n, s, fn_f, g, mp)
     return buf, _finalize(ssum, ssq, h * w * (fn_f.out_c // g))
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "num_groups",
+                                             "slab_rows"),
+                   donate_argnums=(0,))
+def _staged_block_map_jit(buf, blk: Params, g1, b1, g2, b2,
+                          precision: Precision, num_groups: int,
+                          slab_rows: int):
+    """Ragged-height variant of the level-0 block pass: writes a fresh
+    buffer (two full-resolution buffers live transiently — the memory
+    price of an awkward-divisor height; ``buf`` is still donated so it
+    frees as soon as the pass completes)."""
+    from hdrvae.models.layers import _stats_precision
+    g = num_groups
+    mp = _stats_precision(precision)
+    h, w = buf.shape[0] - 2 * _G, buf.shape[1]
+    s, n, _ = _plan_rows(h, slab_rows)
+    fn_f = _block_full_fn(blk, g1, b1, g2, b2, precision, h)
+    dst = jnp.zeros((h + 2 * _G, w, fn_f.out_c), jnp.float32)
+    dst, ssum, ssq = _map_pass(buf, dst, n, s, s, 2, fn_f, g, mp, h)
+    return dst, _finalize(ssum, ssq, h * w * (fn_f.out_c // g))
 
 
 @functools.partial(jax.jit, static_argnames=("decoder_cfg", "cfg",
@@ -461,8 +530,7 @@ def _staged_tail_jit(buf, norm_out_p: Params, conv_out_p: Params,
 
     dcfg = decoder_cfg
     hh, ww = buf.shape[0] - 2 * _G, buf.shape[1]
-    s0 = _pick_slab(hh, slab_rows)
-    n0 = hh // s0
+    s0, n0, _ = _plan_rows(hh, slab_rows)
 
     go, bo = _affine(norm_out_p, *moments)
     want_first3 = cfg.fallback_collapse == "first3"
@@ -473,7 +541,7 @@ def _staged_tail_jit(buf, norm_out_p: Params, conv_out_p: Params,
 
     def tail_body(i, carry):
         rgb, pre_c, pre3, s1a, s2a, mn, mx = carry
-        lo = i * s0
+        lo = _slab_start(i, s0, hh)
         win = jax.lax.dynamic_slice_in_dim(buf, _G + lo - 1, s0 + 2, 0)
         pre_win = _zero_outside(_silu_affine(win, go, bo), lo - 1, hh)
         y = _conv_hv(pre_win, conv_out_p, precision)
@@ -487,8 +555,12 @@ def _staged_tail_jit(buf, norm_out_p: Params, conv_out_p: Params,
         if want_first3:
             pre3 = jax.lax.dynamic_update_slice(pre3, pre_own[..., :3],
                                                 (lo, 0, 0))
+        # ragged overlap rows rewrite identical values above, but must
+        # not double-count in the scalar statistics (min/max are
+        # idempotent; the sums are not)
+        fresh = _fresh_mask(pre_own, i, s0, lo)
         return (rgb, pre_c, pre3,
-                s1a + jnp.sum(pre_own), s2a + jnp.sum(jnp.square(pre_own)),
+                s1a + jnp.sum(fresh), s2a + jnp.sum(jnp.square(fresh)),
                 jnp.minimum(mn, jnp.min(pre_own)),
                 jnp.maximum(mx, jnp.max(pre_own)))
 
@@ -569,12 +641,16 @@ def staged_hdr_decode(params: Params, latent: jnp.ndarray,
                                      precision, slab_rows)
     # level-0 blocks 1..n: one stats jit (read-only) + one DONATING
     # in-place jit per block — both compile once and serve every block
-    # (the block params are traced arguments, not closure constants)
+    # (the block params are traced arguments, not closure constants).
+    # Ragged heights route through the fresh-buffer map variant.
+    _, _, ragged0 = _plan_rows(buf.shape[0] - 2 * _G, slab_rows)
+    block_jit = (_staged_block_map_jit if ragged0
+                 else _staged_block_inplace_jit)
     for blk in params["up"][0]["block"][1:]:
         affines = _staged_block_stats_jit(buf, blk, moments, precision,
                                           g, slab_rows)
-        buf, moments = _staged_block_inplace_jit(buf, blk, *affines,
-                                                 precision, g, slab_rows)
+        buf, moments = block_jit(buf, blk, *affines,
+                                 precision, g, slab_rows)
     image, rgb, stats, used_fallback = _staged_tail_jit(
         buf, params["norm_out"], params["conv_out"], moments, latent,
         decoder_cfg, cfg2, precision, slab_rows, ev)

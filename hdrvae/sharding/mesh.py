@@ -645,15 +645,14 @@ def sharded_slab_decode(params: Params, latent: jnp.ndarray,
     orig_h, orig_w = latent.shape[1], latent.shape[2]
     orig_latent = latent
     cfg2, ev = _split_ev(cfg)
-    bucketed = pad_to is not None and tuple(pad_to) != (orig_h, orig_w)
+    # A latent already AT the bucket target still takes the bucketed
+    # program (full-valid mask) so serving keeps ONE program per bucket
+    # shape — same policy as hdr_decode(pad_to=...).
+    bucketed = pad_to is not None
     if pad_to is not None:
         if pad_to[0] < orig_h or pad_to[1] < orig_w:
             raise ValueError(f"pad_to {pad_to} smaller than latent "
                              f"{(orig_h, orig_w)}")
-        # A latent already AT the bucket target still takes the bucketed
-        # program (full-valid mask) so serving keeps ONE program per
-        # bucket shape — same policy as hdr_decode(pad_to=...).
-        bucketed = True
         if tuple(pad_to) != (orig_h, orig_w):
             latent = jnp.pad(latent, ((0, 0), (0, pad_to[0] - orig_h),
                                       (0, pad_to[1] - orig_w), (0, 0)))

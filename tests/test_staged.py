@@ -146,3 +146,43 @@ def test_hdr_decode_auto_routes_staged(small_setup, monkeypatch):
                               "through the staged executor"
     _assert_close(routed.image, baseline.image)
     assert STAGED_MIN_PIXELS > 4_194_304   # 2048^2 stays whole-image
+
+
+def test_staged_ragged_plan(small_setup):
+    """Heights whose divisors are all far from the slab target take the
+    RAGGED plan (clamped last window, masked stats, fresh-buffer level-0
+    blocks) instead of degenerating into hundreds of tiny slabs — and
+    still match the whole-image decode exactly."""
+    from hdrvae.decode.staged import _plan_rows
+    s, n, ragged = _plan_rows(37, 16)
+    assert ragged and s == 16 and n == 3
+    s, n, ragged = _plan_rows(74, 16, even=True)
+    assert ragged and s % 2 == 0
+    s, n, ragged = _plan_rows(32, 8)
+    assert (s, n, ragged) == (8, 4, False)
+
+    cfg, params = small_setup
+    lat = _latent(cfg, 37, 9, key=21)
+    hcfg = HDRDecodeConfig()
+    whole = hdr_decode(params, lat, cfg, hcfg, MIXED)
+    staged = staged_hdr_decode(params, lat, cfg, hcfg, MIXED,
+                               slab_rows=16)
+    _assert_close(staged.image, whole.image)
+    _assert_close(staged.standard, whole.standard)
+    for k in ("min", "max", "mean", "std"):
+        np.testing.assert_allclose(float(staged.stats["pre"][k]),
+                                   float(whole.stats["pre"][k]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fast_head_levels_not_routed_staged(small_setup, monkeypatch):
+    """Precision.mixed(fast_head_levels>0) is a documented whole-image
+    config; the staged auto-route must pass it through (round-5 review
+    finding: routing it raised ValueError instead of decoding)."""
+    cfg, params = small_setup
+    lat = _latent(cfg, 16, 16)
+    import hdrvae.decode.pipeline as pl
+    monkeypatch.setattr(pl, "_STAGED_MIN_PIXELS_OVERRIDE", 1)
+    res = hdr_decode(params, lat, cfg, HDRDecodeConfig(),
+                     Precision.mixed(fast_head_levels=1))
+    assert np.isfinite(np.asarray(res.image)).all()
