@@ -338,6 +338,13 @@ def main() -> int:
             extra_rows.append(run_row("hdr_decode_mixed_mp_per_s_4096",
                                       staged_step, 4096, runs=1))
 
+        # The serve rows below warm 2048-class bucketed programs that
+        # need most of HBM at runtime; drop every device buffer earlier
+        # rows left alive first (same hygiene as tpu_checks.py).
+        import gc
+        del lat_big
+        gc.collect()
+
         # Serving layer (VERDICT round-3 item 2): a mixed-resolution
         # request stream through ServeEngine — the engine's scheduling
         # overhead must be visible next to the bare-decode rows.  Run
@@ -378,6 +385,9 @@ def main() -> int:
                 serve_s = time.perf_counter() - t0
             mp_served = sum(r.image.shape[1] * r.image.shape[2]
                             for r in resps) / 1e6
+            import gc
+            gc.collect()   # free this engine's response/warmup buffers
+            #                before the next serve row's programs load
             # quantiles over the TIMED requests only (engine.stats()
             # would also count the warmup requests' compile latencies).
             # On a tunneled device these rows are transport-bound (each
