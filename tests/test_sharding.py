@@ -510,3 +510,28 @@ def test_slab_decode_pad_to_validation(small_cfg, small_params, rng):
                             HDRDecodeConfig(),
                             mesh=make_mesh(num_devices=4),
                             pad_to=(8, 8))
+
+
+def test_slab_decode_bucketed_full_width(rng):
+    """Bucketed slab decode at the PRODUCTION DecoderConfig (512-ch mid,
+    32 GN groups, 4 levels) on a tiny non-multiple latent: the
+    SlabPadGNReducer channel/group/valid-region arithmetic at full width
+    (the toy-width bucketed tests cannot see a wrong cpg divisor)."""
+    from hdrvae.models.decoder import init_decoder
+    from hdrvae.sharding.mesh import sharded_slab_decode
+    cfg = DecoderConfig()
+    params = init_decoder(jax.random.PRNGKey(43), cfg)
+    latent = _latent(rng, cfg, 7, 9)
+    hcfg = HDRDecodeConfig()
+    whole = hdr_decode(params, latent, cfg, hcfg, Precision.mixed())
+    buck = sharded_slab_decode(params, latent, cfg, hcfg,
+                               mesh=make_mesh(num_devices=4),
+                               tail_levels=2, pad_to=(8, 10),
+                               precision=Precision.mixed())
+    assert buck.image.shape == whole.image.shape
+    err_rgb = np.abs(np.asarray(whole.standard)
+                     - np.asarray(buck.standard)).max()
+    assert err_rgb <= 1e-4, f"full-width bucketed rgb error {err_rgb:.2e}"
+    err = np.abs(np.asarray(whole.image) - np.asarray(buck.image)).max()
+    signal = max(1.0, float(np.abs(np.asarray(whole.image)).max()))
+    assert err / signal <= 1e-3
