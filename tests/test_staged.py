@@ -186,3 +186,19 @@ def test_fast_head_levels_not_routed_staged(small_setup, monkeypatch):
     res = hdr_decode(params, lat, cfg, HDRDecodeConfig(),
                      Precision.mixed(fast_head_levels=1))
     assert np.isfinite(np.asarray(res.image)).all()
+
+
+def test_staged_three_level_config():
+    """num_levels=3 exercises the branch where the head holds NO up
+    levels (conv_in + mid only) and level 2's blocks run whole-image at
+    latent resolution before the first staged junction."""
+    import dataclasses
+    cfg = dataclasses.replace(DecoderConfig().with_small(),
+                              ch_mult=(1, 2, 2))
+    params = init_decoder(jax.random.PRNGKey(9), cfg)
+    lat = _latent(cfg, 10, 14, key=33)
+    hcfg = HDRDecodeConfig()
+    whole = hdr_decode(params, lat, cfg, hcfg, MIXED)
+    staged = staged_hdr_decode(params, lat, cfg, hcfg, MIXED, slab_rows=8)
+    _assert_close(staged.image, whole.image)
+    _assert_close(staged.standard, whole.standard)
