@@ -40,6 +40,29 @@ def _matmul_precision(precision: Precision):
     return jax.lax.Precision.DEFAULT
 
 
+def _dot3(a, b, dims):
+    """3-pass bf16x3 dot (what jax.lax.Precision.HIGH does on the MXU),
+    built from DEFAULT bf16 passes Mosaic can lower: each f32 operand
+    splits into a bf16 hi part and a bf16 residual, and the three
+    significant cross terms accumulate in f32 (~1e-6 relative — the
+    mixed tier's contraction class).  The ah*bl/al*bh terms are the
+    correction; al*bl is below f32 rounding and skipped, like HIGH."""
+    def split(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    ah, al = split(a)
+    bh, bl = split(b)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _as_dot_precision(precise) -> jax.lax.Precision:
     """``precise`` flag -> MXU dot precision.  Accepts the legacy bool
     (True == parity HIGHEST) or an explicit jax.lax.Precision (the mixed
@@ -109,12 +132,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     k_blk = k_ref[...].astype(jnp.float32)
     v_blk = v_ref[...].astype(jnp.float32)
     # Mosaic honors matmul precision: HIGHEST gives true-f32 MXU passes
-    # (measured 1e-7 rel) for the parity contract; HIGH is the 3-pass
-    # mixed tier; DEFAULT is the fast path.
-    prec = _as_dot_precision(precise)
-    s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
-                            precision=prec,
-                            preferred_element_type=jnp.float32)
+    # (measured 1e-7 rel) for the parity contract; DEFAULT is the fast
+    # path.  HIGH (the mixed tier) is rejected by Mosaic, so it runs as
+    # a MANUAL bf16x3 decomposition (_dot3): hi/lo splits + three
+    # DEFAULT bf16 passes with f32 accumulation — the same arithmetic
+    # XLA's HIGH performs, at half the cost of the 6-pass HIGHEST this
+    # kernel used for mixed before round 5 (the mid attention at a 4K
+    # latent is 262k tokens = 140 TFLOP; HIGHEST priced it at 4.4 s of
+    # the staged decode).  Unlike an XLA-level manual split, Mosaic does
+    # not algebraically fold the convert pairs (verified on chip: error
+    # stays 1e-6-class, not 1-pass bf16's 1e-2).
+    if precise == jax.lax.Precision.HIGH:
+        s = _dot3(q, k_blk, (((1,), (1,)), ((), ())))
+    else:
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                precision=_as_dot_precision(precise),
+                                preferred_element_type=jnp.float32)
     m_prev = m_ref[...]
     l_prev = l_ref[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -122,9 +155,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_new = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())), precision=prec,
-        preferred_element_type=jnp.float32)
+    if precise == jax.lax.Precision.HIGH:
+        pv = _dot3(p, v_blk, (((1,), (0,)), ((), ())))
+    else:
+        pv = jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            precision=_as_dot_precision(precise),
+            preferred_element_type=jnp.float32)
+    acc_new = acc_ref[...] * alpha + pv
     acc_ref[...] = acc_new
     m_ref[...] = m_new
     l_ref[...] = l_new
@@ -255,14 +293,12 @@ def spatial_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     on_tpu = jax.default_backend() == "tpu"
     if (on_tpu and n >= _PALLAS_MIN_TOKENS and q.shape[-1] % 128 == 0
             and n % _BLOCK_Q == 0):
-        prec = _matmul_precision(precision)
-        if prec == jax.lax.Precision.HIGH:
-            # Mosaic lowers DEFAULT and HIGHEST dots only ("Unsupported
-            # dot precision: HIGH") — the mixed tier's kernel dots run
-            # HIGHEST (exact f32, 6-pass).  Attention is a small share of
-            # a mixed decode, and exact > the tier's contract.
-            prec = jax.lax.Precision.HIGHEST
+        # HIGH (the mixed tier) runs as the kernel's manual bf16x3
+        # decomposition — Mosaic rejects HIGH dots, and HIGHEST's 6-pass
+        # exactness priced the 262k-token 4K mid attention at 4.4 s
+        # (round 5; _dot3 halves that at the tier's own error class).
         return spatial_attention_pallas(
-            q, k, v, precise=prec, key_valid=key_valid)
+            q, k, v, precise=_matmul_precision(precision),
+            key_valid=key_valid)
     return spatial_attention_xla(q, k, v, precision=precision,
                                  key_valid=key_valid)

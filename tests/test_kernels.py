@@ -136,3 +136,30 @@ def test_fused_epilogue_variance_stability(rng):
                                rtol=1e-3)
     np.testing.assert_allclose(float(stats["mean"]), float(ref["mean"]),
                                rtol=1e-6)
+
+
+def test_flash_attention_three_pass_high():
+    """The mixed tier's HIGH attention runs as the kernel's MANUAL bf16x3
+    decomposition (_dot3 — Mosaic rejects HIGH dots).  In interpret mode
+    the split arithmetic must land within the 3-pass error class of the
+    exact f32 reference — far below 1-pass bf16's ~1e-2 (which would
+    indicate the convert pairs got folded away)."""
+    import jax
+    from hdrvae.core.config import Precision
+    from hdrvae.kernels.attention import spatial_attention_xla
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    shape = (1, 16, 16, 128)
+    q = jax.random.normal(k1, shape) * 0.5
+    k = jax.random.normal(k2, shape) * 0.5
+    v = jax.random.normal(k3, shape)
+    ref = spatial_attention_xla(q, k, v, precision=Precision.parity())
+    out = spatial_attention_pallas(q, k, v, block_q=64, block_k=64,
+                                   interpret=True,
+                                   precise=jax.lax.Precision.HIGH)
+    err = float(jnp.abs(out - ref).max())
+    # 1.3e-6 measured: the bf16x3 class.  A folded split would collapse
+    # to 1-pass bf16's ~1e-2 (on TPU; CPU interpret-mode DEFAULT dots
+    # are exact f32, so only the upper bound is meaningful here — the
+    # on-chip discrimination lives in tpu_checks.py check_attention).
+    assert 1e-8 < err < 1e-4, f"3-pass attention error {err:.2e}"

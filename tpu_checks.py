@@ -169,7 +169,21 @@ def check_attention() -> bool:
     b = np.asarray(jax.jit(lambda *t: spatial_attention_xla(
         *t, precision=Precision.parity()))(q, k, v), dtype=np.float32)
     err = float(np.abs(a - b).max())
-    return _report("flash attention (precise mode, n=4096)", err, 1e-5)
+    ok = _report("flash attention (precise mode, n=4096)", err, 1e-5)
+
+    # The mixed tier's 3-pass (manual bf16x3) attention must land well
+    # under 1e-4 (a fold to 1-pass bf16 measures ~2e-4 at this shape).
+    # NOTE error alone cannot separate 3-pass from a fold to true f32 —
+    # the softmax/exp error dominates both (measured 3.5e-7 vs HIGHEST's
+    # 2.0e-7); the discriminator is TIMING (2.33 s vs 4.47 s at the
+    # 262k-token 4K shape — exactly the 6-to-3-pass halving; round-5
+    # probe, tools/perf/attn3_probe).
+    a3 = np.asarray(jax.jit(lambda *t: spatial_attention_pallas(
+        *t, precise=jax.lax.Precision.HIGH))(q, k, v), dtype=np.float32)
+    err3 = float(np.abs(a3 - b).max())
+    ok &= _report("flash attention 3-pass bf16x3 (mixed tier)", err3,
+                  1e-4)
+    return ok
 
 
 def check_mixed() -> bool:
