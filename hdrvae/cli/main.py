@@ -392,11 +392,13 @@ def cmd_serve(args) -> int:
         mesh = make_mesh()
         logger.info("serving through the exact sharded slab path on a "
                     "%d-device mesh", mesh.devices.size)
+    # --bucket composes with --sharded since round 5 (PadMask threads
+    # through the slab tail; SlabPadGNReducer) — one compiled slab
+    # program per bucket shape on the mesh too.
     engine = ServeEngine(
         vae, hdr_cfg=HDRDecodeConfig(hdr_mode=args.mode),
         precision=precision,
-        bucket=(None if mesh is not None
-                else args.bucket if args.bucket > 0 else None),
+        bucket=args.bucket if args.bucket > 0 else None,
         max_pending=args.max_pending, mesh=mesh,
         deadline_s=args.deadline if args.deadline > 0 else None)
     if args.warmup:

@@ -526,3 +526,37 @@ def test_http_16bit_exr_uses_half_fetch(server, vae, rng, tmp_path):
     want = np.asarray(direct.image)[0].astype(np.float16).astype(
         np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_http_mesh_bucketed_serving(vae, rng):
+    """The OUTERMOST surface of round-5 mesh bucketing: an HTTP decode
+    against a ServeEngine(mesh=..., bucket=...) returns the same image
+    as the plain single-device engine, and a second off-bucket shape
+    reuses the same compiled slab program."""
+    import threading
+
+    from hdrvae.serve.http import make_server
+    from hdrvae.sharding.mesh import make_mesh
+
+    engine = ServeEngine(vae, mesh=make_mesh(num_devices=4), bucket=16)
+    srv = make_server(engine, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        for hw in ((13, 11), (10, 14)):
+            lat = _latent(rng, vae.config, h=hw[0], w=hw[1])
+            status, _, body = _request(
+                srv, "POST", "/v1/decode?format=npy",
+                body=_npy_bytes(lat))
+            assert status == 200, body[:200]
+            img = np.load(io.BytesIO(body))
+            ref = hdr_decode(vae.params, lat, vae.config,
+                             precision=vae.precision)
+            scale = max(1.0, float(np.abs(np.asarray(ref.image)).max()))
+            err = np.abs(img - np.asarray(ref.image)).max() / scale
+            assert err < 1e-3, f"http mesh-bucket error {err:.2e}"
+        assert engine.stats()["compiled_latent_shapes"] == {"16x16": 2}
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        engine.close()
