@@ -202,3 +202,40 @@ def test_staged_three_level_config():
     staged = staged_hdr_decode(params, lat, cfg, hcfg, MIXED, slab_rows=8)
     _assert_close(staged.image, whole.image)
     _assert_close(staged.standard, whole.standard)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_staged_randomized_property(seed):
+    """Randomized config x shape x slab-target sweep: staged == whole for
+    arbitrary small topologies (levels 2-4, varying widths/groups/blocks,
+    odd shapes, ragged and exact slab plans)."""
+    import dataclasses
+    rng = np.random.default_rng(100 + seed)
+    levels = int(rng.integers(2, 5))
+    ch = int(rng.choice([8, 16]))
+    mult = tuple(int(m) for m in
+                 sorted(rng.choice([1, 2, 4], size=levels)))
+    cfg = dataclasses.replace(
+        DecoderConfig(), z_channels=4, ch=ch, ch_mult=mult,
+        num_res_blocks=int(rng.integers(1, 3)),
+        num_groups=int(rng.choice([2, 4])))
+    params = init_decoder(jax.random.PRNGKey(200 + seed), cfg)
+    h = int(rng.integers(6, 24))
+    w = int(rng.integers(6, 24))
+    lat = _latent(cfg, h, w, key=300 + seed)
+    mode = str(rng.choice(["conservative", "mathematical_recovery",
+                           "exposure"]))
+    hcfg = HDRDecodeConfig(hdr_mode=mode)
+    whole = hdr_decode(params, lat, cfg, hcfg, MIXED)
+    staged = staged_hdr_decode(params, lat, cfg, hcfg, MIXED,
+                               slab_rows=int(rng.choice([4, 8, 16, 64])))
+    # The well-posed contract surface (PERF_NOTES 6.2): rgb and the
+    # conservative mode take max-abs; the EV/logit modes amplify
+    # near-saturation differences ~1e3-1e4x (d logit/dx unbounded), so
+    # they take MEAN-abs — same yardstick the fidelity suite uses.
+    _assert_close(staged.standard, whole.standard, tol=5e-5)
+    if mode == "conservative":
+        _assert_close(staged.image, whole.image, tol=5e-5)
+    else:
+        mean_err = float(jnp.mean(jnp.abs(staged.image - whole.image)))
+        assert mean_err <= 1e-5, f"EV-mode mean-abs {mean_err:.3e}"
