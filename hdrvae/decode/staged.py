@@ -77,15 +77,6 @@ _G = 2               # guard rows per buffer end (>= max pass halo)
 STAGED_MIN_PIXELS = 6_000_000
 
 
-def _pick_slab(h: int, target: int) -> int:
-    """Divisor of ``h`` nearest ``target`` (exact-tiling slab mode)."""
-    best = h
-    for s in range(1, h + 1):
-        if h % s == 0 and abs(s - target) < abs(best - target):
-            best = s
-    return best
-
-
 def _plan_rows(h: int, target: int, even: bool = False):
     """(slab_rows, n_slabs, ragged) for a height ``h`` pass.
 
